@@ -1,13 +1,36 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (normative operator
+  * inventory; the reference checkout is empty, see SURVEY.md §0) and §7.
+  *
+  * `queries` carries one entry per implemented operator; `oracleSql`
+  * carries the DuckDB-runnable ANSI twin for every oracle-checkable key.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (TPC-H Q1 pricing summary) on sf0.001; the driver
+    * smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    operators.Relational.aggPricingSummary(spark, "/root/testdata/sf0.001")
+
+  private def registry: Seq[(String, QFn)] =
+    operators.Relational.entries
+
+  private def oracleRegistry: Seq[(String, String)] =
+    operators.Relational.oracles
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val r = registry
+    require(r.map(_._1).distinct.size == r.size, "duplicate query keys")
+    r.toMap
+  }
+
+  def oracleSql: Map[String, String] = {
+    val o = oracleRegistry
+    val qs = registry.map(_._1).toSet
+    require(o.forall(kv => qs.contains(kv._1)), "oracle for unknown query key")
+    o.toMap
+  }
 }

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table loaders + schema contract for the driver-generated test data
+  * (see TESTDATA.md). Schemas mirror the parquet footers exactly —
+  * int32 vs int64 key types are preserved, never widened, so that the
+  * DuckDB oracle compare sees identical physical types.
+  *
+  * At 100 TB these reads become partitioned-directory scans; nothing
+  * here assumes a single file (spark.read.parquet takes globs/dirs).
+  */
+object Tables {
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  val schemas: Map[String, StructType] = Map(
+    "region" -> StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType))),
+    "nation" -> StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))),
+    "customer" -> StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+    "supplier" -> StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType))),
+    "part" -> StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType))),
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType))),
+    "lineitem" -> StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType))),
+    "events" -> StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType))),
+    "documents" -> StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType))),
+    "embeddings" -> StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType))))
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") loadEvents(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is parquet `timestamp[ns]`, which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via
+    * the legacy conf and truncate to µs (`ts div 1000` — floor for the
+    * positive epoch values here), matching what DuckDB produces under
+    * `CAST(ts AS TIMESTAMP)` (µs) so oracle hashes agree. */
+  private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  /** Load with schema validation: fails fast if the parquet footer has
+    * drifted from the contract (names + types, ignoring nullability). */
+  def loadChecked(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    val got = df.schema.fields.map(f => (f.name, f.dataType))
+    val want = schemas(name).fields.map(f => (f.name, f.dataType))
+    require(got.sameElements(want),
+      s"schema drift for $name: got ${got.mkString(",")} want ${want.mkString(",")}")
+    df
+  }
+
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** Determinism helpers for DuckDB-oracle parity.
+  *
+  * All double columns in the test data carry at most 2 decimal digits
+  * (verified against the parquet), so casting to DECIMAL before SUM is
+  * exact and order-independent — the one operation where Spark and
+  * DuckDB could legally disagree (float reduction order) is removed.
+  * Per-row double arithmetic (a*b, a/b) is IEEE-754 and bit-identical
+  * across engines, so derived columns need no rounding.
+  *
+  * At scale this is also the *right* engineering call: decimal sums are
+  * exactly mergeable across 1000 executors, where double sums drift.
+  */
+object Det {
+  /** Exact sum of a ≤2-decimal double column, returned as double. */
+  def dsum2(c: Column): Column = sum(c.cast(DecimalType(30, 2))).cast("double")
+  /** Exact sum of a ≤4-decimal derived double column. */
+  def dsum4(c: Column): Column = sum(c.cast(DecimalType(30, 4))).cast("double")
+  /** Exact sum of a ≤6-decimal derived double column. */
+  def dsum6(c: Column): Column = sum(c.cast(DecimalType(30, 6))).cast("double")
+  /** Order-independent average: exact decimal sum / non-null count.
+    * Double division of identical operands is identical in both engines. */
+  def davg2(c: Column): Column = dsum2(c) / count(c)
+  def davg4(c: Column): Column = dsum4(c) / count(c)
+
+  /** SQL-side twins (DuckDB dialect), kept adjacent so Spark and oracle
+    * expressions stay in lockstep. */
+  def sqlSum2(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(30,2))) AS DOUBLE)"
+  def sqlSum4(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(30,4))) AS DOUBLE)"
+  def sqlSum6(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
+  def sqlAvg2(e: String): String = s"${sqlSum2(e)} / count($e)"
+  def sqlAvg4(e: String): String = s"${sqlSum4(e)} / count($e)"
+}

@@ -1,0 +1,461 @@
+package graft.operators
+
+import graft.{QFn, Tables, Det}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational core: scans, projection/filter, joins, aggregations,
+  * sort/limit/set-ops (SURVEY.md §2.1–§2.4, §2.6).
+  *
+  * Design rules (scale-first):
+  *  - everything is declarative DataFrame API → Catalyst handles
+  *    pushdown, pruning, join selection; no driver-side loops;
+  *  - dimension-side joins (`part`, `nation`, `region`) carry an
+  *    explicit `broadcast()` hint — at 100 TB the fact side never
+  *    shuffles for those;
+  *  - double aggregation goes through exact DECIMAL sums (see
+  *    [[graft.Det]]) so results are order-independent → identical
+  *    across any executor count, and DuckDB-oracle-stable.
+  */
+object Relational {
+
+  import Det._
+
+  // ---------------------------------------------------------------- §2.1
+
+  /** Full scan + aggregate; the parquet vectorized reader path. */
+  val scanParquet: QFn = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      dsum2(col("l_quantity")).as("sum_qty"))
+
+  /** Column pruning: 2 of 11 lineitem columns; `ReadSchema` in the
+    * plan must show only these two. */
+  val scanPruned: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity")
+      .orderBy("l_orderkey", "l_quantity")
+
+  /** Predicate pushdown: the shipdate filter must reach
+    * `PushedFilters` on the parquet scan (asserted in tests). */
+  val scanFilterPushdown: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum2(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+
+  /** CSV sink + source roundtrip with an explicit schema (no oracle:
+    * self-consistency is asserted in the spec instead). */
+  val sourceCsvRoundtrip: QFn = (s, d) => {
+    val sample = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${java.util.UUID.randomUUID()}"
+    sample.write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(path)
+    val back = s.read.schema(Tables.schemas("lineitem"))
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(path)
+    back.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- §2.2
+
+  /** Derived-column arithmetic; per-row IEEE double ops are
+    * bit-identical across engines, so no rounding is needed. */
+  val projectArith: QFn = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"),
+      (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("charge"),
+      (col("l_quantity") * col("l_extendedprice")).as("qty_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** AND/OR/NOT + IN + BETWEEN + LIKE in one predicate tree. */
+  val filterConj: QFn = (s, d) =>
+    Tables.part(s, d).filter(
+      (col("p_size").between(5, 20) &&
+        col("p_type").isin("ECONOMY", "SMALL") &&
+        col("p_name").like("%bolt%")) ||
+      (!(col("p_brand") === "Brand#1") && col("p_retailprice") > 910.0))
+      .orderBy("p_partkey")
+
+  /** Three-valued logic: IS NULL / IS NOT NULL / null-safe equality
+    * on a column made nullable via NULLIF. */
+  val filterNullSemantics: QFn = (s, d) => {
+    val dn = when(col("l_discount") === 0.0, lit(null).cast("double"))
+      .otherwise(col("l_discount"))
+    Tables.lineitem(s, d).select(dn.as("dn")).agg(
+      count(when(col("dn").isNull, 1)).as("n_null"),
+      count(when(col("dn").isNotNull, 1)).as("n_not_null"),
+      count(when(col("dn") <=> lit(0.05), 1)).as("n_nullsafe_eq"),
+      count(when(col("dn") <=> lit(null).cast("double"), 1)).as("n_nullsafe_null"))
+  }
+
+  // ---------------------------------------------------------------- §2.3
+
+  /** Plain equi inner join (sort-merge/shuffled-hash at scale). */
+  val joinInnerEqui: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("sum_total"))
+      .orderBy("c_mktsegment")
+
+  /** Broadcast-hinted dimension join: the lineitem side must NOT
+    * shuffle (BroadcastHashJoinExec asserted in tests). */
+  val joinBroadcast: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("p_brand")
+
+  /** Left + right + full outer in one tagged result, with guaranteed
+    * unmatched rows on both sides (keys filtered mod 3). */
+  val joinOuter: QFn = (s, d) => {
+    val l = Tables.customer(s, d).filter(col("c_custkey") % 3 =!= 0)
+      .select("c_custkey", "c_mktsegment")
+    val r = Tables.orders(s, d).filter(col("o_custkey") % 3 =!= 1)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("sum_price"))
+    def side(jt: String) = l.join(r, col("c_custkey") === col("o_custkey"), jt)
+      .select(lit(jt).as("jt"),
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_mktsegment"), col("n_orders"), col("sum_price"))
+    side("left").unionByName(side("right")).unionByName(side("full"))
+      .orderBy("jt", "custkey")
+  }
+
+  /** Left-semi (EXISTS) + left-anti (NOT EXISTS), tagged. */
+  val joinSemiAnti: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    def side(jt: String, tag: String) =
+      c.join(f, col("c_custkey") === col("o_custkey"), jt)
+        .select(lit(tag).as("jt"), col("c_custkey"), col("c_name"))
+    side("left_semi", "semi").unionByName(side("left_anti", "anti"))
+      .orderBy("jt", "c_custkey")
+  }
+
+  /** Theta/range join: same-brand part pairs with strictly greater
+    * size. Equi on brand keeps it a hash/SMJ join with a residual
+    * range predicate — no nested loop at scale. */
+  val joinThetaRange: QFn = (s, d) => {
+    val a = Tables.part(s, d).select(
+      col("p_partkey").as("a_key"), col("p_brand").as("a_brand"), col("p_size").as("a_size"))
+    val b = Tables.part(s, d).select(
+      col("p_partkey").as("b_key"), col("p_brand").as("b_brand"), col("p_size").as("b_size"))
+    a.join(b, col("a_brand") === col("b_brand") && col("a_size") < col("b_size"))
+      .groupBy(col("a_brand").as("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum((col("b_size") - col("a_size")).cast("long")).cast("double") / count(lit(1))).as("avg_gap"))
+      .orderBy("p_brand")
+  }
+
+  /** Cartesian product over the two tiny dims. */
+  val joinCross: QFn = (s, d) =>
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select("r_name", "n_name").orderBy("r_name", "n_name")
+
+  /** AS-OF join (domain op): for each purchase event, the latest
+    * click by the same user at-or-before the purchase timestamp.
+    *
+    * Spark has no native as-of join; rather than a per-row subquery
+    * (which would be O(n²) at scale) this uses the union-tag + running
+    * `last(ignoreNulls)` window composition: one shuffle on user_id,
+    * one sort, linear scan — the same cost shape as a sort-merge as-of
+    * join on a 1000-executor cluster. Ties (click at the purchase ts)
+    * sort before the purchase via the tag and therefore match.
+    */
+  val joinAsof: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"),
+      col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+      lit(null).cast("timestamp").as("click_ts"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select("event_id", "user_id", "ts", "last_click_ts")
+      .orderBy("event_id")
+  }
+
+  /** Interval join: lineitems shipped within 30 days of their order
+    * date (equi key + range residual → no nested loop). */
+  val joinInterval: QFn = (s, d) =>
+    Tables.orders(s, d).join(Tables.lineitem(s, d),
+      col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
+  // ---------------------------------------------------------------- §2.4
+
+  /** TPC-H Q1 shape — the flagship pricing summary. */
+  val aggPricingSummary: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+      dsum2(col("l_quantity")).as("sum_qty"),
+      dsum2(col("l_extendedprice")).as("sum_base_price"),
+      dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+      dsum6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+      davg2(col("l_quantity")).as("avg_qty"),
+      davg2(col("l_extendedprice")).as("avg_price"),
+      davg2(col("l_discount")).as("avg_disc"),
+      count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** COUNT(DISTINCT) + SUM(DISTINCT) per group. */
+  val aggDistinct: QFn = (s, d) =>
+    Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      sum_distinct(col("l_quantity").cast(DecimalType(30, 2))).cast("double").as("sum_dist_qty"),
+      count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** HLL approximate distinct (no oracle — error bound asserted in
+    * the spec against the exact count). */
+  val aggApproxDistinct: QFn = (s, d) =>
+    Tables.events(s, d).groupBy("event_type").agg(
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  /** CUBE (superset of rollup / grouping-sets) with grouping flags.
+    * Expressed via SQL: `grouping()` columns after a join trip Spark 4's
+    * ambiguous-self-join analyzer when built with the Column API. */
+  val aggRollupCubeSets: QFn = (s, d) => {
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_mktsegment", "c_acctbal")
+      .createOrReplaceTempView("graft_cube_base")
+    s.sql("""
+      SELECT n_name, c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS sum_bal,
+             CAST(grouping(n_name) AS BIGINT) AS g_nation,
+             CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment
+      FROM graft_cube_base
+      GROUP BY CUBE (n_name, c_mktsegment)
+      ORDER BY n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""")
+  }
+
+  /** Statistical aggregates. Exact decimal power sums make the
+    * moment-based stats reproducible; the builtin streaming versions
+    * are rounded to absorb merge-order float noise. */
+  val aggStats: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.agg(
+      round(stddev_samp(col("l_extendedprice")), 2).as("std_price"),
+      round(var_samp(col("l_extendedprice")), 2).as("var_price"),
+      round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+      round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("covar_pq"),
+      round(skewness(col("l_extendedprice")), 6).as("skew_price"),
+      round(kurtosis(col("l_extendedprice")), 6).as("kurt_price"),
+      round(expr("percentile(l_extendedprice, 0.5)"), 3).as("median_price"),
+      dsum2(col("l_extendedprice")).as("s1"),
+      dsum4(col("l_extendedprice") * col("l_extendedprice")).as("s2"))
+  }
+
+  // ---------------------------------------------------------------- §2.6
+
+  /** Multi-key sort with NULLS FIRST on a NULLIF-nullable column. */
+  val sortMulti: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("pr"),
+        col("o_totalprice"))
+      .orderBy(col("pr").asc_nulls_first, col("o_totalprice").desc, col("o_orderkey"))
+
+  /** Global top-k → TakeOrderedAndProjectExec (no full sort at scale). */
+  val limitTopk: QFn = (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** UNION ALL / UNION DISTINCT / INTERSECT / EXCEPT, tagged. */
+  val setOps: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val a = c.filter(col("c_custkey") % 2 === 0).select("c_custkey", "c_mktsegment")
+    val b = c.filter(col("c_custkey") % 3 === 0).select("c_custkey", "c_mktsegment")
+    def tag(df: DataFrame, t: String) =
+      df.select(lit(t).as("op"), col("c_custkey"), col("c_mktsegment"))
+    tag(a.union(b), "union_all")
+      .unionByName(tag(a.union(b).distinct(), "union_distinct"))
+      .unionByName(tag(a.intersect(b), "intersect"))
+      .unionByName(tag(a.except(b), "except"))
+      .orderBy("op", "c_custkey")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val entries: Seq[(String, QFn)] = Seq(
+    "scan_parquet" -> scanParquet,
+    "scan_pruned" -> scanPruned,
+    "scan_filter_pushdown" -> scanFilterPushdown,
+    "source_csv_roundtrip" -> sourceCsvRoundtrip,
+    "project_arith" -> projectArith,
+    "filter_conj" -> filterConj,
+    "filter_null_semantics" -> filterNullSemantics,
+    "join_inner_equi" -> joinInnerEqui,
+    "join_broadcast" -> joinBroadcast,
+    "join_left_right_full" -> joinOuter,
+    "join_semi_anti" -> joinSemiAnti,
+    "join_theta_range" -> joinThetaRange,
+    "join_cross" -> joinCross,
+    "join_asof" -> joinAsof,
+    "join_interval" -> joinInterval,
+    "agg_pricing_summary" -> aggPricingSummary,
+    "agg_distinct" -> aggDistinct,
+    "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_rollup_cube_sets" -> aggRollupCubeSets,
+    "agg_stats" -> aggStats,
+    "sort_multi" -> sortMulti,
+    "limit_topk" -> limitTopk,
+    "set_union_all" -> setOps)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "scan_parquet" ->
+      s"""SELECT count(*) AS n_rows, ${sqlSum2("l_quantity")} AS sum_qty FROM lineitem""",
+    "scan_pruned" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY 1, 2",
+    "scan_filter_pushdown" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${sqlSum2("l_extendedprice")} AS sum_price
+          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "project_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS disc_price,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           l_quantity * l_extendedprice AS qty_price
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "filter_conj" ->
+      """SELECT * FROM part
+         WHERE (p_size BETWEEN 5 AND 20 AND p_type IN ('ECONOMY','SMALL')
+                AND p_name LIKE '%bolt%')
+            OR (NOT p_brand = 'Brand#1' AND p_retailprice > 910.0)
+         ORDER BY p_partkey""",
+    "filter_null_semantics" ->
+      """SELECT count(CASE WHEN dn IS NULL THEN 1 END) AS n_null,
+           count(CASE WHEN dn IS NOT NULL THEN 1 END) AS n_not_null,
+           count(CASE WHEN dn IS NOT DISTINCT FROM 0.05 THEN 1 END) AS n_nullsafe_eq,
+           count(CASE WHEN dn IS NOT DISTINCT FROM CAST(NULL AS DOUBLE) THEN 1 END) AS n_nullsafe_null
+         FROM (SELECT CASE WHEN l_discount = 0.0 THEN NULL ELSE l_discount END AS dn FROM lineitem)""",
+    "join_inner_equi" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders, ${sqlSum2("o_totalprice")} AS sum_total
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "join_broadcast" ->
+      s"""SELECT p_brand, count(*) AS n, ${sqlSum4("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand ORDER BY p_brand""",
+    "join_left_right_full" ->
+      s"""WITH l AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0),
+            r AS (SELECT o_custkey, count(*) AS n_orders, ${sqlSum2("o_totalprice")} AS sum_price
+                  FROM orders WHERE o_custkey % 3 <> 1 GROUP BY o_custkey)
+          SELECT 'left' AS jt, coalesce(c_custkey, o_custkey) AS custkey, c_mktsegment, n_orders, sum_price
+            FROM l LEFT JOIN r ON c_custkey = o_custkey
+          UNION ALL
+          SELECT 'right', coalesce(c_custkey, o_custkey), c_mktsegment, n_orders, sum_price
+            FROM l RIGHT JOIN r ON c_custkey = o_custkey
+          UNION ALL
+          SELECT 'full', coalesce(c_custkey, o_custkey), c_mktsegment, n_orders, sum_price
+            FROM l FULL JOIN r ON c_custkey = o_custkey
+          ORDER BY jt, custkey""",
+    "join_semi_anti" ->
+      """SELECT 'semi' AS jt, c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         UNION ALL
+         SELECT 'anti', c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY jt, c_custkey""",
+    "join_theta_range" ->
+      """SELECT a.p_brand AS p_brand, count(*) AS n_pairs,
+           CAST(sum(CAST(b.p_size - a.p_size AS BIGINT)) AS DOUBLE) / count(*) AS avg_gap
+         FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+         GROUP BY a.p_brand ORDER BY a.p_brand""",
+    "join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+    "join_asof" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+           CAST((SELECT max(c.ts) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts) AS TIMESTAMP) AS last_click_ts
+         FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+    "join_interval" ->
+      s"""SELECT o_orderpriority, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            ${sqlSum2("l_quantity")} AS sum_qty,
+            ${sqlSum2("l_extendedprice")} AS sum_base_price,
+            ${sqlSum4("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+            ${sqlSum6("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+            ${sqlAvg2("l_quantity")} AS avg_qty,
+            ${sqlAvg2("l_extendedprice")} AS avg_price,
+            ${sqlAvg2("l_discount")} AS avg_disc,
+            count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+           CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_dist_qty,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_rollup_cube_sets" ->
+      s"""SELECT n_name, c_mktsegment, count(*) AS n, ${sqlSum2("c_acctbal")} AS sum_bal,
+            CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+            CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY CUBE (n_name, c_mktsegment)
+          ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""",
+    "agg_stats" ->
+      s"""SELECT round(stddev_samp(l_extendedprice), 2) AS std_price,
+            round(var_samp(l_extendedprice), 2) AS var_price,
+            round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+            round(covar_samp(l_extendedprice, l_quantity), 2) AS covar_pq,
+            round(CASE WHEN count(*) > 0 THEN
+              sqrt(CAST(count(*) AS DOUBLE))
+                * sum(pow(l_extendedprice - (SELECT avg(l_extendedprice) FROM lineitem), 3))
+                / pow(sum(pow(l_extendedprice - (SELECT avg(l_extendedprice) FROM lineitem), 2)), 1.5)
+              END, 6) AS skew_price,
+            round(CAST(count(*) AS DOUBLE)
+                * sum(pow(l_extendedprice - (SELECT avg(l_extendedprice) FROM lineitem), 4))
+                / pow(sum(pow(l_extendedprice - (SELECT avg(l_extendedprice) FROM lineitem), 2)), 2)
+              - 3, 6) AS kurt_price,
+            round(quantile_cont(l_extendedprice, 0.5), 3) AS median_price,
+            ${sqlSum2("l_extendedprice")} AS s1,
+            ${sqlSum4("l_extendedprice * l_extendedprice")} AS s2
+          FROM lineitem""",
+    "sort_multi" ->
+      """SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS pr, o_totalprice
+         FROM orders ORDER BY pr ASC NULLS FIRST, o_totalprice DESC, o_orderkey""",
+    "limit_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "set_union_all" ->
+      """WITH a AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 2 = 0),
+           b AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 = 0)
+         SELECT 'union_all' AS op, c_custkey, c_mktsegment FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+         UNION ALL
+         SELECT 'union_distinct', c_custkey, c_mktsegment FROM (SELECT * FROM a UNION SELECT * FROM b)
+         UNION ALL
+         SELECT 'intersect', c_custkey, c_mktsegment FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+         UNION ALL
+         SELECT 'except', c_custkey, c_mktsegment FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+         ORDER BY op, c_custkey""")
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator checks for the relational core (SURVEY.md §2.1–2.4, 2.6):
+  * smoke-run every registered query, assert the physical-plan properties
+  * the scale story depends on (pushdown, pruning, broadcast, top-k), and
+  * cover the no-oracle keys with self-consistency / error-bound checks. */
+class RelationalSpec extends SparkTestBase {
+
+  test("every registered query runs and returns rows on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+  }
+
+  test("scan_pruned reads only 2 columns (column pruning reaches parquet)") {
+    val p = plan(operators.Relational.scanPruned(spark, sf))
+    assert(p.contains("ReadSchema"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), "pruning failed: extra columns read")
+  }
+
+  test("scan_filter_pushdown pushes the shipdate predicate to parquet") {
+    val p = plan(operators.Relational.scanFilterPushdown(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"no pushed filter in plan:\n$p")
+  }
+
+  test("join_broadcast uses BroadcastHashJoin (fact side must not shuffle)") {
+    val p = plan(operators.Relational.joinBroadcast(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ in plan:\n$p")
+  }
+
+  test("limit_topk compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan(operators.Relational.limitTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("join_asof invariant: matched click is latest at-or-before purchase") {
+    val res = operators.Relational.joinAsof(spark, sf)
+    // every non-null last_click_ts <= purchase ts
+    assert(res.filter(col("last_click_ts") > col("ts")).count() == 0)
+    // spot-check against a driver-side computation on one user
+    val e = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_type").collect()
+    val byUser = e.groupBy(_.getLong(0))
+    val some = res.filter(col("last_click_ts").isNotNull).limit(20).collect()
+    some.foreach { r =>
+      val uid = r.getLong(1); val ts = r.getTimestamp(2); val got = r.getTimestamp(3)
+      val want = byUser(uid).filter(x => x.getString(2) == "click" && !x.getTimestamp(1).after(ts))
+        .map(_.getTimestamp(1)).maxBy(_.getTime)
+      assert(got == want, s"user $uid purchase@$ts: got $got want $want")
+    }
+  }
+
+  test("agg_approx_distinct HLL relative error < 5%") {
+    operators.Relational.aggApproxDistinct(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("source_csv_roundtrip agrees with direct parquet aggregation") {
+    val viaCsv = operators.Relational.sourceCsvRoundtrip(spark, sf).collect()
+    val direct = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 50 === 0)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), Det.dsum2(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag").collect()
+    assert(viaCsv.map(_.toString).toSeq == direct.map(_.toString).toSeq)
+  }
+
+  test("filter composition law: filter(p).filter(q) == filter(p && q)") {
+    val li = Tables.lineitem(spark, sf)
+    val p = col("l_quantity") > 25.0
+    val q = col("l_discount") <= 0.05
+    assert(li.filter(p).filter(q).count() == li.filter(p && q).count())
+  }
+
+  test("semi join == inner join + distinct projection") {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+    val innerDistinct = c.join(o, col("c_custkey") === col("o_custkey"))
+      .select("c_custkey").distinct()
+    assert(semi.count() == innerDistinct.count())
+    assert(semi.except(innerDistinct).count() == 0)
+  }
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's t2 gate: run after
+  sbt "runMain graft.Verify <sfDir> <outDir>"
+Compares each <outDir>/<key> parquet against DuckDB executing
+oracle_sql.json on the same tables, mimicking the driver: sort columns
+by name, sort rows, exact value compare (NaN==NaN).
+"""
+import duckdb, json, sys, os
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        # nullable pandas extension ints -> float (mirrors parquet null-int)
+        if str(df[c].dtype) in ("Int32", "Int64"):
+            df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
+    cols = list(df.columns)
+    df = df.sort_values(by=cols, na_position="first", kind="mergesort")
+    return df.reset_index(drop=True)
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        try:
+            a = norm(con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df())
+            b = norm(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if list(a.columns) != list(b.columns):
+            problems.append(f"cols spark={list(a.columns)} duck={list(b.columns)}")
+        elif len(a) != len(b):
+            problems.append(f"rows spark={len(a)} duck={len(b)}")
+        else:
+            sa = [str(t) for t in a.dtypes]
+            sb = [str(t) for t in b.dtypes]
+            if sa != sb:
+                problems.append(f"dtypes spark={sa} duck={sb}")
+            if not a.equals(b):
+                bad = [c for c in a.columns if not a[c].equals(b[c])]
+                detail = []
+                for c in bad[:4]:
+                    if np.issubdtype(a[c].dtype, np.number):
+                        d = (a[c].astype(float) - b[c].astype(float)).abs().max()
+                        detail.append(f"{c} maxdiff={d}")
+                    else:
+                        i = (a[c].astype(str) != b[c].astype(str)).idxmax()
+                        detail.append(f"{c} first diff row {i}: {a[c][i]!r} vs {b[c][i]!r}")
+                problems.append("values: " + "; ".join(detail))
+        if problems:
+            print(f"FAIL {name}: " + " | ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows)")
+            n_pass += 1
+    no_oracle = [k for k in os.listdir(out)
+                 if os.path.isdir(f"{out}/{k}") and k not in oracle]
+    print(f"\n{n_pass} pass, {n_fail} fail; no-oracle keys: {sorted(no_oracle)}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
