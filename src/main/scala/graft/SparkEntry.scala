@@ -16,10 +16,14 @@ object SparkEntry {
     operators.Relational.aggPricingSummary(spark, "/root/testdata/sf0.001")
 
   private def registry: Seq[(String, QFn)] =
-    operators.Relational.entries
+    operators.Relational.entries ++
+      operators.Windows.entries ++
+      operators.Functions.entries
 
   private def oracleRegistry: Seq[(String, String)] =
-    operators.Relational.oracles
+    operators.Relational.oracles ++
+      operators.Windows.oracles ++
+      operators.Functions.oracles
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val r = registry
