@@ -18,12 +18,18 @@ object SparkEntry {
   private def registry: Seq[(String, QFn)] =
     operators.Relational.entries ++
       operators.Windows.entries ++
-      operators.Functions.entries
+      operators.Functions.entries ++
+      operators.UDX.entries ++
+      operators.LlmText.entries ++
+      operators.LlmSimilarity.entries
 
   private def oracleRegistry: Seq[(String, String)] =
     operators.Relational.oracles ++
       operators.Windows.oracles ++
-      operators.Functions.oracles
+      operators.Functions.oracles ++
+      operators.UDX.oracles ++
+      operators.LlmText.oracles ++
+      operators.LlmSimilarity.oracles
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val r = registry

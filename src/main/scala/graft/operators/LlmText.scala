@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.{QFn, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline text operators (SURVEY.md §2.9 + driver-mandated
+  * text analysis): exact dedup, token counting, corpus stats, TF-IDF,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * Scale design: every operator is a hash-partitioned groupBy/window on
+  * a high-cardinality key (doc hash, (source, term), doc_id) — no
+  * driver-side collection, no O(n²). Exact dedup on a 100 TB corpus is
+  * one shuffle of (hash → min(doc_id)); TF-IDF is two aggregations and
+  * a broadcast-able DF join; fingerprints are pure per-row folds that
+  * stay inside whole-stage codegen.
+  */
+object LlmText {
+
+  private val words = split(col("text"), " ")
+
+  /** Exact dedup by SHA-256 of normalized text. Output: one row per
+    * distinct content — the kept (minimum) doc_id, copy count, and the
+    * content hash (hex SHA-256 matches DuckDB's `sha256`). */
+  val llmExactDedup: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), sha2(lower(trim(col("text"))), 256).as("h"))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  /** Token counting: whitespace tokens, regex word-ish tokens (a
+    * BPE-ish `[a-z]+|[0-9]+|punct` split), chars, and the chars/4
+    * LLM-token heuristic. */
+  val llmTokenCount: QFn = (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(words).as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .as("n_re_tokens"),
+      length(col("text")).as("n_chars_measured"),
+      ceil(length(col("text")) / lit(4.0)).as("approx_llm_tokens"))
+      .orderBy("doc_id")
+
+  /** Corpus stats: top-5 terms per source by frequency (explode →
+    * count → windowed top-k; the per-group top-k idiom that scales). */
+  val llmTextStats: QFn = (s, d) => {
+    val w = Window.partitionBy("source")
+      .orderBy(col("cnt").desc, col("term"))
+    Tables.documents(s, d)
+      .select(col("source"), explode(words).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy("source", "rk")
+  }
+
+  /** TF-IDF: top-3 terms per document by weight.
+    * tf = term count / doc length; idf = ln(N / df); both sides compute
+    * the identical double formula, rounded to 9 to absorb libm ulps. */
+  val llmTfidf: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count() // one tiny job; the count is a plan constant
+    val tokens = docs.select(col("doc_id"), explode(words).as("term"))
+    val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
+      .join(tokens.groupBy("doc_id").agg(count(lit(1)).as("dlen")), "doc_id")
+    val df_ = tokens.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("w").desc, col("term"))
+    tf.join(df_, "term")
+      .withColumn("w", round((col("tc") / col("dlen")) * log(lit(nDocs.toDouble) / col("df")), 9))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "w")
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Quality scoring: length / uppercase / digit / stopword ratios and
+    * a composite score — the cheap heuristics a corpus filter runs
+    * before expensive model-based scoring. */
+  val llmQualityScore: QFn = (s, d) => {
+    val stop = Array("the", "a", "of", "and", "to", "in", "is", "on")
+    val nWords = size(words)
+    val nStop = size(filter(words, w => w.isin(stop: _*)))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      col("n_chars"),
+      nWords.as("n_words"),
+      round(length(col("text")).cast("double") / nWords, 6).as("avg_token_len"),
+      round(nStop.cast("double") / nWords, 6).as("stop_ratio"),
+      round(size(array_distinct(words)).cast("double") / nWords, 6).as("distinct_ratio"),
+      round(
+        when(nWords.between(30, 1000), 0.5).otherwise(0.0)
+          + when(nStop.cast("double") / nWords > 0.02, 0.25).otherwise(0.0)
+          + when(size(array_distinct(words)).cast("double") / nWords > 0.2, 0.25).otherwise(0.0),
+        2).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID: deterministic n-gram/stopword-profile scorer. Scores
+    * each language profile by marker hits and char classes; returns
+    * argmax (ties broken alphabetically). On this synthetic corpus the
+    * vocabulary is shared across langs — the spec asserts determinism
+    * and total coverage, not accuracy. */
+  val llmLangId: QFn = (s, d) => {
+    val profiles = Seq(
+      "en" -> Seq("the", "and", "of"),
+      "es" -> Seq("el", "la", "de"),
+      "de" -> Seq("der", "und", "die"),
+      "fr" -> Seq("le", "la", "et"),
+      "zh" -> Seq.empty[String])
+    val scores = profiles.map { case (lang, markers) =>
+      val marker =
+        if (lang == "zh") when(col("text").rlike("[\\u4e00-\\u9fff]"), 100).otherwise(0)
+        else markers.map(m => size(filter(words, w => w === m))).reduce(_ + _)
+      struct(marker.cast("long").as("score"), lit(lang).as("lang"))
+    }
+    Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("true_lang"),
+      // argmax: sort (score, lang) structs descending by score then
+      // ascending lang — greatest() picks max struct lexicographically,
+      // so negate… simpler: array_max over (score, reversed-lang) is
+      // wrong for ties; use sort + element_at for an explicit tiebreak.
+      element_at(
+        reverse(array_sort(array(scores: _*))), 1).getField("lang").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: polynomial rolling hash over token codes,
+    * mod 1e9+7 — exact integer math, identical fold in both engines. */
+  val llmFingerprint: QFn = (s, d) => {
+    val p = 1000000007L
+    val codes = transform(words, w => (length(w) * 17 + ascii(substring(w, 1, 1))).cast("long"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      aggregate(codes, lit(0L), (h, c) => pmod(h * 31 + c, lit(p))).as("fingerprint"),
+      size(words).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val entries: Seq[(String, QFn)] = Seq(
+    "llm_exact_dedup" -> llmExactDedup,
+    "llm_token_count" -> llmTokenCount,
+    "llm_text_stats" -> llmTextStats,
+    "llm_tfidf" -> llmTfidf,
+    "llm_quality_score" -> llmQualityScore,
+    "llm_lang_id" -> llmLangId,
+    "llm_fingerprint" -> llmFingerprint)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "llm_exact_dedup" ->
+      """SELECT sha256(lower(trim(text))) AS h,
+           min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY keep_id""",
+    "llm_token_count" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_re_tokens,
+           CAST(length(text) AS INT) AS n_chars_measured,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+         FROM documents ORDER BY doc_id""",
+    "llm_text_stats" ->
+      """SELECT source, term, cnt, rk FROM (
+           SELECT source, term, cnt,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS INT) AS rk
+           FROM (
+             SELECT source, term, count(*) AS cnt FROM (
+               SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+             GROUP BY source, term
+           )) WHERE rk <= 5 ORDER BY source, rk""",
+    "llm_tfidf" ->
+      """WITH tokens AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tc FROM tokens GROUP BY doc_id, term),
+         dlen AS (
+           SELECT doc_id, count(*) AS dlen FROM tokens GROUP BY doc_id),
+         df AS (
+           SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tokens) GROUP BY term),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, rk, term, w FROM (
+           SELECT tf.doc_id AS doc_id, tf.term AS term,
+             round((CAST(tc AS DOUBLE) / dlen) * ln(CAST(n.n AS DOUBLE) / df), 9) AS w,
+             CAST(row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY round((CAST(tc AS DOUBLE) / dlen) * ln(CAST(n.n AS DOUBLE) / df), 9) DESC,
+                        tf.term) AS INT) AS rk
+           FROM tf JOIN dlen ON tf.doc_id = dlen.doc_id
+                JOIN df ON tf.term = df.term
+                CROSS JOIN n)
+         WHERE rk <= 3 ORDER BY doc_id, rk""",
+    "llm_quality_score" ->
+      """SELECT doc_id, n_chars,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len,
+           round(CAST(len(list_filter(string_split(text, ' '),
+             w -> list_contains(['the','a','of','and','to','in','is','on'], w))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS stop_ratio,
+           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS distinct_ratio,
+           round(
+             (CASE WHEN len(string_split(text, ' ')) BETWEEN 30 AND 1000 THEN 0.5 ELSE 0.0 END)
+             + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                  w -> list_contains(['the','a','of','and','to','in','is','on'], w))) AS DOUBLE)
+                  / len(string_split(text, ' ')) > 0.02 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                  / len(string_split(text, ' ')) > 0.2 THEN 0.25 ELSE 0.0 END), 2) AS quality
+         FROM documents ORDER BY doc_id""",
+    "llm_lang_id" ->
+      """SELECT doc_id, lang AS true_lang,
+           (list_reverse(list_sort([
+             {'score': CAST(len(list_filter(string_split(text,' '), w -> w='the')) +
+                       len(list_filter(string_split(text,' '), w -> w='and')) +
+                       len(list_filter(string_split(text,' '), w -> w='of')) AS BIGINT), 'lang': 'en'},
+             {'score': CAST(len(list_filter(string_split(text,' '), w -> w='el')) +
+                       len(list_filter(string_split(text,' '), w -> w='la')) +
+                       len(list_filter(string_split(text,' '), w -> w='de')) AS BIGINT), 'lang': 'es'},
+             {'score': CAST(len(list_filter(string_split(text,' '), w -> w='der')) +
+                       len(list_filter(string_split(text,' '), w -> w='und')) +
+                       len(list_filter(string_split(text,' '), w -> w='die')) AS BIGINT), 'lang': 'de'},
+             {'score': CAST(len(list_filter(string_split(text,' '), w -> w='le')) +
+                       len(list_filter(string_split(text,' '), w -> w='la')) +
+                       len(list_filter(string_split(text,' '), w -> w='et')) AS BIGINT), 'lang': 'fr'},
+             {'score': CAST(CASE WHEN regexp_matches(text, '[一-鿿]') THEN 100 ELSE 0 END AS BIGINT), 'lang': 'zh'}
+           ]))[1]).lang AS pred_lang
+         FROM documents ORDER BY doc_id""",
+    "llm_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                 w -> CAST(length(w) * 17 + ascii(substr(w, 1, 1)) AS BIGINT))),
+             (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         FROM documents ORDER BY doc_id""")
+}

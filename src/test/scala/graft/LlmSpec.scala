@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operators (§2.9): checks for the no-oracle keys and
+  * semantic invariants of the oracle'd ones. */
+class LlmSpec extends SparkTestBase {
+
+  test("llm_near_dedup finds every pair with exact Jaccard >= 0.7") {
+    // ground truth: exact bigram Jaccard on ALL pairs (fine at sf0.001)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), array_distinct(
+        expr("transform(sequence(1, size(w)-1), i -> concat(element_at(w,i), '_', element_at(w,i+1)))"))
+        .as("g"))
+    val truth = docs.as("x").join(docs.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        (size(array_intersect(col("x.g"), col("y.g"))).cast("double") /
+          size(array_union(col("x.g"), col("y.g")))).as("j"))
+      .filter(col("j") >= 0.7)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "test data should contain at least one near-dup pair")
+
+    val found = operators.LlmSimilarity.llmNearDedup(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- found
+    assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
+  }
+
+  test("llm_near_dedup MinHash estimate is close to exact Jaccard") {
+    val rows = operators.LlmSimilarity.llmNearDedup(spark, sf)
+      .select("est_jaccard", "exact_jaccard").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getDouble(0); val exact = r.getDouble(1)
+      assert(math.abs(est - exact) <= 0.3,
+        s"estimate too far off: est=$est exact=$exact")
+    }
+  }
+
+  test("llm_knn_ivf recall@5 vs brute force is usable") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(operators.LlmSimilarity.llmKnnCosine(spark, sf))
+    val ivf = pairs(operators.LlmSimilarity.llmKnnIvf(spark, sf))
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(s"IVF recall@5 = $recall (nProbe=4 of 16 lists, ~25% of corpus scanned)")
+    assert(recall >= 0.3, s"recall collapsed: $recall")
+  }
+
+  test("llm_simhash: fingerprints are deterministic and chunks decompose") {
+    val a = operators.LlmSimilarity.llmSimhash(spark, sf).collect()
+    val b = operators.LlmSimilarity.llmSimhash(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq, "not deterministic")
+    a.foreach { r =>
+      val fp = r.getLong(1)
+      val chunks = (2 to 5).map(r.getLong)
+      assert(chunks.reduce(_ | _) == fp, "chunk decomposition broken")
+    }
+  }
+
+  test("exact dedup: copies counted, kept id is minimal") {
+    val res = operators.LlmText.llmExactDedup(spark, sf)
+    val total = res.agg(sum("n_copies")).collect()(0).getLong(0)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(total == nDocs, "dedup groups must partition the corpus")
+  }
+
+  test("tfidf weights are positive and ranked descending per doc") {
+    val rows = operators.LlmText.llmTfidf(spark, sf)
+      .select("doc_id", "rk", "w").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(1)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y },
+        "weights must be non-increasing in rank")
+    }
+  }
+
+  test("udaf weighted mid equals the two-sums formulation") {
+    val bad = operators.UDX.aggUdafWmid(spark, sf)
+      .filter(abs(col("wmid") - col("wmid_sums")) > 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  test("udf_scalar: UDF and native expression agree bit-for-bit") {
+    val bad = operators.UDX.udfScalar(spark, sf)
+      .filter(col("mid_udf") =!= col("mid_native") ||
+        col("spread_udf") =!= col("spread_native"))
+    assert(bad.count() == 0)
+  }
+}
