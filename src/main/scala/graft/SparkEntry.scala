@@ -21,7 +21,8 @@ object SparkEntry {
       operators.Functions.entries ++
       operators.UDX.entries ++
       operators.LlmText.entries ++
-      operators.LlmSimilarity.entries
+      operators.LlmSimilarity.entries ++
+      streaming.Streaming.entries
 
   private def oracleRegistry: Seq[(String, String)] =
     operators.Relational.oracles ++
@@ -29,7 +30,8 @@ object SparkEntry {
       operators.Functions.oracles ++
       operators.UDX.oracles ++
       operators.LlmText.oracles ++
-      operators.LlmSimilarity.oracles
+      operators.LlmSimilarity.oracles ++
+      streaming.Streaming.oracles
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
     val r = registry

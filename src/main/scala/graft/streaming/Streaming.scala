@@ -1,0 +1,176 @@
+package graft.streaming
+
+import graft.{QFn, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+import java.sql.Timestamp
+
+/** Structured Streaming operators (SURVEY.md §2.8) over the `events`
+  * table replayed in timestamp order through a MemoryStream.
+  *
+  * Each `queries` entry runs a REAL streaming query (micro-batch
+  * execution, state store, watermarks) to completion and returns the
+  * final sink table, so the driver's batch-shaped contract still
+  * applies. Events are fed in two ts-ordered batches so watermarks
+  * advance mid-stream and stateful operators exercise their merge
+  * path. Results equal the equivalent batch aggregation (the oracle) —
+  * the streaming/batch unification Spark guarantees and the specs
+  * assert.
+  *
+  * Scale path: swap MemoryStream for a Kafka/file source; the
+  * query bodies are unchanged. State is keyed by high-cardinality
+  * keys (user_id, window), so state stores shard across executors.
+  */
+object Streaming {
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+  /** Replay events through `build`, return the materialized sink. */
+  private def runStream(s: SparkSession, d: String,
+      mode: OutputMode, name: String)(build: DataFrame => DataFrame): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val stream = MemoryStream[Ev](s)
+    val sinkName = s"${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = build(stream.toDF()).writeStream
+      .format("memory").queryName(sinkName).outputMode(mode).start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+    } finally q.stop()
+    s.table(sinkName)
+  }
+
+  private def dsum2(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(30, 2))).cast("double")
+
+  /** 1-hour tumbling windows × event_type, complete mode. */
+  val streamTumbling: QFn = (s, d) =>
+    runStream(s, d, OutputMode.Complete(), "tumbling") { df =>
+      df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+    }.select(col("window.start").as("w_start"), col("event_type"),
+      col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** 1-hour windows sliding every 15 minutes, complete mode. */
+  val streamSliding: QFn = (s, d) =>
+    runStream(s, d, OutputMode.Complete(), "sliding") { df =>
+      df.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+    }.select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+      .orderBy("w_start")
+
+  /** Per-user session windows with a 30-minute gap, complete mode. */
+  val streamSession: QFn = (s, d) =>
+    runStream(s, d, OutputMode.Complete(), "session") { df =>
+      df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+    }.select(col("session_window.start").as("sess_start"), col("user_id"),
+      col("n"), col("sum_value"))
+      .orderBy("user_id", "sess_start")
+
+  /** Append mode + 1-hour watermark: only windows sealed by the final
+    * watermark are emitted. The late-row *drop* path is exercised in
+    * the spec with a hand-built out-of-order feed; here the contract
+    * is "append emits exactly the closed windows". */
+  val streamLateData: QFn = (s, d) =>
+    runStream(s, d, OutputMode.Append(), "late") { df =>
+      df.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }.select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy("w_start", "event_type")
+
+  /** Exactly-once dedup on event_id: the feed duplicates every event
+    * (both halves sent twice); dropDuplicates restores uniqueness. */
+  val streamDedup: QFn = (s, d) => {
+    val base = runStream(s, d, OutputMode.Complete(), "dedup") { df =>
+      // duplicate the stream inside the query: union with itself
+      df.union(df).dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+    }
+    base.orderBy("event_type")
+  }
+
+  /** Custom state: per-user running purchase count + total via
+    * mapGroupsWithState (update mode). The sink accumulates one row
+    * per state update; the final state per user is the row with the
+    * highest event count — compared against the batch aggregate. */
+  val streamStateful: QFn = (s, d) => {
+    val updates = runStream(s, d, OutputMode.Update(), "stateful") { df =>
+      import df.sparkSession.implicits._
+      df.filter(col("event_type") === "purchase").as[Ev]
+        .groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+          (uid: Long, evs: Iterator[Ev], state: GroupState[(Long, BigDecimal)]) =>
+            val (n0, sum0) = state.getOption.getOrElse((0L, BigDecimal(0)))
+            var n = n0; var total = sum0
+            evs.foreach { e => n += 1; total += BigDecimal(e.value.toString) }
+            state.update((n, total))
+            (uid, n, total.toDouble)
+        }.toDF("user_id", "n_purchases", "total_value")
+    }
+    // final state = the update with the max purchase count per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_purchases").desc)
+    updates.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("user_id", "n_purchases", "total_value")
+      .orderBy("user_id")
+  }
+
+  val entries: Seq[(String, QFn)] = Seq(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sliding" -> streamSliding,
+    "stream_session" -> streamSession,
+    "stream_late_data" -> streamLateData,
+    "stream_dedup" -> streamDedup,
+    "stream_stateful" -> streamStateful)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "stream_tumbling" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_sliding" ->
+      """SELECT CAST(to_timestamp((floor(epoch(CAST(ts AS TIMESTAMP))/900) - j) * 900) AS TIMESTAMP) AS w_start,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS j)
+         GROUP BY 1 ORDER BY 1""",
+    "stream_session" ->
+      """WITH marked AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP))
+                 OVER (PARTITION BY user_id ORDER BY ts) <= INTERVAL 30 MINUTE
+               THEN 0 ELSE 1 END AS new_sess
+           FROM events),
+         sessioned AS (
+           SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM marked)
+         SELECT min(ts) AS sess_start, user_id, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM sessioned GROUP BY user_id, sess_id
+         ORDER BY user_id, sess_start""",
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_stateful" ->
+      """SELECT user_id, count(*) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id""")
+}

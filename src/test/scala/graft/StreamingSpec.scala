@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Streaming (§2.8): watermark late-data semantics with a hand-built
+  * out-of-order feed, and append-mode closure for the registered keys. */
+class StreamingSpec extends SparkTestBase {
+
+  import streaming.Streaming.Ev
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, v: Double = 1.0) =
+    Ev(id, ts(minute), 1L, "click", v, "{}")
+
+  test("watermark drops rows later than the threshold") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    val sink = s"late_spec_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: events at minute 0..9 and 60 → watermark becomes 60-10=50
+      stream.addData(ev(1, 0), ev(2, 5), ev(3, 9), ev(4, 60))
+      q.processAllAvailable()
+      // batch 2: a LATE row at minute 5 (before watermark 50) must be
+      // dropped; a row at minute 55 (after watermark) must be counted
+      stream.addData(ev(5, 5), ev(6, 55))
+      q.processAllAvailable()
+      // close everything: advance watermark far past minute 60
+      stream.addData(ev(7, 600))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(sink)
+      .select(col("window.start").cast("string").as("w"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // [0,10) window: 3 on-time rows; the late 4th arrival was dropped
+    assert(rows("2024-01-01 00:00:00") == 3L,
+      s"late row was not dropped: $rows")
+    // [50,60) window: the minute-55 row arrived before its window closed
+    assert(rows("2024-01-01 00:50:00") == 1L)
+    assert(rows("2024-01-01 01:00:00") == 1L)
+  }
+
+  test("stream_late_data emits only watermark-closed windows") {
+    val appended = streaming.Streaming.streamLateData(spark, sf).count()
+    val allWindows = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .distinct().count()
+    assert(appended > 0, "no windows closed")
+    assert(appended <= allWindows, "append emitted more than exists")
+  }
+
+  test("streaming keys equal their batch twins (dedup + stateful)") {
+    val streamed = streaming.Streaming.streamDedup(spark, sf).collect()
+    val batch = Tables.events(spark, sf).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), Det.dsum2(col("value")).as("sum_value"))
+      .orderBy("event_type").collect()
+    assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+
+    val state = streaming.Streaming.streamStateful(spark, sf).collect()
+    val batchState = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), Det.dsum2(col("value")).as("t"))
+      .orderBy("user_id").collect()
+    assert(state.length == batchState.length)
+    state.zip(batchState).foreach { case (s, b) =>
+      assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1))
+      assert(math.abs(s.getDouble(2) - b.getDouble(2)) < 1e-9)
+    }
+  }
+}
