@@ -22,6 +22,7 @@ object SparkEntry {
       operators.UDX.entries ++
       operators.LlmText.entries ++
       operators.LlmSimilarity.entries ++
+      operators.Multimodal.entries ++
       streaming.Streaming.entries
 
   private def oracleRegistry: Seq[(String, String)] =
@@ -31,6 +32,7 @@ object SparkEntry {
       operators.UDX.oracles ++
       operators.LlmText.oracles ++
       operators.LlmSimilarity.oracles ++
+      operators.Multimodal.oracles ++
       streaming.Streaming.oracles
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

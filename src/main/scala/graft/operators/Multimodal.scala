@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.{QFn, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (driver-mandated §2.9 extension): treat
+  * media as opaque `binary` payloads with typed metadata, and run
+  * decode / feature-extract / frame-sample as distributed
+  * per-partition batch transforms.
+  *
+  * The DECODE STEP IS A STUB: real image/audio codecs are not in this
+  * container, so "decode" is a deterministic fake (byte histogram /
+  * frame checksums over the payload bytes). Everything around it is
+  * real and load-bearing: the binary+metadata schema, the
+  * `mapPartitions` batch shape (one iterator per partition — the same
+  * contract a vectorized/Arrow UDF has), partition preservation, and
+  * the typed output schema. Swapping the fake for `ImageIO`/`ffmpeg`
+  * changes only the inner function.
+  *
+  * Scale: payloads never leave their partition (no shuffle before the
+  * narrow decode), so the pipeline reads 100 TB of media embarrassingly
+  * parallel; only the small per-item feature rows shuffle afterwards.
+  */
+object Multimodal {
+
+  private val featSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("mime", StringType),
+    StructField("top_bucket", IntegerType),
+    StructField("top_count", IntegerType),
+    StructField("hist_nonzero", IntegerType)))
+
+  /** documents → (binary payload, metadata) → stub decode →
+    * 16-bucket byte-histogram features. */
+  val mmDecodeFeatures: QFn = (s, d) => {
+    val withPayload = Tables.documents(s, d).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(lit("text/plain").as("mime"), length(col("text")).as("n_bytes"))
+        .as("meta"))
+    val decoded = withPayload.mapPartitions { rows =>
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val mime = r.getStruct(2).getString(0)
+        // --- STUB DECODE: deterministic 16-bucket byte histogram ---
+        val hist = new Array[Int](16)
+        payload.foreach(b => hist((b & 0xff) >> 4) += 1)
+        val top = hist.indices.maxBy(i => (hist(i), -i))
+        Row(docId, payload.length, mime, top, hist(top),
+          hist.count(_ > 0))
+      }
+    }(RowEncoder.encoderFor(featSchema))
+    decoded.orderBy("doc_id")
+  }
+
+  /** "Video" frame sampling: payload sliced into 256-byte frames,
+    * every 4th frame kept, per-frame byte checksum emitted. The frame
+    * loop runs inside mapPartitions — the batch shape of a real
+    * frame-decoder. */
+  val mmFrameSample: QFn = (s, d) => {
+    val frameLen = 256
+    val stride = 4
+    val frameSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_bytes", IntegerType),
+      StructField("checksum", LongType)))
+    val withPayload = Tables.documents(s, d).select(
+      col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    withPayload.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val nFrames = (payload.length + frameLen - 1) / frameLen
+        (0 until nFrames by stride).iterator.map { i =>
+          val frame = payload.slice(i * frameLen, (i + 1) * frameLen)
+          // STUB: checksum stands in for per-frame feature extraction
+          Row(docId, i, frame.length, frame.map(_.toLong & 0xffL).sum)
+        }
+      }
+    }(RowEncoder.encoderFor(frameSchema))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val entries: Seq[(String, QFn)] = Seq(
+    "mm_decode_features" -> mmDecodeFeatures,
+    "mm_frame_sample" -> mmFrameSample)
+
+  /** Text payloads are pure ASCII, so the byte histogram/checksums are
+    * SQL-expressible: bucket = ascii(char) >> 4, checksum = sum of
+    * codes. The oracle proves the distributed decode path byte-exact. */
+  val oracles: Seq[(String, String)] = Seq(
+    "mm_decode_features" ->
+      """WITH h AS (
+           SELECT doc_id, bucket, count(*) AS cnt FROM (
+             SELECT doc_id, ascii(c) // 16 AS bucket
+             FROM (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents))
+           GROUP BY doc_id, bucket)
+         SELECT d.doc_id AS doc_id,
+           CAST(length(d.text) AS INT) AS n_bytes,
+           'text/plain' AS mime,
+           CAST((SELECT h.bucket FROM h WHERE h.doc_id = d.doc_id
+                 ORDER BY h.cnt DESC, h.bucket LIMIT 1) AS INT) AS top_bucket,
+           CAST((SELECT h.cnt FROM h WHERE h.doc_id = d.doc_id
+                 ORDER BY h.cnt DESC, h.bucket LIMIT 1) AS INT) AS top_count,
+           CAST((SELECT count(*) FROM h WHERE h.doc_id = d.doc_id) AS INT) AS hist_nonzero
+         FROM documents d ORDER BY d.doc_id""",
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           CAST(length(substr(text, i * 256 + 1, 256)) AS INT) AS frame_bytes,
+           CAST(list_sum(list_transform(regexp_extract_all(substr(text, i * 256 + 1, 256), '.'),
+             c -> CAST(ascii(c) AS BIGINT))) AS BIGINT) AS checksum
+         FROM documents
+         CROSS JOIN (SELECT unnest(range(0, 10000, 4)) AS i)
+         WHERE i * 256 < length(text)
+         ORDER BY doc_id, frame_idx""")
+}

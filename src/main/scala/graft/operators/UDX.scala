@@ -68,9 +68,27 @@ object UDX {
       .orderBy("l_returnflag")
   }
 
+  /** Custom Catalyst expression (fused relative spread) exercised both
+    * through the Column API and through SQL after FunctionRegistry
+    * registration — next to the equivalent composed expression. */
+  val exprCustom: QFn = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val bid = col("p_retailprice") - 5.0
+    val ask = col("p_retailprice") + 5.0
+    Tables.part(s, d)
+      .select(col("p_partkey"), bid.as("bid"), ask.as("ask"), col("p_retailprice"))
+      .select(
+        col("p_partkey"),
+        graft.functions.GraftFunctions.fusedSpread(col("bid"), col("ask")).as("spread_native"),
+        expr("fused_spread(bid, ask)").as("spread_sql"),
+        ((col("ask") - col("bid")) / ((col("ask") + col("bid")) / 2.0)).as("spread_composed"))
+      .orderBy("p_partkey")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "udf_scalar" -> udfScalar,
-    "agg_udaf_wmid" -> aggUdafWmid)
+    "agg_udaf_wmid" -> aggUdafWmid,
+    "expr_custom" -> exprCustom)
 
   val oracles: Seq[(String, String)] = Seq(
     "udf_scalar" ->
@@ -86,5 +104,14 @@ object UDX {
              / CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS wmid,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2)) * CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
              / CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS wmid_sums
-         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "expr_custom" ->
+      """SELECT p_partkey,
+           ((p_retailprice + 5.0) - (p_retailprice - 5.0))
+             / (((p_retailprice + 5.0) + (p_retailprice - 5.0)) / 2.0) AS spread_native,
+           ((p_retailprice + 5.0) - (p_retailprice - 5.0))
+             / (((p_retailprice + 5.0) + (p_retailprice - 5.0)) / 2.0) AS spread_sql,
+           ((p_retailprice + 5.0) - (p_retailprice - 5.0))
+             / (((p_retailprice + 5.0) + (p_retailprice - 5.0)) / 2.0) AS spread_composed
+         FROM part ORDER BY p_partkey""")
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** §2.10 extension surfaces: custom Catalyst expression (codegen) and
+  * the multimodal mapPartitions plumbing. */
+class ExtensionSpec extends SparkTestBase {
+
+  test("fused_spread: Column API, SQL registration, and composed expr agree") {
+    val bad = operators.UDX.exprCustom(spark, sf)
+      .filter(col("spread_native") =!= col("spread_sql") ||
+        col("spread_native") =!= col("spread_composed"))
+    assert(bad.count() == 0)
+  }
+
+  test("fused_spread stays inside whole-stage codegen") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Tables.part(spark, sf).select(
+      graft.functions.GraftFunctions.fusedSpread(
+        col("p_retailprice") - 5.0, col("p_retailprice") + 5.0).as("s"))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("*(1)"), s"custom expression broke codegen:\n$p")
+    // and the generated code actually contains the fused computation
+    val code = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(code.contains("/ 2.0"), "fused arithmetic not in generated code")
+  }
+
+  test("fused_spread works through SparkSessionExtensions injection") {
+    // getOrCreate would return the shared session (extensions bind only
+    // at creation), so validate the injection against a fresh registry
+    val reg = org.apache.spark.sql.GraftSqlBridge.applyExtensions(
+      new graft.functions.GraftExtensions().apply)
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("fused_spread")
+    assert(reg.functionExists(id), "extension did not register fused_spread")
+    val expr = reg.lookupFunction(id,
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(90.0),
+        org.apache.spark.sql.catalyst.expressions.Literal(110.0)))
+    assert(math.abs(expr.eval(null).asInstanceOf[Double] - 0.2) < 1e-15)
+  }
+
+  test("multimodal decode: deterministic, and histogram counts total bytes") {
+    val a = operators.Multimodal.mmDecodeFeatures(spark, sf).collect()
+    val b = operators.Multimodal.mmDecodeFeatures(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    a.take(20).foreach { r =>
+      assert(r.getInt(4) <= r.getInt(1), "top bucket cannot exceed total bytes")
+      assert(r.getInt(5) >= 1 && r.getInt(5) <= 16)
+    }
+  }
+
+  test("multimodal frame sampling: stride-4 indices, full frames except last") {
+    val rows = operators.Multimodal.mmFrameSample(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, frames) =>
+      val idx = frames.map(_.getInt(1)).sorted
+      assert(idx.head == 0 && idx.zip(idx.tail).forall { case (x, y) => y - x == 4 })
+      // all but the final sampled frame are exactly 256 bytes
+      frames.sortBy(_.getInt(1)).dropRight(1)
+        .foreach(f => assert(f.getInt(2) == 256))
+    }
+  }
+
+  test("multimodal decode is a narrow transform (no shuffle before decode)") {
+    val df = operators.Multimodal.mmDecodeFeatures(spark, sf)
+    df.collect()
+    val p = plan(df)
+    // exactly one exchange: the final orderBy's range partitioning
+    assert("Exchange".r.findAllIn(p.replace("AQEShuffleRead", "")).size <= 2,
+      s"decode path shuffled more than the final sort:\n$p")
+  }
+}
