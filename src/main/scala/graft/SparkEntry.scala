@@ -23,6 +23,7 @@ object SparkEntry {
       operators.LlmText.entries ++
       operators.LlmSimilarity.entries ++
       operators.Multimodal.entries ++
+      operators.Extras.entries ++
       streaming.Streaming.entries
 
   private def oracleRegistry: Seq[(String, String)] =
@@ -33,6 +34,7 @@ object SparkEntry {
       operators.LlmText.oracles ++
       operators.LlmSimilarity.oracles ++
       operators.Multimodal.oracles ++
+      operators.Extras.oracles ++
       streaming.Streaming.oracles
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -1,0 +1,215 @@
+package graft.operators
+
+import graft.{QFn, Tables, Det}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Coverage beyond the §2 enumeration: the OLAP/ETL operators a user
+  * of a lake pipeline reaches for daily — pivot, correlated
+  * subqueries, percentile windows, struct columns, a partitioned
+  * parquet sink with partition-pruned re-read, data-quality checks,
+  * and the upsert/merge load step.
+  */
+object Extras {
+
+  import Det._
+
+  private val Segments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** PIVOT: customer counts + balance sums per nation × segment.
+    * Fixed value list → deterministic output schema; at scale pivot is
+    * one partial-aggregated shuffle, same cost as the groupBy. */
+  val aggPivot: QFn = (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("c_mktsegment", Segments)
+      .agg(dsum2(col("c_acctbal")))
+      .orderBy("n_name")
+
+  /** Correlated subqueries: scalar (vs. global avg), IN, and
+    * correlated EXISTS — exercises Catalyst decorrelation. */
+  val subqueryFamily: QFn = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.customer(s, d).createOrReplaceTempView("g_customer")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql("""
+      SELECT o_orderkey, o_totalprice
+      FROM g_orders o
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM g_orders)
+        AND o_custkey IN (SELECT c_custkey FROM g_customer WHERE c_mktsegment = 'BUILDING')
+        AND EXISTS (SELECT 1 FROM g_lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      ORDER BY o_orderkey""")
+  }
+
+  /** percent_rank / cume_dist / nth_value — the remaining analytic
+    * window functions. */
+  val winPercentiles: QFn = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, d).select(
+      col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+      percent_rank().over(w).as("pr"),
+      cume_dist().over(w).as("cd"),
+      nth_value(col("c_custkey"), 3).over(wAll).as("third_cust"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** Struct columns: build, nest, project fields back out. */
+  val fnStruct: QFn = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      struct(
+        col("o_orderstatus").as("status"),
+        struct(col("o_totalprice").as("amount"),
+          col("o_orderpriority").as("prio")).as("detail")).as("ord"))
+      .select(
+        col("o_orderkey"),
+        col("ord.status").as("status"),
+        col("ord.detail.amount").as("amount"),
+        (col("ord.detail.amount") > 150000.0).cast("int").as("is_big"),
+        length(col("ord.detail.prio")).as("prio_len"))
+      .orderBy("o_orderkey")
+
+  /** Partitioned parquet sink + partition-pruned re-read: events
+    * written partitioned by event_type, read back with a partition
+    * filter (the spec asserts PartitionFilters in the scan). This is
+    * THE layout decision that makes a 100 TB lake queryable. */
+  val sinkPartitionedScan: QFn = (s, d) => {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_${java.util.UUID.randomUUID()}"
+    Tables.events(s, d)
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    s.read.parquet(path)
+      .filter(col("event_type").isin("purchase", "error"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Data-quality checks — the ETL gate: row counts, null keys,
+    * referential orphans, duplicate PKs, value-range violations.
+    * One (check, metric) row each. */
+  val dqChecks: QFn = (s, d) => {
+    val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+    val li = Tables.lineitem(s, d)
+    val checks = Seq(
+      o.agg(count(lit(1))).withColumn("check", lit("orders_rows")),
+      o.filter(col("o_custkey").isNull).agg(count(lit(1)))
+        .withColumn("check", lit("orders_null_custkey")),
+      o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1))).withColumn("check", lit("orders_orphan_custkey")),
+      o.groupBy("o_orderkey").agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .agg(count(lit(1))).withColumn("check", lit("orders_dup_pk")),
+      li.filter(col("l_discount") < 0.0 || col("l_discount") > 0.99)
+        .agg(count(lit(1))).withColumn("check", lit("lineitem_discount_range")),
+      li.filter(col("l_tax") < 0.0)
+        .agg(count(lit(1))).withColumn("check", lit("lineitem_negative_tax")))
+    checks.map(_.toDF("metric", "check").select("check", "metric"))
+      .reduce(_.unionByName(_))
+      .orderBy("check")
+  }
+
+  /** Upsert (MERGE) emulation — the ETL load step without a lakehouse
+    * format: target ⟕⟖ updates, coalesce update-wins. At scale this is
+    * one co-partitioned full-outer shuffle on the key. */
+  val etlUpsert: QFn = (s, d) => {
+    val target = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val updates = Tables.customer(s, d)
+      .filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey").as("u_custkey"),
+        concat(col("c_name"), lit("_v2")).as("u_name"),
+        (col("c_acctbal") + 100.0).as("u_acctbal"))
+      // plus brand-new keys beyond the current range
+      .unionByName(
+        Tables.customer(s, d).filter(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 10000000L).as("u_custkey"),
+            lit("new_customer").as("u_name"), lit(0.0).as("u_acctbal")))
+    target.join(updates, col("c_custkey") === col("u_custkey"), "full_outer")
+      .select(
+        coalesce(col("u_custkey"), col("c_custkey")).as("custkey"),
+        coalesce(col("u_name"), col("c_name")).as("name"),
+        coalesce(col("u_acctbal"), col("c_acctbal")).as("acctbal"))
+      .orderBy("custkey")
+  }
+
+  val entries: Seq[(String, QFn)] = Seq(
+    "agg_pivot" -> aggPivot,
+    "subquery_family" -> subqueryFamily,
+    "win_percentiles" -> winPercentiles,
+    "fn_struct" -> fnStruct,
+    "sink_partitioned_scan" -> sinkPartitionedScan,
+    "dq_checks" -> dqChecks,
+    "etl_upsert" -> etlUpsert)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "agg_pivot" -> {
+      val cols = Segments.map(seg =>
+        s"""CAST(sum(CASE WHEN c_mktsegment = '$seg' THEN CAST(c_acctbal AS DECIMAL(30,2)) END) AS DOUBLE) AS "$seg"""")
+        .mkString(",\n           ")
+      s"""SELECT n_name,
+           $cols
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name"""
+    },
+    "subquery_family" ->
+      """SELECT o_orderkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+           AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+           AND EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+         ORDER BY o_orderkey""",
+    "win_percentiles" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           nth_value(c_custkey, 3) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+             AND UNBOUNDED FOLLOWING) AS third_cust
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_mktsegment, c_custkey""",
+    "fn_struct" ->
+      """SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS amount,
+           CAST(o_totalprice > 150000.0 AS INT) AS is_big,
+           CAST(length(o_orderpriority) AS INT) AS prio_len
+         FROM orders ORDER BY o_orderkey""",
+    "sink_partitioned_scan" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type IN ('purchase', 'error')
+         GROUP BY event_type ORDER BY event_type""",
+    "dq_checks" ->
+      """SELECT * FROM (
+           SELECT 'orders_rows' AS "check", count(*) AS metric FROM orders
+           UNION ALL
+           SELECT 'orders_null_custkey', count(*) FROM orders WHERE o_custkey IS NULL
+           UNION ALL
+           SELECT 'orders_orphan_custkey', count(*) FROM orders
+             WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+           UNION ALL
+           SELECT 'orders_dup_pk', count(*) FROM (
+             SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+           UNION ALL
+           SELECT 'lineitem_discount_range', count(*) FROM lineitem
+             WHERE l_discount < 0.0 OR l_discount > 0.99
+           UNION ALL
+           SELECT 'lineitem_negative_tax', count(*) FROM lineitem WHERE l_tax < 0.0)
+         ORDER BY "check"""",
+    "etl_upsert" ->
+      """WITH updates AS (
+           SELECT c_custkey AS u_custkey, c_name || '_v2' AS u_name,
+                  c_acctbal + 100.0 AS u_acctbal
+           FROM customer WHERE c_custkey % 5 = 0
+           UNION ALL
+           SELECT c_custkey + 10000000, 'new_customer', 0.0
+           FROM customer WHERE c_custkey % 7 = 0)
+         SELECT coalesce(u_custkey, c_custkey) AS custkey,
+                coalesce(u_name, c_name) AS name,
+                coalesce(u_acctbal, c_acctbal) AS acctbal
+         FROM customer FULL OUTER JOIN updates ON c_custkey = u_custkey
+         ORDER BY custkey""")
+}

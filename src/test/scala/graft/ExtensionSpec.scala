@@ -62,6 +62,19 @@ class ExtensionSpec extends SparkTestBase {
     }
   }
 
+  test("sink_partitioned_scan prunes partitions at the source") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_prune_test"
+    Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    val df = spark.read.parquet(path)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)))
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition filter not pushed to scan:\n$p")
+  }
+
   test("multimodal decode is a narrow transform (no shuffle before decode)") {
     val df = operators.Multimodal.mmDecodeFeatures(spark, sf)
     df.collect()
