@@ -266,7 +266,11 @@ object Relational {
       round(kurtosis(col("l_extendedprice")), 6).as("kurt_price"),
       round(expr("percentile(l_extendedprice, 0.5)"), 3).as("median_price"),
       dsum2(col("l_extendedprice")).as("s1"),
-      dsum4(col("l_extendedprice") * col("l_extendedprice")).as("s2"))
+      // the squared sum (~2e15 with 4 decimals) exceeds double
+      // precision — decimal→double rounding differs across engines by
+      // 1 ulp at that magnitude, so emit the exact integer part
+      floor(sum((col("l_extendedprice") * col("l_extendedprice"))
+        .cast(DecimalType(30, 4)))).cast("long").as("s2_int"))
   }
 
   // ---------------------------------------------------------------- §2.6
@@ -439,7 +443,7 @@ object Relational {
               - 3, 6) AS kurt_price,
             round(quantile_cont(l_extendedprice, 0.5), 3) AS median_price,
             ${sqlSum2("l_extendedprice")} AS s1,
-            ${sqlSum4("l_extendedprice * l_extendedprice")} AS s2
+            CAST(floor(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4)))) AS BIGINT) AS s2_int
           FROM lineitem""",
     "sort_multi" ->
       """SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS pr, o_totalprice
