@@ -24,6 +24,7 @@ object SparkEntry {
       operators.LlmSimilarity.entries ++
       operators.Multimodal.entries ++
       operators.Extras.entries ++
+      operators.Extras2.entries ++
       streaming.Streaming.entries
 
   private def oracleRegistry: Seq[(String, String)] =
@@ -35,6 +36,7 @@ object SparkEntry {
       operators.LlmSimilarity.oracles ++
       operators.Multimodal.oracles ++
       operators.Extras.oracles ++
+      operators.Extras2.oracles ++
       streaming.Streaming.oracles
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

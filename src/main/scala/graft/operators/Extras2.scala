@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{QFn, Tables, Det}
+import org.apache.spark.sql.functions._
+
+/** Second coverage batch: the bucketed range join (the 100 TB path
+  * for interval joins) and the bitwise/hash scalar family. */
+object Extras2 {
+
+  import Det._
+
+  /** Bucketed range join — same semantics as `join_interval`
+    * (lineitems shipped within 30 days of their order date) but
+    * joined the way a 100 TB engine must: both sides mapped to
+    * covering 30-day epoch buckets, equi-joined on (key, bucket), then
+    * the exact range predicate applied as a residual and duplicates
+    * from multi-bucket coverage removed. Turns an
+    * equi+range join into a pure hash join whose build side is
+    * bucket-local — no sort-merge over the full range. */
+  val joinRangeBucketed: QFn = (s, d) => {
+    val bucketSecs = 30L * 24 * 3600
+    val o = Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"),
+      // an order's 30-day window [date, date+30d) can overlap two buckets
+      explode(array(
+        floor(unix_timestamp(col("o_orderdate")) / bucketSecs),
+        floor((unix_timestamp(col("o_orderdate")) + bucketSecs - 1) / bucketSecs)))
+        .as("bucket"))
+      .distinct()
+    val li = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_quantity"), col("l_shipdate"),
+      floor(unix_timestamp(col("l_shipdate")) / bucketSecs).as("bucket"))
+    o.join(li, col("l_orderkey") === col("o_orderkey") && o("bucket") === li("bucket"))
+      .filter(col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Bitwise + hash function family. */
+  val fnBitwiseHash: QFn = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      col("p_partkey").bitwiseAND(lit(255L)).as("band"),
+      col("p_partkey").bitwiseOR(lit(4096L)).as("bor"),
+      col("p_partkey").bitwiseXOR(lit(21L)).as("bxor"),
+      shiftleft(col("p_partkey"), 3).as("shl"),
+      shiftright(col("p_partkey"), 2).as("shr"),
+      bit_count(col("p_partkey")).as("popcnt"),
+      md5(col("p_name")).as("md5_hex"),
+      sha2(col("p_brand"), 256).as("sha256_hex"),
+      length(sha2(concat(col("p_name"), col("p_type")), 512)).as("sha512_len"))
+      .orderBy("p_partkey")
+
+  val entries: Seq[(String, QFn)] = Seq(
+    "join_range_bucketed" -> joinRangeBucketed,
+    "fn_bitwise_hash" -> fnBitwiseHash)
+
+  val oracles: Seq[(String, String)] = Seq(
+    // oracle = the straightforward range join; results must be
+    // identical, which proves the bucketing rewrite is lossless
+    "join_range_bucketed" ->
+      s"""SELECT o_orderpriority, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "fn_bitwise_hash" ->
+      """SELECT p_partkey,
+           p_partkey & 255 AS band,
+           p_partkey | 4096 AS bor,
+           xor(p_partkey, 21) AS bxor,
+           p_partkey << 3 AS shl,
+           p_partkey >> 2 AS shr,
+           CAST(bit_count(p_partkey) AS INT) AS popcnt,
+           md5(p_name) AS md5_hex,
+           sha256(p_brand) AS sha256_hex,
+           128 AS sha512_len
+         FROM part ORDER BY p_partkey""")
+}

@@ -128,7 +128,29 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** Stream-stream inner join: each purchase joined to the same
+    * user's clicks in the preceding hour. Both sides are watermarked
+    * so the state store can evict; append mode. The oracle is the
+    * identical batch interval join. */
+  val streamJoin: QFn = (s, d) =>
+    runStream(s, d, OutputMode.Append(), "sjoin") { df =>
+      val clicks = df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+        .withWatermark("p_ts", "1 hour")
+      purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+    }.select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+      .orderBy("purchase_id", "click_id")
+
   val entries: Seq[(String, QFn)] = Seq(
+    "stream_join" -> streamJoin,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -137,6 +159,14 @@ object Streaming {
     "stream_stateful" -> streamStateful)
 
   val oracles: Seq[(String, String)] = Seq(
+    "stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+         FROM events p JOIN events c
+           ON p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         ORDER BY purchase_id, click_id""",
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
            event_type, count(*) AS n,
