@@ -38,8 +38,16 @@ object Streaming {
       .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
     val stream = MemoryStream[Ev](s)
     val sinkName = s"${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = build(stream.toDF()).writeStream
-      .format("memory").queryName(sinkName).outputMode(mode).start()
+    // fewer state partitions: each stateful operator commits one state
+    // store per shuffle partition per micro-batch; at this volume the
+    // per-store checkpoint overhead dominates, so 8 beats 32. Pinned at
+    // query start (state partitioning is fixed for the query's life).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = try {
+      build(stream.toDF()).writeStream
+        .format("memory").queryName(sinkName).outputMode(mode).start()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     try {
       val (first, second) = rows.splitAt(rows.length / 2)
       stream.addData(first); q.processAllAvailable()
