@@ -53,9 +53,27 @@ object Extras2 {
       length(sha2(concat(col("p_name"), col("p_type")), 512)).as("sha512_len"))
       .orderBy("p_partkey")
 
+  /** Two-phase salted aggregation — the skew-mitigation pattern.
+    * `l_returnflag` has 3 values, so a naive groupBy puts a third of
+    * 100 TB through 3 reducers; salting fans each hot key across 16
+    * sub-keys (phase 1, partial sums per (key, salt)), then merges the
+    * 48 small partials (phase 2). Exact decimal sums make the
+    * two-phase split lossless — the oracle is the plain groupBy. */
+  val aggSaltedSkew: QFn = (s, d) => {
+    val salted = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(count(lit(1)).as("pn"),
+        sum(col("l_quantity").cast("decimal(30,2)")).as("pq"))
+    salted.groupBy("l_returnflag")
+      .agg(sum("pn").as("n"), sum("pq").cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "join_range_bucketed" -> joinRangeBucketed,
-    "fn_bitwise_hash" -> fnBitwiseHash)
+    "fn_bitwise_hash" -> fnBitwiseHash,
+    "agg_salted_skew" -> aggSaltedSkew)
 
   val oracles: Seq[(String, String)] = Seq(
     // oracle = the straightforward range join; results must be
@@ -76,5 +94,8 @@ object Extras2 {
            md5(p_name) AS md5_hex,
            sha256(p_brand) AS sha256_hex,
            128 AS sha512_len
-         FROM part ORDER BY p_partkey""")
+         FROM part ORDER BY p_partkey""",
+    "agg_salted_skew" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
 }
