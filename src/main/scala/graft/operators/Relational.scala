@@ -46,20 +46,37 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum2(col("l_extendedprice")).as("sum_price"))
       .orderBy("l_returnflag")
 
-  /** CSV sink + source roundtrip with an explicit schema (no oracle:
-    * self-consistency is asserted in the spec instead). */
-  val sourceCsvRoundtrip: QFn = (s, d) => {
+  /** Format roundtrips: write a lineitem sample to <fmt>, read it back
+    * with an explicit schema, aggregate. Losslessness makes the result
+    * equal the same aggregate over the original parquet — which is the
+    * DuckDB oracle, so the whole write→read path is oracle-checked. */
+  private def roundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
     val sample = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${java.util.UUID.randomUUID()}"
-    sample.write.mode("overwrite").option("header", "true")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(path)
-    val back = s.read.schema(Tables.schemas("lineitem"))
-      .option("header", "true")
-      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(path)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_${java.util.UUID.randomUUID()}"
+    val w = sample.write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    fmt match {
+      case "csv" => w.csv(path)
+      case "json" => w.json(path)
+      case "orc" => w.orc(path)
+    }
+    // read back with the sample's OWN schema: parquet timestamps here
+    // are NTZ (isAdjustedToUTC=false) and ORC refuses an NTZ→LTZ cast
+    val r = s.read.schema(sample.schema)
+      .option("header", "true").option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+    val back = fmt match {
+      case "csv" => r.csv(path)
+      case "json" => r.json(path)
+      case "orc" => r.orc(path)
+    }
     back.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
       .orderBy("l_returnflag")
   }
+
+  val sourceCsvRoundtrip: QFn = (s, d) => roundtrip(s, d, "csv")
+  val sourceJsonRoundtrip: QFn = (s, d) => roundtrip(s, d, "json")
+  val sourceOrcRoundtrip: QFn = (s, d) => roundtrip(s, d, "orc")
 
   // ---------------------------------------------------------------- §2.2
 
@@ -311,6 +328,8 @@ object Relational {
     "scan_pruned" -> scanPruned,
     "scan_filter_pushdown" -> scanFilterPushdown,
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
+    "source_json_roundtrip" -> sourceJsonRoundtrip,
+    "source_orc_roundtrip" -> sourceOrcRoundtrip,
     "project_arith" -> projectArith,
     "filter_conj" -> filterConj,
     "filter_null_semantics" -> filterNullSemantics,
@@ -336,6 +355,18 @@ object Relational {
       s"""SELECT count(*) AS n_rows, ${sqlSum2("l_quantity")} AS sum_qty FROM lineitem""",
     "scan_pruned" ->
       "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY 1, 2",
+    "source_csv_roundtrip" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
+          FROM lineitem WHERE l_orderkey % 50 = 0
+          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "source_json_roundtrip" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
+          FROM lineitem WHERE l_orderkey % 50 = 0
+          GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "source_orc_roundtrip" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
+          FROM lineitem WHERE l_orderkey % 50 = 0
+          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "scan_filter_pushdown" ->
       s"""SELECT l_returnflag, count(*) AS n, ${sqlSum2("l_extendedprice")} AS sum_price
           FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
