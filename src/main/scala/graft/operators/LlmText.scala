@@ -139,7 +139,56 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified sampling: ~20% per language via modular
+    * arithmetic on doc_id (seed-free, engine-portable, reproducible —
+    * what a training pipeline needs for holdout splits; at 100 TB it
+    * is a pure codegen'd filter, no shuffle). */
+  val llmSampleStratified: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .filter(pmod(col("doc_id") * 2654435761L, lit(100)) < 20)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("chars_sampled"))
+      .orderBy("lang")
+
+  /** Sequence packing: stream documents (doc_id order) into 4096-token
+    * context windows by prefix-sum — pack_id = floor(cumsum_before /
+    * capacity). The contiguous-fill strategy every large pretraining
+    * pipeline uses (vs. NP-hard bin packing); one window cumsum, no
+    * driver loop. */
+  val llmPackSequences: QFn = (s, d) => {
+    val capacity = 4096L
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(words).as("n_tokens"))
+      .withColumn("cum_after", sum("n_tokens").over(w))
+      .withColumn("pack_id", floor((col("cum_after") - col("n_tokens")) / capacity))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+      .orderBy("pack_id")
+  }
+
+  /** Source mixing: deterministic round-robin interleave across
+    * sources (rank within source, then order by (rank, source)) — the
+    * data-mixing step that feeds a trainer a stable source ratio.
+    * Emits the first 200 positions of the schedule. */
+  val llmInterleaveSources: QFn = (s, d) => {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val wg = Window.orderBy("rank_in_source", "source", "doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("rank_in_source", row_number().over(w))
+      .withColumn("position", row_number().over(wg))
+      .filter(col("position") <= 200)
+      .select("position", "source", "doc_id")
+      .orderBy("position")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "llm_sample_stratified" -> llmSampleStratified,
+    "llm_pack_sequences" -> llmPackSequences,
+    "llm_interleave_sources" -> llmInterleaveSources,
     "llm_exact_dedup" -> llmExactDedup,
     "llm_token_count" -> llmTokenCount,
     "llm_text_stats" -> llmTextStats,
@@ -149,6 +198,28 @@ object LlmText {
     "llm_fingerprint" -> llmFingerprint)
 
   val oracles: Seq[(String, String)] = Seq(
+    "llm_sample_stratified" ->
+      """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS chars_sampled
+         FROM documents WHERE (doc_id * 2654435761) % 100 < 20
+         GROUP BY lang ORDER BY lang""",
+    "llm_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+               OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after
+           FROM documents)
+         SELECT CAST(floor((cum_after - n_tokens) / 4096.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+         FROM t GROUP BY 1 ORDER BY pack_id""",
+    "llm_interleave_sources" ->
+      """SELECT position, source, doc_id FROM (
+           SELECT doc_id, source,
+             CAST(row_number() OVER (ORDER BY rank_in_source, source, doc_id) AS INT) AS position
+           FROM (
+             SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank_in_source
+             FROM documents))
+         WHERE position <= 200 ORDER BY position""",
     "llm_exact_dedup" ->
       """SELECT sha256(lower(trim(text))) AS h,
            min(doc_id) AS keep_id, count(*) AS n_copies
