@@ -155,7 +155,9 @@ object LlmText {
     * context windows by prefix-sum — pack_id = floor(cumsum_before /
     * capacity). The contiguous-fill strategy every large pretraining
     * pipeline uses (vs. NP-hard bin packing); one window cumsum, no
-    * driver loop. */
+    * driver loop. NOTE: the unpartitioned window funnels rows through
+    * one task — at 100 TB, pack per shard (partitionBy a doc_id-range
+    * shard key, offset pack_ids by shard) for the same result. */
   val llmPackSequences: QFn = (s, d) => {
     val capacity = 4096L
     val w = Window.orderBy("doc_id")
