@@ -124,17 +124,17 @@ object LlmSimilarity {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** (doc_id, sig) — sig is the 64-long MinHash signature array. */
+  /** (doc_id, sig) — sig is the 64-long MinHash signature array,
+    * computed by the native MinhashSigs expression in ONE per-row pass
+    * (no explode, no shuffle — the earlier explode → 64×min-aggregate
+    * form pushed a 1M-row intermediate through a groupBy). */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(bigrams(col("text"))).as("sh"))
-      .withColumn("h", pmod(xxhash64(col("sh")), lit(MersennePrime)))
-    val mins = permConsts.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), lit(MersennePrime))).as(s"m$i")
-    }
-    sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-        array((0 until MinhashPerms).map(i => col(s"m$i")): _*).as("sig"))
+    val (as, bs) = permConsts.unzip
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      graft.functions.MinhashSigs(
+        transform(bigrams(col("text")), x => pmod(xxhash64(x), lit(MersennePrime))),
+        as.toArray, bs.toArray, MersennePrime).as("sig"))
   }
 
   /** MinHash LSH near-dedup: candidate pairs from band buckets, scored
