@@ -176,6 +176,37 @@ object LlmSimilarity {
       .orderBy("a", "b")
   }
 
+  /** Near-dup CLUSTERING: connected components over the MinHash-LSH
+    * pair graph via iterative min-label propagation (each doc starts
+    * as its own label; 8 rounds of "take the min label among me and my
+    * neighbors" — enough for the small chain diameters dedup graphs
+    * have). Output: every document with its cluster id and a keep
+    * flag (minimum doc_id per cluster survives) — the final step that
+    * turns pair detection into an actual dedup decision. Each round is
+    * one join + groupBy on (doc, label): at 100 TB this is the
+    * standard large-scale connected-components loop (no driver graph).
+    * No oracle (pairs are LSH-derived); spec checks closure. */
+  val llmDedupCluster: QFn = (s, d) => {
+    val pairs = llmNearDedup(s, d).select("a", "b").cache()
+    // undirected edge list both ways
+    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to 8) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("y"), col("label").as("nl")), "y")
+        .groupBy(col("x").as("doc_id")).agg(min("nl").as("neighbor_label"))
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"))
+    }
+    val w = Window.partitionBy("label").orderBy("doc_id")
+    labels.withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("keep"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash: 64-bit fingerprint per document (sign of per-bit vote
     * sums over xxhash64(token)), plus its 4×16-bit chunk keys — the
     * banding that finds Hamming ≤ 3 pairs without an all-pairs join.
@@ -295,6 +326,7 @@ object LlmSimilarity {
     "llm_knn_cosine" -> llmKnnCosine,
     "llm_knn_ivf" -> llmKnnIvf,
     "llm_near_dedup" -> llmNearDedup,
+    "llm_dedup_cluster" -> llmDedupCluster,
     "llm_simhash" -> llmSimhash,
     "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_embed_neardup" -> llmEmbedNeardup,

@@ -49,6 +49,27 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.3, s"recall collapsed: $recall")
   }
 
+  test("llm_dedup_cluster: pairs are closed under clustering, one keeper each") {
+    val pairs = operators.LlmSimilarity.llmNearDedup(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = operators.LlmSimilarity.llmDedupCluster(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // every near-dup pair ends in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a)._1 == clusters(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // exactly one keeper per cluster, and it's the min doc_id
+    clusters.groupBy(_._2._1).foreach { case (cid, members) =>
+      val keepers = members.filter(_._2._2 == 1).keys.toSeq
+      assert(keepers == Seq(members.keys.min), s"cluster $cid keepers: $keepers")
+    }
+    // singletons are their own cluster and kept
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.filterNot(c => inPairs(c._1)).foreach { case (id, (cid, keep)) =>
+      assert(cid == id && keep == 1)
+    }
+  }
+
   test("llm_simhash: fingerprints are deterministic and chunks decompose") {
     val a = operators.LlmSimilarity.llmSimhash(spark, sf).collect()
     val b = operators.LlmSimilarity.llmSimhash(spark, sf).collect()
