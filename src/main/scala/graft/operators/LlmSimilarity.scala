@@ -193,14 +193,25 @@ object LlmSimilarity {
       .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
     var labels = Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to 8) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("y"), col("label").as("nl")), "y")
-        .groupBy(col("x").as("doc_id")).agg(min("nl").as("neighbor_label"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"))
-    }
+    // the iterative phase runs 3 tiny jobs per round; per-task overhead
+    // dominates, so pin few shuffle partitions for the loop (the label
+    // table is small relative to the corpus — it's one long per doc).
+    // At 100 TB: size this to labels/partition, still « corpus cost.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      for (_ <- 1 to 8) {
+        val neighborMin = edges
+          .join(labels.select(col("doc_id").as("y"), col("label").as("nl")), "y")
+          .groupBy(col("x").as("doc_id")).agg(min("nl").as("neighbor_label"))
+        labels = labels.join(neighborMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"))
+          // truncate lineage each round — otherwise round k replans the
+          // whole k-deep join chain (quadratic planning blowup)
+          .localCheckpoint()
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     val w = Window.partitionBy("label").orderBy("doc_id")
     labels.withColumn("keep", (row_number().over(w) === 1).cast("int"))
       .select(col("doc_id"), col("label").as("cluster_id"), col("keep"))
