@@ -66,10 +66,12 @@ object GraftFunctions {
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` —
   * the deployment-time injection path. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("fused_spread"),
       new ExpressionInfo(classOf[FusedSpread].getName, "fused_spread"),
       (children: Seq[Expression]) => FusedSpread(
         GraftFunctions.toDoubleExpr(children(0)), GraftFunctions.toDoubleExpr(children(1)))))
+    ext.injectOptimizerRule(_ => SimplifySelfSpread)
+  }
 }

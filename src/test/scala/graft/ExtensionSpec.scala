@@ -41,6 +41,27 @@ class ExtensionSpec extends SparkTestBase {
     assert(math.abs(expr.eval(null).asInstanceOf[Double] - 0.2) < 1e-15)
   }
 
+  test("SimplifySelfSpread folds fused_spread(x, x) to a null-safe zero") {
+    val df = Tables.part(spark, sf).select(
+      graft.functions.GraftFunctions.fusedSpread(
+        col("p_retailprice"), col("p_retailprice")).as("s"))
+    val before = df.queryExecution.analyzed
+    val after = graft.functions.SimplifySelfSpread(before)
+    assert(before.toString.contains("fused_spread"))
+    assert(!after.toString.contains("fused_spread"), s"not simplified:\n$after")
+    // semantics preserved: rewritten plan computes the same values
+    val viaRule = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, after).collect()
+    val direct = df.collect()
+    assert(viaRule.map(_.toString).toSeq == direct.map(_.toString).toSeq)
+    assert(direct.forall(_.getDouble(0) == 0.0))
+  }
+
+  test("GraftExtensions also injects the optimizer rule") {
+    // spot-check the installer wires BOTH surfaces without error
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // must not throw
+  }
+
   test("multimodal decode: deterministic, and histogram counts total bytes") {
     val a = operators.Multimodal.mmDecodeFeatures(spark, sf).collect()
     val b = operators.Multimodal.mmDecodeFeatures(spark, sf).collect()
