@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same tz as Verify: interval/bucket arithmetic on NTZ timestamps
+      // must agree with unix-epoch bucketing in any deployment zone
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet timestamp[ns] — see Tables.loadEvents
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

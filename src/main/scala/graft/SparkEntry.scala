@@ -49,6 +49,7 @@ object SparkEntry {
     val o = oracleRegistry
     val qs = registry.map(_._1).toSet
     require(o.forall(kv => qs.contains(kv._1)), "oracle for unknown query key")
+    require(o.map(_._1).distinct.size == o.size, "duplicate oracle keys")
     o.toMap
   }
 }

@@ -88,11 +88,19 @@ object Tables {
 
   /** `events.ts` is parquet `timestamp[ns]`, which Spark's vectorized
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via
-    * the legacy conf and truncate to µs (`ts div 1000` — floor for the
-    * positive epoch values here), matching what DuckDB produces under
-    * `CAST(ts AS TIMESTAMP)` (µs) so oracle hashes agree. */
+    * `spark.sql.legacy.parquet.nanosAsLong` and truncate to µs
+    * (`ts div 1000` — floor for the positive epoch values here),
+    * matching what DuckDB produces under `CAST(ts AS TIMESTAMP)` (µs)
+    * so oracle hashes agree.
+    *
+    * The conf must be set AT SESSION CONSTRUCTION (all entry points —
+    * Verify/Bench/Profile/PlanAudit/SparkTestBase — do): it is consulted
+    * again at execution time, so a set-and-restore around this read
+    * would break the scan, and a hidden permanent set here would leak
+    * nanos-as-longs into every later parquet read of the session. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is timestamp[ns]: set spark.sql.legacy.parquet.nanosAsLong=true at session build")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -1,15 +1,21 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, If, IsNull, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Abs, EqualTo, Expression, If,
+  IsNaN, IsNull, Literal, Or}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
 /** Custom optimizer rule (the `Rule[LogicalPlan]` extension surface):
-  * `fused_spread(x, x)` is identically 0.0 for every non-null x —
-  * including the mid == 0 case, which [[FusedSpread]] defines as 0.0 —
-  * so the whole expression folds to `if(isnull(x), null, 0.0)`.
-  * Exactly null-preserving, so the rewrite is semantics-exact.
+  * `fused_spread(x, x)` is identically 0.0 for every FINITE non-null
+  * x — including the mid == 0 case, which [[FusedSpread]] defines as
+  * 0.0. Non-finite inputs must keep their IEEE-754 behavior: for
+  * x = NaN the original evaluates NaN/NaN = NaN, and for x = ±Inf it
+  * evaluates NaN/±Inf = NaN (Inf − Inf is NaN) — so the fold is
+  *   if(isnull(x), null, if(isnan(x) or abs(x) = Inf, NaN, 0.0))
+  * which is exactly null-, NaN-, and Inf-preserving. (x appears three
+  * times, but it is only folded when deterministic, and codegen
+  * subexpression elimination collapses the duplicates.)
   *
   * Registered through [[GraftExtensions]] (`injectOptimizerRule`); the
   * spec also applies it directly to analyzed plans. A degenerate
@@ -20,6 +26,8 @@ object SimplifySelfSpread extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case FusedSpread(a, b) if a.deterministic && a.semanticEquals(b) =>
-        If(IsNull(a), Literal(null, DoubleType), Literal(0.0))
+        If(IsNull(a), Literal(null, DoubleType),
+          If(Or(IsNaN(a), EqualTo(Abs(a), Literal(Double.PositiveInfinity))),
+            Literal(Double.NaN), Literal(0.0)))
     }
 }

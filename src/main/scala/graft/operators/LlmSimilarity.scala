@@ -18,8 +18,9 @@ import org.apache.spark.sql.types._
   *    banding shuffle), never an all-pairs product;
   *  - SimHash pairs come from 16-bit chunk buckets (pigeonhole: any
   *    pair within Hamming ≤ 3 of 64 bits shares one of 4 chunks);
-  *  - exact n-gram Jaccard and embedding near-dup are *blocked*
-  *    (same source / same label) — the bounded variants;
+  *  - exact n-gram Jaccard runs as an inverted-index set-similarity
+  *    join (postings equi-join on (source, gram)); embedding near-dup
+  *    is *blocked* (same label) — the bounded variant;
   *  - the multimodal join is a plain equi-join, broadcast-able when
   *    one side is a dimension.
   */
@@ -29,11 +30,16 @@ object LlmSimilarity {
 
   private val words = split(col("text"), " ")
 
-  /** Distinct word-bigram shingles of `text`. */
+  /** Distinct word-bigram shingles of `text`. Guarded for single-token
+    * documents: `sequence(1, 0)` is DESCENDING `[1, 0]` in Spark, and
+    * `element_at(w, 0)` throws — so docs with fewer than two tokens get
+    * an empty gram set (matching DuckDB's `range(n-1)` → empty list). */
   private def bigrams(c: Column): Column = {
     val w = split(c, " ")
-    array_distinct(transform(sequence(lit(1), size(w) - 1),
-      i => concat(element_at(w, i), lit("_"), element_at(w, i + 1))))
+    when(size(w) >= 2,
+      array_distinct(transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit("_"), element_at(w, i + 1)))))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Cosine similarity of two float-array columns — the native
@@ -188,34 +194,45 @@ object LlmSimilarity {
     * No oracle (pairs are LSH-derived); spec checks closure. */
   val llmDedupCluster: QFn = (s, d) => {
     val pairs = llmNearDedup(s, d).select("a", "b").cache()
-    // undirected edge list both ways
-    val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-      .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("label"))
-    // the iterative phase runs 3 tiny jobs per round; per-task overhead
-    // dominates, so pin few shuffle partitions for the loop (the label
-    // table is small relative to the corpus — it's one long per doc).
-    // At 100 TB: size this to labels/partition, still « corpus cost.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      for (_ <- 1 to 8) {
+      // undirected edge list both ways, materialized ONCE (truncates the
+      // whole LSH lineage out of every round's plan)
+      val edges = pairs.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+        .localCheckpoint()
+      var labels = Tables.documents(s, d)
+        .select(col("doc_id"), col("doc_id").as("label"))
+      // min-label propagation runs until a fixpoint: a round in which no
+      // label drops. Converges in ≤ diameter(graph) rounds, so the
+      // early-exit makes arbitrary-length chains correct (a fixed round
+      // count silently mis-clusters any longer chain) AND skips the
+      // work once dedup-typical 2–3-hop graphs settle. Per-round cost:
+      // one join + groupBy on (doc, label) — the standard large-scale
+      // connected-components loop, no driver-side graph. AQE coalesces
+      // the tiny label shuffles, so no session-conf tuning is needed.
+      var converged = false
+      var round = 0
+      while (!converged && round < 64) {
+        round += 1
         val neighborMin = edges
           .join(labels.select(col("doc_id").as("y"), col("label").as("nl")), "y")
           .groupBy(col("x").as("doc_id")).agg(min("nl").as("neighbor_label"))
-        labels = labels.join(neighborMin, Seq("doc_id"), "left")
+        // localCheckpoint each round: truncate lineage — otherwise round
+        // k replans the whole k-deep join chain (quadratic planning)
+        val next = labels.join(neighborMin, Seq("doc_id"), "left")
           .select(col("doc_id"),
-            least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"))
-          // truncate lineage each round — otherwise round k replans the
-          // whole k-deep join chain (quadratic planning blowup)
+            least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"),
+            when(col("neighbor_label") < col("label"), 1L).otherwise(0L).as("changed"))
           .localCheckpoint()
+        // one cheap agg over the just-materialized blocks
+        converged = next.agg(sum("changed")).first().getLong(0) == 0L
+        labels = next.drop("changed")
       }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    val w = Window.partitionBy("label").orderBy("doc_id")
-    labels.withColumn("keep", (row_number().over(w) === 1).cast("int"))
-      .select(col("doc_id"), col("label").as("cluster_id"), col("keep"))
-      .orderBy("doc_id")
+      val w = Window.partitionBy("label").orderBy("doc_id")
+      labels.withColumn("keep", (row_number().over(w) === 1).cast("int"))
+        .select(col("doc_id"), col("label").as("cluster_id"), col("keep"))
+        .orderBy("doc_id")
+    } finally pairs.unpersist()
   }
 
   /** SimHash: 64-bit fingerprint per document (sign of per-bit vote
@@ -242,54 +259,43 @@ object LlmSimilarity {
   }
 
   /** Exact word-bigram Jaccard ≥ 0.3 within the same source, via an
-    * INVERTED-INDEX set-similarity join: explode grams, equi-join on
-    * (source, gram), count shared grams per pair, then
-    * |A∩B| / (|A| + |B| − |A∩B|). Pairs sharing zero grams have
-    * Jaccard 0 and are correctly absent. This replaces the naive
-    * blocked pair×array-intersect join (~40× faster here; at 100 TB
-    * add prefix filtering to bound the index join). Integer set math
-    * is dialect-exact, so this HAS a DuckDB oracle. */
+    * INVERTED-INDEX set-similarity join: explode each doc's gram set to
+    * (source, gram) postings, self-equi-join the postings list, count
+    * shared grams per (a, b) pair, then |A∩B| / (|A| + |B| − |A∩B|).
+    * Pairs sharing zero grams have Jaccard 0 and are correctly absent.
+    *
+    * Fully relational and shuffle-parallel: parallelism is bounded by
+    * the posting-list shuffle (hash on (source, gram)), not by the
+    * number of source blocks — the previous collect_list-per-source
+    * + typed flatMap design capped parallelism at #sources and pushed
+    * every block through one task (65 s at sf0.1; this runs in a few
+    * seconds with all 32 cores busy). At 100 TB: hot grams are the
+    * skew axis — AQE skew-join splits them, and a prefix filter (index
+    * only each set's rarest-k grams) bounds the candidate join; the
+    * grams are hashed to 8-byte longs so the posting shuffle stays
+    * narrow. Integer set math is dialect-exact → DuckDB oracle. */
   val llmNgramJaccard: QFn = (s, d) => {
-    // grams hashed to sorted distinct longs ONCE per doc; each pair
-    // then costs one codegen'd merge pass (IntersectCountSorted)
-    // instead of a hash-set array_intersect. On a corpus with a larger
-    // vocabulary an inverted-index join with prefix filtering would
-    // prune candidate pairs first; here every same-source pair shares
-    // grams, so blocking + fast per-pair merge is the optimum.
     val g = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        sort_array(transform(bigrams(col("text")), x => xxhash64(x))).as("hg"))
-    // blocked nested-loop INSIDE each source block: one shuffle
-    // gathers a block's gram arrays into a single row, then the pair
-    // loop + sorted-merge intersection runs as tight JVM code — no
-    // per-pair row construction or array copying (a relational
-    // pair-join materializes both 1.6 KB arrays for every one of the
-    // ~625k pairs; that memcpy, not the set math, was the bottleneck).
-    // At 100 TB the block key stays the shard unit; blocks stream.
-    import s.implicits._
-    val pairs = g.groupBy("source")
-      .agg(collect_list(struct(col("doc_id"), col("hg"))).as("docs"))
-      .as[(String, Seq[(Long, Seq[Long])])]
-      .flatMap { case (source, docs) =>
-        val arr = docs.sortBy(_._1).map { case (id, hg) => (id, hg.toArray) }.toArray
-        for {
-          i <- arr.indices.iterator
-          j <- (i + 1) until arr.length
-          shared = {
-            val x = arr(i)._2; val y = arr(j)._2
-            var xi = 0; var yj = 0; var c = 0
-            while (xi < x.length && yj < y.length) {
-              if (x(xi) == y(yj)) { c += 1; xi += 1; yj += 1 }
-              else if (x(xi) < y(yj)) xi += 1 else yj += 1
-            }
-            c
-          }
-          jac = shared.toDouble / (arr(i)._2.length + arr(j)._2.length - shared)
-          if jac >= 0.3
-        } yield (arr(i)._1, arr(j)._1, source, jac)
-      }
-      .toDF("a", "b", "source", "jaccard")
-    pairs.orderBy("a", "b")
+        transform(bigrams(col("text")), x => xxhash64(x)).as("hg"))
+    val sizes = g.select(col("doc_id"), size(col("hg")).as("sz"))
+    val postings = g.select(col("source"), col("doc_id"), explode(col("hg")).as("gram"))
+    val shared = postings.as("x").join(postings.as("y"),
+        col("x.source") === col("y.source") && col("x.gram") === col("y.gram") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.source").as("source"))
+      .agg(count(lit(1)).as("shared"))
+    // |A|/|B| join back: the size table is one int per doc — broadcast
+    // here; at sizes beyond broadcast range it degrades to a plain
+    // shuffle join on a, b (drop the hint, AQE decides).
+    shared
+      .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sza"))), "a")
+      .join(broadcast(sizes.select(col("doc_id").as("b"), col("sz").as("szb"))), "b")
+      .select(col("a"), col("b"), col("source"),
+        (col("shared") / (col("sza") + col("szb") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy("a", "b")
   }
 
   /** Embedding cosine near-dup: same-label blocking, τ = 0.3

@@ -60,7 +60,11 @@ object LlmText {
     * the identical double formula, rounded to 9 to absorb libm ulps. */
   val llmTfidf: QFn = (s, d) => {
     val docs = Tables.documents(s, d)
-    val nDocs = docs.count() // one tiny job; the count is a plan constant
+    // N as an IN-PLAN broadcast scalar (1-row agg, cross-joined): no
+    // driver-side count() job fires at plan construction — at 100 TB a
+    // driver count is a full extra corpus scan serialized before the
+    // real query; here it folds into the same job DAG.
+    val nDocs = broadcast(docs.agg(count(lit(1)).cast("double").as("n_docs")))
     val tokens = docs.select(col("doc_id"), explode(words).as("term"))
     val tf = tokens.groupBy("doc_id", "term").agg(count(lit(1)).as("tc"))
       .join(tokens.groupBy("doc_id").agg(count(lit(1)).as("dlen")), "doc_id")
@@ -68,8 +72,8 @@ object LlmText {
       .groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("w").desc, col("term"))
-    tf.join(df_, "term")
-      .withColumn("w", round((col("tc") / col("dlen")) * log(lit(nDocs.toDouble) / col("df")), 9))
+    tf.join(df_, "term").crossJoin(nDocs)
+      .withColumn("w", round((col("tc") / col("dlen")) * log(col("n_docs") / col("df")), 9))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select("doc_id", "rk", "term", "w")
@@ -154,17 +158,30 @@ object LlmText {
   /** Sequence packing: stream documents (doc_id order) into 4096-token
     * context windows by prefix-sum — pack_id = floor(cumsum_before /
     * capacity). The contiguous-fill strategy every large pretraining
-    * pipeline uses (vs. NP-hard bin packing); one window cumsum, no
-    * driver loop. NOTE: the unpartitioned window funnels rows through
-    * one task — at 100 TB, pack per shard (partitionBy a doc_id-range
-    * shard key, offset pack_ids by shard) for the same result. */
+    * pipeline uses (vs. NP-hard bin packing). The global prefix-sum is
+    * computed DISTRIBUTED, in two passes: (1) cumsum inside contiguous
+    * doc_id-range shards (a partitioned window — parallel), (2) each
+    * shard's base offset = cumsum of the per-shard totals (a window
+    * over #shards rows, joined back broadcast). No row ever passes
+    * through a single-task global window; at 100 TB only the tiny
+    * shard-totals table is serialized. */
   val llmPackSequences: QFn = (s, d) => {
     val capacity = 4096L
-    val w = Window.orderBy("doc_id")
+    // contiguous doc_id ranges → shard ids are monotone in doc_id, so
+    // per-shard order + shard offsets reproduce the global order
+    val sharded = Tables.documents(s, d)
+      .select(col("doc_id"), size(words).as("n_tokens"),
+        floor(col("doc_id") / 4096L).as("shard"))
+    val wIn = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"), size(words).as("n_tokens"))
-      .withColumn("cum_after", sum("n_tokens").over(w))
+    val inShard = sharded.withColumn("cum_in_shard", sum("n_tokens").over(wIn))
+    val wShard = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy("shard").agg(sum("n_tokens").as("shard_tokens"))
+      .withColumn("base", coalesce(sum("shard_tokens").over(wShard), lit(0L)))
+      .select("shard", "base")
+    inShard.join(broadcast(offsets), "shard")
+      .withColumn("cum_after", col("base") + col("cum_in_shard"))
       .withColumn("pack_id", floor((col("cum_after") - col("n_tokens")) / capacity))
       .groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
@@ -174,16 +191,35 @@ object LlmText {
   /** Source mixing: deterministic round-robin interleave across
     * sources (rank within source, then order by (rank, source)) — the
     * data-mixing step that feeds a trainer a stable source ratio.
-    * Emits the first 200 positions of the schedule. */
+    * Emits the first 200 positions of the schedule.
+    *
+    * The global position is computed WITHOUT a global window: since
+    * position ≥ rank_in_source, only rows with rank ≤ 200 can land in
+    * the first 200 slots, and for those the rank-within-(rank, source)
+    * order is closed-form — position(r, src) = 1 + Σ over sources s′ of
+    * (how many of s′'s rows sort before (r, src)) = 1 + Σ_{s′}
+    * (min(cnt_{s′}, r−1) + [s′ < src ∧ cnt_{s′} ≥ r]). One partitioned
+    * window + one broadcast join against the per-source counts; every
+    * stage is shuffle-parallel at any corpus size. */
   val llmInterleaveSources: QFn = (s, d) => {
     val w = Window.partitionBy("source").orderBy("doc_id")
-    val wg = Window.orderBy("rank_in_source", "source", "doc_id")
-    Tables.documents(s, d)
+    val ranked = Tables.documents(s, d)
       .select(col("doc_id"), col("source"))
       .withColumn("rank_in_source", row_number().over(w))
-      .withColumn("position", row_number().over(wg))
+      .filter(col("rank_in_source") <= 200)
+    // per-source row counts, capped at 200 — the cap never changes
+    // min(cnt, r−1) or [cnt ≥ r] for r ≤ 200, and keeps the dim tiny
+    val srcCounts = ranked.groupBy(col("source").as("src2"))
+      .agg(count(lit(1)).as("cnt2"))
+    ranked.join(broadcast(srcCounts))
+      .groupBy("doc_id", "source", "rank_in_source")
+      .agg((lit(1L) + sum(
+        least(col("cnt2"), col("rank_in_source").cast("long") - 1L) +
+          when(col("src2") < col("source") &&
+            col("cnt2") >= col("rank_in_source"), 1L).otherwise(0L)))
+        .as("position"))
       .filter(col("position") <= 200)
-      .select("position", "source", "doc_id")
+      .select(col("position").cast("int").as("position"), col("source"), col("doc_id"))
       .orderBy("position")
   }
 

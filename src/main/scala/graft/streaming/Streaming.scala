@@ -4,7 +4,9 @@ import graft.{QFn, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 import java.sql.Timestamp
 
@@ -29,9 +31,27 @@ object Streaming {
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double, props: String)
 
+  /** `transformWithState` processor: per-user running purchase count +
+    * exact decimal total in one named ValueState. */
+  class PurchaseProcessor extends StatefulProcessor[Long, Ev, (Long, Long, Double)] {
+    @transient private var st: ValueState[(Long, BigDecimal)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, BigDecimal)]("purchases",
+        Encoders.product[(Long, BigDecimal)], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      val (n0, sum0) = if (st.exists()) st.get() else (0L, BigDecimal(0))
+      var n = n0; var total = sum0
+      rows.foreach { e => n += 1; total += BigDecimal(e.value.toString) }
+      st.update((n, total))
+      Iterator.single((uid, n, total.toDouble))
+    }
+  }
+
   /** Replay events through `build`, return the materialized sink. */
   private def runStream(s: SparkSession, d: String,
-      mode: OutputMode, name: String)(build: DataFrame => DataFrame): DataFrame = {
+      mode: OutputMode, name: String,
+      extraConfs: Map[String, String] = Map.empty)(build: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     val rows = Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -41,13 +61,18 @@ object Streaming {
     // fewer state partitions: each stateful operator commits one state
     // store per shuffle partition per micro-batch; at this volume the
     // per-store checkpoint overhead dominates, so 8 beats 32. Pinned at
-    // query start (state partitioning is fixed for the query's life).
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // query start (state partitioning is fixed for the query's life);
+    // previous values restored immediately after start.
+    val confs = Map("spark.sql.shuffle.partitions" -> "8") ++ extraConfs
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
     val q = try {
       build(stream.toDF()).writeStream
         .format("memory").queryName(sinkName).outputMode(mode).start()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
     try {
       val (first, second) = rows.splitAt(rows.length / 2)
       stream.addData(first); q.processAllAvailable()
@@ -97,16 +122,26 @@ object Streaming {
     }.select(col("window.start").as("w_start"), col("event_type"), col("n"))
       .orderBy("w_start", "event_type")
 
-  /** Exactly-once dedup on event_id: the feed duplicates every event
-    * (both halves sent twice); dropDuplicates restores uniqueness. */
+  /** Exactly-once dedup on event_id with BOUNDED state: the feed
+    * duplicates every event (union with itself), and
+    * `dropDuplicatesWithinWatermark` restores uniqueness while letting
+    * the state store evict ids once the 1-hour watermark passes them —
+    * a plain `dropDuplicates` keeps every id ever seen, which on a real
+    * stream grows without bound. Duplicates here arrive in the same
+    * micro-batch, so they are always within the horizon. The unique
+    * stream lands in the sink (append — dedup emits on first sight);
+    * the aggregate over it is batch-side, keeping one stateful operator
+    * per query. The spec additionally drives the eviction/late-drop
+    * path with a hand-built feed. */
   val streamDedup: QFn = (s, d) => {
-    val base = runStream(s, d, OutputMode.Complete(), "dedup") { df =>
-      // duplicate the stream inside the query: union with itself
-      df.union(df).dropDuplicates("event_id")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+    val uniq = runStream(s, d, OutputMode.Append(), "dedup") { df =>
+      df.union(df)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
     }
-    base.orderBy("event_type")
+    uniq.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .orderBy("event_type")
   }
 
   /** Custom state: per-user running purchase count + total via
@@ -128,6 +163,32 @@ object Streaming {
         }.toDF("user_id", "n_purchases", "total_value")
     }
     // final state = the update with the max purchase count per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_purchases").desc)
+    updates.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("user_id", "n_purchases", "total_value")
+      .orderBy("user_id")
+  }
+
+  /** The Spark-4 stateful surface: the same per-user running purchase
+    * aggregate as [[streamStateful]], expressed as a
+    * `StatefulProcessor` run through `transformWithState` (update
+    * mode, no timers). State lives in a named `ValueState` — the new
+    * API's composable state-variable model (vs. mapGroupsWithState's
+    * single opaque value), with TTL available for bounded retention.
+    * Requires the RocksDB state store provider, pinned per-query. */
+  val streamStatefulTws: QFn = (s, d) => {
+    val rocksConf = Map("spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val updates = runStream(s, d, OutputMode.Update(), "stateful_tws", rocksConf) { df =>
+      import df.sparkSession.implicits._
+      df.filter(col("event_type") === "purchase").as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState[(Long, Long, Double)](new PurchaseProcessor(),
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_purchases", "total_value")
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_purchases").desc)
     updates.withColumn("rk", row_number().over(w))
@@ -164,7 +225,8 @@ object Streaming {
     "stream_session" -> streamSession,
     "stream_late_data" -> streamLateData,
     "stream_dedup" -> streamDedup,
-    "stream_stateful" -> streamStateful)
+    "stream_stateful" -> streamStateful,
+    "stream_stateful_tws" -> streamStatefulTws)
 
   val oracles: Seq[(String, String)] = Seq(
     "stream_join" ->
@@ -207,6 +269,11 @@ object Streaming {
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_stateful" ->
+      """SELECT user_id, count(*) AS n_purchases,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+         FROM events WHERE event_type = 'purchase'
+         GROUP BY user_id ORDER BY user_id""",
+    "stream_stateful_tws" ->
       """SELECT user_id, count(*) AS n_purchases,
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
          FROM events WHERE event_type = 'purchase'
