@@ -18,18 +18,28 @@ object Extras2 {
     * equi+range join into a pure hash join whose build side is
     * bucket-local — no sort-merge over the full range. */
   val joinRangeBucketed: QFn = (s, d) => {
-    val bucketSecs = 30L * 24 * 3600
+    // Bucket on CALENDAR DAYS since epoch, not unix seconds: the
+    // timestamps are NTZ and the residual predicate is NTZ calendar
+    // arithmetic, so the bucket key must be timezone-independent too —
+    // unix_timestamp() interprets NTZ in the session zone, and in a DST
+    // zone a 30-day wall-clock window spans 30d+1h of unix seconds,
+    // leaking matches outside the computed buckets. datediff on the
+    // date part is zone-free. A lineitem in [d, d+30d) has day(ship) in
+    // [day(d), day(d)+30] — 31 consecutive days, spanning at most two
+    // 30-day buckets, and always including the two endpoints' buckets.
+    val bucketDays = 30L
+    val dayNum = (c: org.apache.spark.sql.Column) =>
+      datediff(c.cast("date"), lit("1970-01-01").cast("date")).cast("long")
     val o = Tables.orders(s, d).select(
       col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"),
-      // an order's 30-day window [date, date+30d) can overlap two buckets
       explode(array(
-        floor(unix_timestamp(col("o_orderdate")) / bucketSecs),
-        floor((unix_timestamp(col("o_orderdate")) + bucketSecs - 1) / bucketSecs)))
+        floor(dayNum(col("o_orderdate")) / bucketDays),
+        floor((dayNum(col("o_orderdate")) + bucketDays) / bucketDays)))
         .as("bucket"))
       .distinct()
     val li = Tables.lineitem(s, d).select(
       col("l_orderkey"), col("l_quantity"), col("l_shipdate"),
-      floor(unix_timestamp(col("l_shipdate")) / bucketSecs).as("bucket"))
+      floor(dayNum(col("l_shipdate")) / bucketDays).as("bucket"))
     o.join(li, col("l_orderkey") === col("o_orderkey") && o("bucket") === li("bucket"))
       .filter(col("l_shipdate") >= col("o_orderdate") &&
         col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
@@ -53,6 +63,43 @@ object Extras2 {
       length(sha2(concat(col("p_name"), col("p_type")), 512)).as("sha512_len"))
       .orderBy("p_partkey")
 
+  /** TPC-H Q5-shape multiway join — the canonical OLAP star chain:
+    * region → nation → {customer, supplier} → orders → lineitem, with
+    * the classic "local supplier" equi-constraint (supplier and
+    * customer in the same nation). The 100 TB plan this declares:
+    * region/nation/supplier are BROADCAST (dims, no shuffle of the
+    * facts on their account); orders is date-pruned at the scan before
+    * its shuffle join with lineitem; the only big shuffles are the two
+    * fact joins (lineitem⋈orders on orderkey, ⋈customer on custkey),
+    * both on high-cardinality keys. Revenue uses the exact decimal sum
+    * so the 1000-executor merge is order-independent. */
+  val joinMultiway: QFn = (s, d) => {
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, d)
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp_ntz"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val supp = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** Two-phase salted aggregation — the skew-mitigation pattern.
     * `l_returnflag` has 3 values, so a naive groupBy puts a third of
     * 100 TB through 3 reducers; salting fans each hot key across 16
@@ -72,6 +119,7 @@ object Extras2 {
 
   val entries: Seq[(String, QFn)] = Seq(
     "join_range_bucketed" -> joinRangeBucketed,
+    "join_multiway" -> joinMultiway,
     "fn_bitwise_hash" -> fnBitwiseHash,
     "agg_salted_skew" -> aggSaltedSkew)
 
@@ -97,5 +145,17 @@ object Extras2 {
          FROM part ORDER BY p_partkey""",
     "agg_salted_skew" ->
       s"""SELECT l_returnflag, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
-          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "join_multiway" ->
+      s"""SELECT n_name, ${sqlSum4("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM region
+          JOIN nation ON n_regionkey = r_regionkey
+          JOIN customer ON c_nationkey = n_nationkey
+          JOIN orders ON o_custkey = c_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1997-01-01'
+          GROUP BY n_name ORDER BY revenue DESC, n_name""")
 }

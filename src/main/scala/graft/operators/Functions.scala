@@ -56,7 +56,15 @@ object Functions {
       unix_timestamp(col("o_orderdate")).as("epoch_s"),
       to_date(col("o_orderdate")).as("as_date"),
       make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("made"),
-      last_day(col("o_orderdate")).as("eom"))
+      last_day(col("o_orderdate")).as("eom"),
+      // both engines clamp day-of-month overflow (Nov 30 + 3mo → Feb 28)
+      add_months(col("o_orderdate").cast("date"), 3).as("plus3mo"),
+      // months_between on two first-of-month dates is an exact integer
+      // (as double) in Spark; DuckDB's oracle is closed-form year/month
+      // arithmetic — the fractional-day branch is deliberately avoided
+      // because its /31 convention is Spark-specific
+      months_between(make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)),
+        lit("1995-01-01").cast("date")).as("months_since"))
       .orderBy("o_orderkey")
 
   /** Math family over retail prices (all positive → portable rounding). */
@@ -179,7 +187,9 @@ object Functions {
            CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
            CAST(o_orderdate AS DATE) AS as_date,
            make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS made,
-           last_day(CAST(o_orderdate AS DATE)) AS eom
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+           CAST((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS DOUBLE) AS months_since
          FROM orders ORDER BY o_orderkey""",
     "fn_math" ->
       """SELECT p_partkey,

@@ -52,7 +52,9 @@ object Relational {
     * DuckDB oracle, so the whole write→read path is oracle-checked. */
   private def roundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
     val sample = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${fmt}_${java.util.UUID.randomUUID()}"
+    // FIXED per-format path (mode=overwrite): repeated verify/bench runs
+    // reuse the directory instead of accumulating UUID-named litter
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_$fmt"
     val w = sample.write.mode("overwrite")
       .option("header", "true").option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
     fmt match {

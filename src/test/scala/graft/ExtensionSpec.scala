@@ -56,6 +56,54 @@ class ExtensionSpec extends SparkTestBase {
     assert(direct.forall(_.getDouble(0) == 0.0))
   }
 
+  test("SimplifySelfSpread preserves NaN/Inf/null semantics exactly") {
+    // the fold must reproduce the unfolded expression on every IEEE
+    // class: (x-x)/((x+x)/2) is NaN for x = NaN and x = ±Inf, null for
+    // null, 0.0 for finite — a plain fold-to-zero would silently
+    // change results for non-finite doubles
+    graft.functions.GraftFunctions.register(spark) // idempotent
+    val df = spark.sql(
+      """SELECT x, fused_spread(x, x) AS s FROM VALUES
+           (CAST('NaN' AS DOUBLE)), (CAST('Infinity' AS DOUBLE)),
+           (CAST('-Infinity' AS DOUBLE)), (CAST(NULL AS DOUBLE)),
+           (42.5D), (0.0D) AS t(x)""")
+    val before = df.queryExecution.analyzed
+    val after = graft.functions.SimplifySelfSpread(before)
+    assert(!after.toString.contains("fused_spread"), s"not simplified:\n$after")
+    def render(r: org.apache.spark.sql.Row): String =
+      if (r.isNullAt(1)) "null" else r.getDouble(1).toString
+    val viaRule = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, after)
+      .collect().map(render).toSeq
+    val direct = df.collect().map(render).toSeq
+    assert(viaRule == direct, s"fold diverged: $viaRule vs $direct")
+    assert(direct == Seq("NaN", "NaN", "NaN", "null", "0.0", "0.0"), direct)
+  }
+
+  test("CBO: ANALYZE TABLE statistics reach the optimized plan") {
+    // the statistics surface a 100 TB deployment runs on: row/column
+    // stats from ANALYZE feed the cost-based optimizer (join reorder,
+    // build-side choice) instead of raw file sizes
+    val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      Tables.nation(spark, sf).write.mode("overwrite").saveAsTable("cbo_nation")
+      spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR ALL COLUMNS")
+      val stats = spark.table("cbo_nation").queryExecution.optimizedPlan.stats
+      val expected = Tables.nation(spark, sf).count()
+      assert(stats.rowCount.contains(BigInt(expected)),
+        s"ANALYZE row count did not reach the plan: ${stats.rowCount}")
+      assert(stats.attributeStats.nonEmpty,
+        "column-level statistics missing from the optimized plan")
+      val distinct = stats.attributeStats.find(_._1.name == "n_nationkey")
+        .flatMap(_._2.distinctCount)
+      assert(distinct.contains(BigInt(expected)),
+        s"n_nationkey NDV should equal row count for a key column: $distinct")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cbo_nation")
+      spark.conf.set("spark.sql.cbo.enabled", prev)
+    }
+  }
+
   test("GraftExtensions also injects the optimizer rule") {
     // spot-check the installer wires BOTH surfaces without error
     val ext = new org.apache.spark.sql.SparkSessionExtensions

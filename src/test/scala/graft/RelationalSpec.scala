@@ -48,6 +48,14 @@ class RelationalSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("join_multiway broadcasts every dimension (facts shuffle only on keys)") {
+    val p = plan(operators.Extras2.joinMultiway(spark, sf))
+    val nBhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBhj >= 3, s"expected >=3 broadcast joins (nation/region, supplier, nation), got $nBhj:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"multiway join must stay equi-join only:\n$p")
+  }
+
   test("join_asof invariant: matched click is latest at-or-before purchase") {
     val res = operators.Relational.joinAsof(spark, sf)
     // every non-null last_click_ts <= purchase ts

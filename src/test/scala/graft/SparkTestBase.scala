@@ -25,6 +25,8 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet timestamp[ns] — see Tables.loadEvents
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed tables (the ANALYZE/CBO spec) go to tmp, not the repo
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -50,6 +50,39 @@ class StreamingSpec extends SparkTestBase {
     assert(rows("2024-01-01 01:00:00") == 1L)
   }
 
+  test("dropDuplicatesWithinWatermark drops in-horizon dupes and evicts state") {
+    import spark.implicits._
+    val stream = MemoryStream[Ev](spark)
+    val sink = s"dedup_spec_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: id=1 sent twice in one batch → exactly one row emitted
+      stream.addData(ev(1, 0), ev(1, 0))
+      q.processAllAvailable()
+      // batch 2: id=1 again, within the 10-min horizon → dropped as a
+      // duplicate; id=9 at minute 60 advances the watermark to 50,
+      // which is past id=1's expiry (0 + 10) → its state is EVICTED
+      stream.addData(ev(1, 1), ev(9, 60))
+      q.processAllAvailable()
+      // batch 3: id=1 once more at minute 55 (> watermark 50, so not
+      // late). Its dedup state is gone — the row is emitted AGAIN:
+      // bounded state trades unbounded-horizon dedup for eviction,
+      // exactly the documented WithinWatermark contract.
+      stream.addData(ev(1, 55))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table(sink).groupBy("event_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids(9L) == 1L)
+    assert(ids(1L) == 2L,
+      s"expected id=1 emitted twice (dedup within horizon, re-emit after eviction): $ids")
+    assert(spark.table(sink).count() == 3L)
+  }
+
   test("stream_late_data emits only watermark-closed windows") {
     val appended = streaming.Streaming.streamLateData(spark, sf).count()
     val allWindows = Tables.events(spark, sf)
@@ -66,16 +99,20 @@ class StreamingSpec extends SparkTestBase {
       .orderBy("event_type").collect()
     assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
 
-    val state = streaming.Streaming.streamStateful(spark, sf).collect()
     val batchState = Tables.events(spark, sf)
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n"), Det.dsum2(col("value")).as("t"))
       .orderBy("user_id").collect()
-    assert(state.length == batchState.length)
-    state.zip(batchState).foreach { case (s, b) =>
-      assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1))
-      assert(math.abs(s.getDouble(2) - b.getDouble(2)) < 1e-9)
+    // both stateful surfaces — mapGroupsWithState and the Spark-4
+    // transformWithState processor — must agree with the batch twin
+    for (state <- Seq(streaming.Streaming.streamStateful(spark, sf).collect(),
+      streaming.Streaming.streamStatefulTws(spark, sf).collect())) {
+      assert(state.length == batchState.length)
+      state.zip(batchState).foreach { case (s, b) =>
+        assert(s.getLong(0) == b.getLong(0) && s.getLong(1) == b.getLong(1))
+        assert(math.abs(s.getDouble(2) - b.getDouble(2)) < 1e-9)
+      }
     }
   }
 }
