@@ -14,9 +14,11 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
     // cartesian/BNLJ are legitimate only where the operator IS a cross
-    // product or an intentionally-bounded theta join
+    // product or an intentionally-bounded theta join; llm_tfidf crosses
+    // a 1-row broadcast count scalar, llm_interleave_sources crosses a
+    // <=#sources-row broadcast counts dim — both O(1)-size build sides
     val allowCross = Set("join_cross", "join_theta_range", "llm_knn_cosine",
-      "llm_knn_ivf", "agg_pivot")
+      "llm_knn_ivf", "agg_pivot", "llm_tfidf", "llm_interleave_sources")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         if (name.startsWith("stream_")) ()

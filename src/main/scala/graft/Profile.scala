@@ -24,6 +24,15 @@ object Profile {
       .select(sort_array(org.apache.spark.sql.functions.transform(bg, x => xxhash64(x))).as("hg"))
       .agg(sum(size(col("hg")))).count())
     t("full ngram_jaccard")(operators.LlmSimilarity.llmNgramJaccard(spark, d).count())
+    // native vs composed gram hashing (the composed HOF chain is
+    // CodegenFallback and re-tokenizes per gram — kept here as the
+    // regression comparison for HashedBigrams)
+    t("grams composed (interpreted)")(Tables.documents(spark, d)
+      .select(org.apache.spark.sql.functions.transform(bg, x => xxhash64(x)).as("hg"))
+      .select(explode(col("hg"))).count())
+    t("grams native (HashedBigrams)")(Tables.documents(spark, d)
+      .select(graft.functions.HashedBigrams(col("text")).as("hg"))
+      .select(explode(col("hg"))).count())
     t("near_dedup signatures")(operators.LlmSimilarity.minhashSignatures(spark, d).count())
     t("full near_dedup")(operators.LlmSimilarity.llmNearDedup(spark, d).count())
     spark.stop()

@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Multimodal.entries ++
       operators.Extras.entries ++
       operators.Extras2.entries ++
+      plans.AsOfJoinPlans.entries ++
       streaming.Streaming.entries
 
   private def oracleRegistry: Seq[(String, String)] =
@@ -37,6 +38,7 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.Extras.oracles ++
       operators.Extras2.oracles ++
+      plans.AsOfJoinPlans.oracles ++
       streaming.Streaming.oracles
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -73,5 +73,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => FusedSpread(
         GraftFunctions.toDoubleExpr(children(0)), GraftFunctions.toDoubleExpr(children(1)))))
     ext.injectOptimizerRule(_ => SimplifySelfSpread)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -136,10 +136,14 @@ object LlmSimilarity {
     * form pushed a 1M-row intermediate through a groupBy). */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     val (as, bs) = permConsts.unzip
+    // HashedBigrams → MinhashSigs: BOTH native codegen'd expressions,
+    // so the whole signature projection is one fused per-row pass (the
+    // composed transform() chain was CodegenFallback and re-tokenized
+    // the document once per gram)
     Tables.documents(s, d).select(
       col("doc_id"),
       graft.functions.MinhashSigs(
-        transform(bigrams(col("text")), x => pmod(xxhash64(x), lit(MersennePrime))),
+        graft.functions.HashedBigrams(col("text"), MersennePrime),
         as.toArray, bs.toArray, MersennePrime).as("sig"))
   }
 
@@ -172,8 +176,11 @@ object LlmSimilarity {
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
           .cast("double") / lit(MinhashPerms.toDouble))
       .filter(col("est_jaccard") >= 0.35)
+    // hashed gram sets: intersect/union counts over longs equal the
+    // string-gram counts (no-collision assumption shared by the whole
+    // gram pipeline), at a fraction of the compare cost
     val grams = Tables.documents(s, d)
-      .select(col("doc_id"), bigrams(col("text")).as("grams"))
+      .select(col("doc_id"), graft.functions.HashedBigrams(col("text")).as("grams"))
     est.join(grams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
       .join(grams.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"),
@@ -275,9 +282,13 @@ object LlmSimilarity {
     * grams are hashed to 8-byte longs so the posting shuffle stays
     * narrow. Integer set math is dialect-exact → DuckDB oracle. */
   val llmNgramJaccard: QFn = (s, d) => {
+    // native single-pass gram hashing: the composed transform/xxhash64
+    // chain was interpreted (HOFs are CodegenFallback) and re-evaluated
+    // once per self-join side — 4.4 s per evaluation at sf0.1 vs ~0.2 s
+    // for this expression
     val g = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        transform(bigrams(col("text")), x => xxhash64(x)).as("hg"))
+        graft.functions.HashedBigrams(col("text")).as("hg"))
     val sizes = g.select(col("doc_id"), size(col("hg")).as("sz"))
     val postings = g.select(col("source"), col("doc_id"), explode(col("hg")).as("gram"))
     val shared = postings.as("x").join(postings.as("y"),

@@ -27,6 +27,29 @@ class LlmSpec extends SparkTestBase {
     assert(missed.isEmpty, s"LSH missed high-similarity pairs: $missed")
   }
 
+  test("hashed_bigrams equals the composed split/concat/xxhash64 pipeline") {
+    // the native expression must produce exactly the hash SET the
+    // interpreted HOF chain produces, row by row (order included:
+    // both emit first-occurrence order of distinct grams)
+    val both = Tables.documents(spark, sf).select(
+      graft.functions.HashedBigrams(col("text")).as("native"),
+      expr("""transform(
+        array_distinct(transform(sequence(1, size(split(text,' '))-1),
+          i -> concat(element_at(split(text,' '),i), '_', element_at(split(text,' '),i+1)))),
+        x -> xxhash64(x))""").as("composed"))
+    assert(both.filter(col("native") =!= col("composed")).count() == 0)
+    // and stays inside whole-stage codegen (the point of the rewrite)
+    val df = Tables.documents(spark, sf)
+      .select(graft.functions.HashedBigrams(col("text")).as("h"))
+    assert(plan(df).contains("*(1)"), s"hashed_bigrams broke codegen:\n${plan(df)}")
+    // single-token and empty docs yield empty gram sets, not errors
+    import spark.implicits._
+    val edge = Seq("", "one", "two words").toDF("text")
+      .select(size(graft.functions.HashedBigrams(col("text"))).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(edge == Seq(0, 0, 1), s"edge-case gram counts: $edge")
+  }
+
   test("llm_near_dedup MinHash estimate is close to exact Jaccard") {
     val rows = operators.LlmSimilarity.llmNearDedup(spark, sf)
       .select("est_jaccard", "exact_jaccard").collect()

@@ -56,6 +56,17 @@ class RelationalSpec extends SparkTestBase {
       s"multiway join must stay equi-join only:\n$p")
   }
 
+  test("join_asof_native (custom LogicalPlan/Strategy/SparkPlan) equals the composition") {
+    val nativeDf = plans.AsOfJoinPlans.joinAsofNative(spark, sf)
+    val p = plan(nativeDf)
+    assert(p.contains("AsOfJoin"), s"custom operator not planned:\n$p")
+    val native = nativeDf.collect()
+    val composed = operators.Relational.joinAsof(spark, sf).collect()
+    assert(native.length == composed.length)
+    native.zip(composed).foreach { case (n, c) =>
+      assert(n.toString == c.toString, s"diverged: $n vs $c") }
+  }
+
   test("join_asof invariant: matched click is latest at-or-before purchase") {
     val res = operators.Relational.joinAsof(spark, sf)
     // every non-null last_click_ts <= purchase ts
