@@ -12,6 +12,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet timestamp[ns] — see Tables.loadEvents
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // managed tables (bucketed-join keys) live in tmp, not the repo
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.catalogImplementation", "in-memory")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QFn, Tables, Det}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Second coverage batch: the bucketed range join (the 100 TB path
@@ -63,6 +64,55 @@ object Extras2 {
       length(sha2(concat(col("p_name"), col("p_type")), 512)).as("sha512_len"))
       .orderBy("p_partkey")
 
+  /** Bucketed co-located join — THE 100 TB layout decision for
+    * repeated fact-to-fact joins: both tables written once with
+    * `bucketBy(N, key).sortBy(key)` into the catalog, after which
+    * every join on the key is planned WITHOUT a shuffle on either
+    * side (bucket i joins bucket i locally; the spec asserts zero
+    * ShuffleExchange in the join subplan). Amortizes the shuffle that
+    * `join_inner_equi` pays per query into a one-time layout cost —
+    * on a petabyte fact table that is the difference between a
+    * re-shuffle per query and none. The bucketed copies live in the
+    * session warehouse (tmp); rewritten per (session, sf) so stale
+    * layouts can never leak across scale factors. */
+  val joinBucketedColocated: QFn = (s, d) => {
+    val suffix = d.replaceAll("[^a-zA-Z0-9]", "_")
+    val (tl, to) = (s"bkt_lineitem_$suffix", s"bkt_orders_$suffix")
+    if (!s.catalog.tableExists(tl) || !s.catalog.tableExists(to)) {
+      // the in-memory catalog is per-JVM but the warehouse directory is
+      // not: clear any orphan location from a previous run before the
+      // CREATE, or saveAsTable fails with LOCATION_ALREADY_EXISTS
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq(tl, to).foreach { t =>
+        val dir = new java.io.File(wh, t)
+        if (dir.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(dir).deleteRecursively()
+        }
+      }
+      Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(tl)
+      Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(to)
+    }
+    bucketedJoinOnly(s, d)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** The shuffle-free join subplan (pre-aggregation) — exposed so the
+    * spec can assert the absence of exchanges on the join itself
+    * (the final 3-group aggregate legitimately shuffles). Assumes
+    * [[joinBucketedColocated]] has created the tables. */
+  def bucketedJoinOnly(s: SparkSession, d: String): DataFrame = {
+    val suffix = d.replaceAll("[^a-zA-Z0-9]", "_")
+    s.table(s"bkt_lineitem_$suffix")
+      .join(s.table(s"bkt_orders_$suffix"), col("l_orderkey") === col("o_orderkey"))
+  }
+
   /** TPC-H Q5-shape multiway join — the canonical OLAP star chain:
     * region → nation → {customer, supplier} → orders → lineitem, with
     * the classic "local supplier" equi-constraint (supplier and
@@ -119,6 +169,7 @@ object Extras2 {
 
   val entries: Seq[(String, QFn)] = Seq(
     "join_range_bucketed" -> joinRangeBucketed,
+    "join_bucketed_colocated" -> joinBucketedColocated,
     "join_multiway" -> joinMultiway,
     "fn_bitwise_hash" -> fnBitwiseHash,
     "agg_salted_skew" -> aggSaltedSkew)
@@ -146,6 +197,10 @@ object Extras2 {
     "agg_salted_skew" ->
       s"""SELECT l_returnflag, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "join_bucketed_colocated" ->
+      s"""SELECT o_orderstatus, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "join_multiway" ->
       s"""SELECT n_name, ${sqlSum4("l_extendedprice * (1 - l_discount)")} AS revenue
           FROM region

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.{QFn, Tables, Det}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / market-bar domain operators — the derived quantities
+  * the reference's intraday bid/ask domain implies (SURVEY §1a):
+  * time-bucketed OHLC bars, size-weighted VWAP, and a gap-filled
+  * forward-filled resample. `events.value` stands in for price and the
+  * JSON `props.k` field for size — same shapes, same plans.
+  *
+  * All three are single-shuffle aggregations/windows over the
+  * high-cardinality (bucket, type) grain — the partitioning a
+  * 100 TB tick store would use (bar buckets nest cleanly inside
+  * date partitions, so bars never cross file groups).
+  */
+object TimeSeries {
+
+  import Det._
+
+  private val bar = date_trunc("hour", col("ts"))
+
+  /** Hourly OHLC bars per event type. Open/close are the first/last
+    * value in (ts, event_id) order — the event_id tiebreak makes bars
+    * deterministic under equal timestamps on any executor count. */
+  val tsOhlcBars: QFn = (s, d) => {
+    val wAsc = Window.partitionBy("bar", "event_type").orderBy("ts", "event_id")
+    val wDesc = Window.partitionBy("bar", "event_type")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(bar.as("bar"), col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy("bar", "event_type")
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("bar", "event_type")
+  }
+
+  /** Hourly size-weighted average price: Σ(price·size)/Σ(size) with
+    * the price·size products summed as exact decimals — the same
+    * order-independent merge the weighted-mid UDAF uses, so 1000
+    * partial aggregates combine losslessly. */
+  val tsVwap: QFn = (s, d) =>
+    Tables.events(s, d)
+      .select(bar.as("bar"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("sz"))
+      .groupBy("bar")
+      .agg(
+        (dsum2(col("value") * col("sz")) / sum("sz")).as("vwap"),
+        sum("sz").as("total_size"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("bar")
+
+  /** Gap-filled hourly resample with forward fill: a generated hour
+    * spine per event type (one `sequence` over the global [min, max]
+    * bar range, exploded), left-joined to the observed hourly
+    * averages, missing bars carried forward via
+    * `last(ignoreNulls)`. The spine is |types| × |hours| rows —
+    * broadcast-sized metadata next to the fact scan at any corpus
+    * size; the fill window partitions by type, so no global sort. */
+  val tsGapfill: QFn = (s, d) => {
+    val e = Tables.events(s, d)
+    val hourly = e.select(bar.as("bar"), col("event_type"), col("value"))
+      .groupBy("bar", "event_type").agg(davg2(col("value")).as("avg_value"))
+    val bounds = e.agg(min(bar).as("lo"), max(bar).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("bar"))
+      .crossJoin(e.select("event_type").distinct())
+    val wFill = Window.partitionBy("event_type").orderBy("bar")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("bar", "event_type"), "left")
+      .withColumn("is_gap", col("avg_value").isNull.cast("int"))
+      .withColumn("filled_value", last(col("avg_value"), ignoreNulls = true).over(wFill))
+      .select("bar", "event_type", "is_gap", "filled_value")
+      .orderBy("bar", "event_type")
+  }
+
+  val entries: Seq[(String, QFn)] = Seq(
+    "ts_ohlc_bars" -> tsOhlcBars,
+    "ts_vwap" -> tsVwap,
+    "ts_gapfill" -> tsGapfill)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "ts_ohlc_bars" ->
+      """WITH t AS (
+           SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
+             CAST(ts AS TIMESTAMP) AS tts, event_id, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn_d
+           FROM events)
+         SELECT bar, event_type,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high, min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_ticks
+         FROM t GROUP BY bar, event_type ORDER BY bar, event_type""",
+    "ts_vwap" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
+            ${sqlSum2("value * CAST(props->>'$.k' AS INT)")} / sum(CAST(props->>'$$.k' AS INT)) AS vwap,
+            CAST(sum(CAST(props->>'$$.k' AS INT)) AS BIGINT) AS total_size,
+            count(*) AS n_ticks
+          FROM events GROUP BY 1 ORDER BY bar""",
+    "ts_gapfill" ->
+      s"""WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
+              ${sqlAvg2("value")} AS avg_value
+            FROM events GROUP BY 1, 2),
+          bounds AS (
+            SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+              max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi
+            FROM events),
+          spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bar, et.event_type
+            FROM bounds, (SELECT DISTINCT event_type FROM events) et)
+          SELECT s.bar, s.event_type,
+            CAST(h.avg_value IS NULL AS INT) AS is_gap,
+            last_value(h.avg_value IGNORE NULLS) OVER (
+              PARTITION BY s.event_type ORDER BY s.bar
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+          FROM spine s LEFT JOIN hourly h ON s.bar = h.bar AND s.event_type = h.event_type
+          ORDER BY s.bar, s.event_type""")
+}

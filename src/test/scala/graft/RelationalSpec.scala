@@ -56,6 +56,24 @@ class RelationalSpec extends SparkTestBase {
       s"multiway join must stay equi-join only:\n$p")
   }
 
+  test("join_bucketed_colocated: bucketed layout removes the join shuffle") {
+    // run the registered key once (creates the bucketed tables + checks rows)
+    assert(operators.Extras2.joinBucketedColocated(spark, sf).count() > 0)
+    // at smoke scale the planner would rather broadcast the tiny orders
+    // side (also exchange-free on the fact, but not what this spec
+    // proves); pin it off so the bucketed sort-merge path is exercised
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joinDf = operators.Extras2.bucketedJoinOnly(spark, sf)
+      joinDf.collect()
+      val p = plan(joinDf)
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("SortMergeJoin"), s"expected bucketed SMJ:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("join_asof_native (custom LogicalPlan/Strategy/SparkPlan) equals the composition") {
     val nativeDf = plans.AsOfJoinPlans.joinAsofNative(spark, sf)
     val p = plan(nativeDf)
