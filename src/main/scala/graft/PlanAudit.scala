@@ -17,8 +17,11 @@ object PlanAudit {
     // product or an intentionally-bounded theta join; llm_tfidf crosses
     // a 1-row broadcast count scalar, llm_interleave_sources crosses a
     // <=#sources-row broadcast counts dim — both O(1)-size build sides
+    // ts_gapfill crosses the generated hour spine with the <=5-value
+    // event-type dim — another O(1)-size build side
     val allowCross = Set("join_cross", "join_theta_range", "llm_knn_cosine",
-      "llm_knn_ivf", "agg_pivot", "llm_tfidf", "llm_interleave_sources")
+      "llm_knn_ivf", "agg_pivot", "llm_tfidf", "llm_interleave_sources",
+      "ts_gapfill")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         if (name.startsWith("stream_")) ()

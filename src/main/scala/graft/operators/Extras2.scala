@@ -49,6 +49,29 @@ object Extras2 {
       .orderBy("o_orderpriority")
   }
 
+  /** Exact interpolated percentiles per group — Spark's `percentile`
+    * and DuckDB's `quantile_cont` share the linear-interpolation
+    * definition, so the quartiles hash-match (rounded to absorb the
+    * final-interpolation ulp). The APPROXIMATE twin at scale is
+    * `agg_approx_distinct`-style sketching (`percentile_approx`),
+    * deliberately not oracled — exact percentile is the semantics
+    * anchor. */
+  val aggPercentileExact: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.9D))").as("qs"),
+        count(lit(1)).as("n"))
+      // scalar columns, not the raw array: the oracle hash-compare
+      // sorts rows by every column and array cells don't sort
+      .select(col("l_returnflag"),
+        round(element_at(col("qs"), 1), 6).as("q25"),
+        round(element_at(col("qs"), 2), 6).as("q50"),
+        round(element_at(col("qs"), 3), 6).as("q75"),
+        round(element_at(col("qs"), 4), 6).as("q90"),
+        col("n"))
+      .orderBy("l_returnflag")
+
   /** Bitwise + hash function family. */
   val fnBitwiseHash: QFn = (s, d) =>
     Tables.part(s, d).select(
@@ -172,6 +195,7 @@ object Extras2 {
     "join_bucketed_colocated" -> joinBucketedColocated,
     "join_multiway" -> joinMultiway,
     "fn_bitwise_hash" -> fnBitwiseHash,
+    "agg_percentile_exact" -> aggPercentileExact,
     "agg_salted_skew" -> aggSaltedSkew)
 
   val oracles: Seq[(String, String)] = Seq(
@@ -197,6 +221,14 @@ object Extras2 {
     "agg_salted_skew" ->
       s"""SELECT l_returnflag, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_percentile_exact" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           round(quantile_cont(l_quantity, 0.9), 6) AS q90,
+           count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "join_bucketed_colocated" ->
       s"""SELECT o_orderstatus, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
           FROM orders JOIN lineitem ON l_orderkey = o_orderkey

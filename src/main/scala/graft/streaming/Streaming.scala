@@ -218,8 +218,42 @@ object Streaming {
     }.select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
       .orderBy("purchase_id", "click_id")
 
+  /** FILE-SOURCE stream — the production ingest shape (a lake
+    * directory that accumulates files), distinct from the MemoryStream
+    * harness every other key uses: events are staged as parquet files,
+    * `readStream` discovers and processes them with
+    * `Trigger.AvailableNow` (process-everything-then-stop, the batch
+    * backfill trigger), aggregating per type. A FRESH checkpoint per
+    * run makes the run deterministic (a reused checkpoint would mark
+    * the staged files already-processed and emit nothing); at scale
+    * the checkpoint is durable state and `maxFilesPerTrigger` paces
+    * ingestion. */
+  val streamFileSource: QFn = (s, d) => {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val src = s"$tmp/graft_stream_src"
+    val ckpt = s"$tmp/graft_stream_ckpt"
+    // stage the events as files; clear the previous run's checkpoint
+    // (fixed paths — no tmpdir growth)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(ckpt)).deleteRecursively()
+    val batch = Tables.events(s, d)
+    batch.write.mode("overwrite").parquet(src)
+    val sinkName = s"fsrc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = s.readStream.schema(batch.schema).parquet(src)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.table(sinkName).orderBy("event_type")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "stream_join" -> streamJoin,
+    "stream_file_source" -> streamFileSource,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -265,6 +299,10 @@ object Streaming {
          FROM sessioned GROUP BY user_id, sess_id
          ORDER BY user_id, sess_start""",
     "stream_dedup" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_file_source" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -74,6 +74,45 @@ class RelationalSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // the runtime half of the skew story (agg_salted_skew is the
+    // author-side half): pile ~90% of both sides onto one key, lower
+    // the detection thresholds to smoke-data sizes, and assert
+    // OptimizeSkewedJoin rewrote the sort-merge join
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      // isolate the skew rule from partition coalescing, and keep it
+      // applied even where it would add exchanges
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // repartition first: the smoke parquet is ONE file = one map
+      // task, and a skewed reducer partition can only be split at
+      // mapper-output granularity — several mappers must exist
+      val li = Tables.lineitem(spark, sf).repartition(8)
+        .select(when(col("l_orderkey") % 10 < 9, 0L)
+          .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+      val o = Tables.orders(spark, sf).repartition(8)
+        .select(when(col("o_orderkey") % 40 === 0, 0L)
+          .otherwise(col("o_orderkey")).as("k"), col("o_totalprice"))
+      val joined = li.join(o, "k")
+      // collect() (not count()) so THIS DataFrame's QueryExecution runs
+      // and its AdaptiveSparkPlan is finalized for inspection
+      assert(joined.collect().length > 0)
+      val p = plan(joined)
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"AQE did not split the skewed partition:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("join_asof_native (custom LogicalPlan/Strategy/SparkPlan) equals the composition") {
     val nativeDf = plans.AsOfJoinPlans.joinAsofNative(spark, sf)
     val p = plan(nativeDf)
