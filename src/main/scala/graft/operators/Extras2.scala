@@ -72,6 +72,46 @@ object Extras2 {
         col("n"))
       .orderBy("l_returnflag")
 
+  /** EXCEPT / INTERSECT set semantics (DISTINCT forms) over customer
+    * keys of final vs open orders, tagged and unioned into one
+    * deterministic result. Both compile to hash aggregates over one
+    * shuffle each — same scale shape as distinct. */
+  val setExceptIntersect: QFn = (s, d) => {
+    val o = Tables.orders(s, d)
+    val fin = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+    val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+    fin.except(open).withColumn("tag", lit("final_only"))
+      .unionByName(fin.intersect(open).withColumn("tag", lit("both")))
+      .orderBy("tag", "o_custkey")
+  }
+
+  /** UNPIVOT (melt): the four lineitem measures rotated into
+    * (measure, val) rows — the wide→long reshape every metrics
+    * pipeline needs; a per-row Expand, no shuffle. */
+  val unpivotMelt: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** Deterministic string aggregation: per-segment sorted name list.
+    * `array_sort(collect_list(...))` makes the concatenation
+    * order-independent across any partitioning — the only way a
+    * distributed listagg can hash-match a single-node engine. */
+  val aggStringAgg: QFn = (s, d) =>
+    Tables.customer(s, d)
+      .filter(col("c_custkey") <= 50)
+      .groupBy("c_mktsegment")
+      .agg(
+        concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
   /** Bitwise + hash function family. */
   val fnBitwiseHash: QFn = (s, d) =>
     Tables.part(s, d).select(
@@ -196,7 +236,10 @@ object Extras2 {
     "join_multiway" -> joinMultiway,
     "fn_bitwise_hash" -> fnBitwiseHash,
     "agg_percentile_exact" -> aggPercentileExact,
-    "agg_salted_skew" -> aggSaltedSkew)
+    "agg_salted_skew" -> aggSaltedSkew,
+    "set_except_intersect" -> setExceptIntersect,
+    "unpivot_melt" -> unpivotMelt,
+    "agg_string_agg" -> aggStringAgg)
 
   val oracles: Seq[(String, String)] = Seq(
     // oracle = the straightforward range join; results must be
@@ -233,6 +276,32 @@ object Extras2 {
       s"""SELECT o_orderstatus, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "set_except_intersect" ->
+      """SELECT o_custkey, 'final_only' AS tag FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           EXCEPT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+         UNION ALL
+         SELECT o_custkey, 'both' AS tag FROM (
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+         ORDER BY tag, o_custkey""",
+    "unpivot_melt" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, measure""",
+    "agg_string_agg" ->
+      """SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           count(*) AS n
+         FROM customer WHERE c_custkey <= 50
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "join_multiway" ->
       s"""SELECT n_name, ${sqlSum4("l_extendedprice * (1 - l_discount)")} AS revenue
           FROM region
