@@ -48,14 +48,22 @@ object Streaming {
     }
   }
 
+  /** Replay-row memo: nine streaming keys each replay the same events
+    * table through MemoryStream, and the driver-side collect+sort is
+    * ~1 s per key at sf0.1 — pay it once per (session, sfDir). Harness
+    * state only (the feed), never query state. */
+  private val replayRows =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Ev]]()
+
   /** Replay events through `build`, return the materialized sink. */
   private def runStream(s: SparkSession, d: String,
       mode: OutputMode, name: String,
       extraConfs: Map[String, String] = Map.empty)(build: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
-    val rows = Tables.events(s, d)
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val rows = replayRows.computeIfAbsent((s.sparkContext.applicationId, d), _ =>
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id)))
     val stream = MemoryStream[Ev](s)
     val sinkName = s"${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // fewer state partitions: each stateful operator commits one state
