@@ -67,6 +67,22 @@ object Functions {
         lit("1995-01-01").cast("date")).as("months_since"))
       .orderBy("o_orderkey")
 
+  /** Timestamp arithmetic over event instants (UTC pinned): interval
+    * add/subtract, elapsed whole units vs a fixed anchor (positive
+    * diffs only, so Spark's truncate-toward-zero equals the oracle's
+    * floor — DuckDB's own date_diff counts boundary CROSSINGS and is
+    * deliberately avoided), formatting, epoch extraction. */
+  val fnTsArith: QFn = (s, d) =>
+    Tables.events(s, d).select(
+      col("event_id"),
+      expr("timestampadd(HOUR, 2, ts)").as("plus2h"),
+      expr("timestampadd(MINUTE, -30, ts)").as("minus30m"),
+      expr("timestampdiff(HOUR, timestamp'2024-01-01 00:00:00', ts)").as("hours_since"),
+      expr("timestampdiff(SECOND, timestamp'2024-01-01 00:00:00', ts)").as("secs_since"),
+      date_format(col("ts"), "yyyy-MM-dd HH").as("fmt_hour"),
+      unix_millis(col("ts")).as("epoch_ms"))
+      .orderBy("event_id")
+
   /** Math family over retail prices (all positive → portable rounding). */
   val fnMath: QFn = (s, d) =>
     Tables.part(s, d).select(
@@ -151,6 +167,7 @@ object Functions {
   val entries: Seq[(String, QFn)] = Seq(
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
+    "fn_ts_arith" -> fnTsArith,
     "fn_math" -> fnMath,
     "fn_cond" -> fnCond,
     "fn_array" -> fnArray,
@@ -191,6 +208,15 @@ object Functions {
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
            CAST((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS DOUBLE) AS months_since
          FROM orders ORDER BY o_orderkey""",
+    "fn_ts_arith" ->
+      """SELECT event_id,
+           CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS plus2h,
+           CAST(ts AS TIMESTAMP) - INTERVAL 30 MINUTE AS minus30m,
+           CAST(floor((epoch(CAST(ts AS TIMESTAMP)) - epoch(TIMESTAMP '2024-01-01 00:00:00')) / 3600) AS BIGINT) AS hours_since,
+           CAST(floor(epoch(CAST(ts AS TIMESTAMP)) - epoch(TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) AS secs_since,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H') AS fmt_hour,
+           epoch_ms(CAST(ts AS TIMESTAMP)) AS epoch_ms
+         FROM events ORDER BY event_id""",
     "fn_math" ->
       """SELECT p_partkey,
            round(p_retailprice, 1) AS r1,

@@ -124,6 +124,24 @@ class RelationalSpec extends SparkTestBase {
       assert(n.toString == c.toString, s"diverged: $n vs $c") }
   }
 
+  test("join_asof_native is invariant to partition count (distribution safety)") {
+    // a custom SparkPlan's most dangerous failure mode is a result
+    // that depends on physical partitioning; the merge must produce
+    // identical rows whether the hash shuffle lands on 1, 3, or 8
+    // partitions
+    val base = plans.AsOfJoinPlans.joinAsofNative(spark, sf)
+      .collect().map(_.toString).toSeq
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    for (n <- Seq("1", "3")) {
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      try {
+        val got = plans.AsOfJoinPlans.joinAsofNative(spark, sf)
+          .collect().map(_.toString).toSeq
+        assert(got == base, s"result changed at $n shuffle partitions")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+  }
+
   test("join_asof invariant: matched click is latest at-or-before purchase") {
     val res = operators.Relational.joinAsof(spark, sf)
     // every non-null last_click_ts <= purchase ts
