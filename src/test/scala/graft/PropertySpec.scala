@@ -76,6 +76,55 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("hashed_bigrams equals the composed pipeline on arbitrary strings") {
+    // randomized parity for the native expression: words with empty
+    // tokens, repeated grams, unicode, single tokens, empty strings —
+    // the composed HOF chain is the semantics oracle
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""),
+      Gen.oneOf("naïve", "東京", "a_b", "x"))
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    forAll(Gen.listOfN(25, text), n = 6) { texts =>
+      import spark.implicits._
+      val both = texts.toDF("text").select(
+        graft.functions.HashedBigrams(col("text")).as("native"),
+        expr("""CASE WHEN size(split(text, ' ')) >= 2 THEN transform(
+            array_distinct(transform(sequence(1, size(split(text,' '))-1),
+              i -> concat(element_at(split(text,' '),i), '_', element_at(split(text,' '),i+1)))),
+            x -> xxhash64(x))
+          ELSE array() END""").as("composed"))
+      val bad = both.filter(col("native") =!= col("composed")).collect()
+      assert(bad.isEmpty, s"native/composed diverged: ${bad.take(3).mkString(";")}")
+    }
+  }
+
+  test("as-of native operator agrees with the composition on generated streams") {
+    val evGen = Gen.listOfN(40, Gen.zip(
+      Gen.choose(1L, 4L), Gen.choose(0L, 500L), Gen.oneOf("click", "purchase")))
+    forAll(evGen, n = 6) { evs =>
+      import spark.implicits._
+      val df = evs.zipWithIndex.map { case ((u, t, ty), i) =>
+        (i.toLong, new java.sql.Timestamp(t * 1000), u, ty)
+      }.toDF("event_id", "ts", "user_id", "event_type")
+      val purchases = df.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_uid"), col("ts").as("c_ts"))
+      val native = plans.AsOfJoinPlans.asofJoin(purchases, clicks,
+        "user_id", "c_uid", "ts", "c_ts", "c_ts", "last_click_ts")
+        .orderBy("event_id").collect().map(_.toString).toSeq
+      // driver-side oracle: max click ts at-or-before, per purchase
+      val expected = purchases.orderBy("event_id").collect().map { r =>
+        val (id, uid, ts) = (r.getLong(0), r.getLong(1), r.getTimestamp(2))
+        val m = evs.filter { case (u, t, ty) =>
+          ty == "click" && u == uid && t * 1000 <= ts.getTime }
+        val best = if (m.isEmpty) null
+          else new java.sql.Timestamp(m.map(_._2).max * 1000)
+        org.apache.spark.sql.Row(id, uid, ts, best).toString
+      }.toSeq
+      assert(native == expected)
+    }
+  }
+
   test("as-of invariant on generated event streams") {
     val evGen = Gen.listOfN(30, Gen.zip(
       Gen.choose(1L, 5L), Gen.choose(0L, 1000L), Gen.oneOf("click", "purchase")))
