@@ -137,8 +137,34 @@ object Extras {
       .orderBy("custkey")
   }
 
+  /** Statistical outlier detection — the DQ step after [[dqChecks]]'s
+    * structural gates: per-type z-scores with the moments computed
+    * from EXACT decimal sums (Σx as DECIMAL(30,2), Σx² as
+    * DECIMAL(30,4)), so mean and variance are bit-identical on any
+    * executor count — a streamed stddev_samp would drift in reduction
+    * order across engines and partitionings. The remaining arithmetic
+    * is per-group IEEE double ops on identical inputs → identical z.
+    * One aggregate + one broadcast join back to the facts. */
+  val dqOutliers: QFn = (s, d) => {
+    val e = Tables.events(s, d)
+    val stats = e.groupBy("event_type").agg(
+      Det.dsum2(col("value")).as("sx"),
+      Det.dsum4(col("value") * col("value")).as("sx2"),
+      count(lit(1)).as("n"))
+      .withColumn("mean", col("sx") / col("n"))
+      .withColumn("sd", sqrt((col("sx2") - col("sx") * col("sx") / col("n"))
+        / (col("n") - 1)))
+      .select("event_type", "mean", "sd")
+    e.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("mean")) / col("sd"), 6))
+      .filter(abs(col("z")) > 2.5)
+      .select("event_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "agg_pivot" -> aggPivot,
+    "dq_outliers" -> dqOutliers,
     "subquery_family" -> subqueryFamily,
     "win_percentiles" -> winPercentiles,
     "fn_struct" -> fnStruct,
@@ -183,6 +209,20 @@ object Extras {
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
          FROM events WHERE event_type IN ('purchase', 'error')
          GROUP BY event_type ORDER BY event_type""",
+    "dq_outliers" ->
+      s"""WITH st AS (
+            SELECT event_type,
+              ${sqlSum2("value")} AS sx,
+              ${sqlSum4("value * value")} AS sx2,
+              count(*) AS n
+            FROM events GROUP BY event_type),
+          zs AS (
+            SELECT e.event_id, e.event_type, e.value,
+              round((e.value - st.sx / st.n)
+                / sqrt((st.sx2 - st.sx * st.sx / st.n) / (st.n - 1)), 6) AS z
+            FROM events e JOIN st ON e.event_type = st.event_type)
+          SELECT event_id, event_type, value, z FROM zs
+          WHERE abs(z) > 2.5 ORDER BY event_id""",
     "dq_checks" ->
       """SELECT * FROM (
            SELECT 'orders_rows' AS "check", count(*) AS metric FROM orders
