@@ -259,9 +259,43 @@ object Streaming {
     s.table(sinkName).orderBy("event_type")
   }
 
+  /** `foreachBatch` sink — the serving-table pattern: each micro-batch
+    * of a complete-mode aggregate is written to a parquet table the
+    * downstream reader queries (overwrite per batch = last batch wins
+    * = batch-equivalent, which is what makes it oracle-able). In
+    * production the lambda would MERGE into a lakehouse table or push
+    * to an external store — foreachBatch is the one sink that hands
+    * the user a full batch DataFrame + epoch id for exactly-once
+    * bookkeeping. */
+  val streamForeachBatch: QFn = (s, d) => {
+    import s.implicits._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_fb_sink"
+    val rows = replayRows.computeIfAbsent((s.sparkContext.applicationId, d), _ =>
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id)))
+    val stream = MemoryStream[Ev](s)
+    val q = stream.toDF()
+      .groupBy((col("user_id") % 10).as("cohort"))
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .outputMode(OutputMode.Complete())
+      .start()
+    try {
+      val (first, second) = rows.splitAt(rows.length / 2)
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(out).orderBy("cohort")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "stream_join" -> streamJoin,
     "stream_file_source" -> streamFileSource,
+    "stream_foreach_batch" -> streamForeachBatch,
     "stream_tumbling" -> streamTumbling,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -310,6 +344,10 @@ object Streaming {
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_foreach_batch" ->
+      """SELECT user_id % 10 AS cohort, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1 ORDER BY cohort""",
     "stream_file_source" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
