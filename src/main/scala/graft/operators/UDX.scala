@@ -85,9 +85,28 @@ object UDX {
       .orderBy("p_partkey")
   }
 
+  /** Native `TypedImperativeAggregate` sketch (Misra–Gries heavy
+    * hitters, functions/HeavyHitters.scala): bounded-memory frequency
+    * summary with serialized partials and tree-mergeable combine.
+    * Capacity 16 > the 5 distinct order priorities, so every count is exact
+    * and the exploded summary hash-matches a plain DuckDB group count;
+    * the approximate small-k regime is spec-validated instead
+    * (HeavyHittersSpec). */
+  val aggHeavyHitters: QFn = (s, d) => {
+    val summary = graft.functions.MisraGries
+      .misraGries(col("o_orderpriority"), 16).as("hh")
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(summary)
+      .select(col("o_orderstatus"), explode(col("hh")).as("e"))
+      .select(col("o_orderstatus"), col("e.item").as("item"), col("e.cnt").as("cnt"))
+      .orderBy("o_orderstatus", "item")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "udf_scalar" -> udfScalar,
     "agg_udaf_wmid" -> aggUdafWmid,
+    "agg_heavy_hitters" -> aggHeavyHitters,
     "expr_custom" -> exprCustom)
 
   val oracles: Seq[(String, String)] = Seq(
@@ -105,6 +124,10 @@ object UDX {
            CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2)) * CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE)
              / CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS wmid_sums
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "agg_heavy_hitters" ->
+      """SELECT o_orderstatus, o_orderpriority AS item, count(*) AS cnt
+         FROM orders GROUP BY o_orderstatus, o_orderpriority
+         ORDER BY o_orderstatus, item""",
     "expr_custom" ->
       """SELECT p_partkey,
            ((p_retailprice + 5.0) - (p_retailprice - 5.0))
