@@ -52,7 +52,11 @@ object TimeSeries {
         get_json_object(col("props"), "$.k").cast("int").as("sz"))
       .groupBy("bar")
       .agg(
-        (dsum2(col("value") * col("sz")) / sum("sz")).as("vwap"),
+        // a bar whose sizes sum to 0 has no defined vwap → NULL (and
+        // ANSI mode would otherwise raise DIVIDE_BY_ZERO — hit at
+        // sf0.001, where one sparse hour has total_size = 0)
+        when(sum("sz") === 0, lit(null))
+          .otherwise(dsum2(col("value") * col("sz")) / sum("sz")).as("vwap"),
         sum("sz").as("total_size"),
         count(lit(1)).as("n_ticks"))
       .orderBy("bar")
@@ -104,7 +108,9 @@ object TimeSeries {
          FROM t GROUP BY bar, event_type ORDER BY bar, event_type""",
     "ts_vwap" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
-            ${sqlSum2("value * CAST(props->>'$.k' AS INT)")} / sum(CAST(props->>'$$.k' AS INT)) AS vwap,
+            CASE WHEN sum(CAST(props->>'$$.k' AS INT)) = 0 THEN NULL
+              ELSE ${sqlSum2("value * CAST(props->>'$.k' AS INT)")} / sum(CAST(props->>'$$.k' AS INT))
+            END AS vwap,
             CAST(sum(CAST(props->>'$$.k' AS INT)) AS BIGINT) AS total_size,
             count(*) AS n_ticks
           FROM events GROUP BY 1 ORDER BY bar""",
