@@ -162,8 +162,30 @@ object Extras {
       .orderBy("event_id")
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) history build — the
+    * standard dimension-load pattern: per user, collapse consecutive
+    * repeats of the tracked attribute (event_type) into versions, then
+    * derive [valid_from, valid_to) intervals and the is_current flag.
+    * Two windows over the SAME (user_id) hash partitioning and
+    * (ts, event_id) sort — Catalyst plans one exchange + one sort and
+    * reuses them for both, so the whole history build is a single
+    * shuffle at any scale. The event_id tiebreak keeps versions
+    * deterministic under equal timestamps. */
+  val etlScd2: QFn = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead("ts", 1).over(w))
+      .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "agg_pivot" -> aggPivot,
+    "etl_scd2" -> etlScd2,
     "dq_outliers" -> dqOutliers,
     "subquery_family" -> subqueryFamily,
     "win_percentiles" -> winPercentiles,
@@ -240,6 +262,18 @@ object Extras {
            UNION ALL
            SELECT 'lineitem_negative_tax', count(*) FROM lineitem WHERE l_tax < 0.0)
          ORDER BY "check"""",
+    "etl_scd2" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         changes AS (
+           SELECT * FROM marked
+           WHERE prev_type IS NULL OR prev_type <> event_type)
+         SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+         FROM changes ORDER BY user_id, valid_from""",
     "etl_upsert" ->
       """WITH updates AS (
            SELECT c_custkey AS u_custkey, c_name || '_v2' AS u_name,
