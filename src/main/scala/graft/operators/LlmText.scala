@@ -223,7 +223,49 @@ object LlmText {
       .orderBy("position")
   }
 
+  /** Fixed-size token chunking with overlap — the context-window
+    * splitter every training pipeline runs before tokenization proper.
+    * Chunk starts at multiples of (size − overlap); `slice` clamps the
+    * tail. Pure per-row generate→explode: no shuffle, chunks stream
+    * out of the scan, so a 100 TB corpus chunks at full scan
+    * parallelism. */
+  val llmChunkDocs: QFn = (s, d) => {
+    val chunkSz = 64; val overlap = 16; val stride = chunkSz - overlap
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+      .select(
+        col("doc_id"),
+        col("pos").cast("int").as("chunk_id"),
+        size(slice(col("toks"), col("col") + 1, lit(chunkSz))).as("n_tokens"),
+        array_join(slice(col("toks"), col("col") + 1, lit(chunkSz)), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Per-label embedding centroids (the k-means E-step / class
+    * prototype): posexplode to (label, pos, x), one partial-agg
+    * shuffle on the (label, pos) grain. Components are summed in
+    * exact integer micro-units — `floor(x·1e6)` of the float widened
+    * to double is the same IEEE value on every engine and executor
+    * count, so the long sum is bit-deterministic where a double sum
+    * would drift with partition order. */
+  val llmEmbedCentroid: QFn = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"),
+        floor(col("col").cast("double") * 1000000.0).cast("long").as("q"))
+      .groupBy("label", "pos")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("n"),
+        // pure IEEE ops on exact integers — bit-identical on any
+        // engine, so no round() (whose tie-breaking is repr-dependent)
+        (col("sq").cast("double") / col("n").cast("double") / 1000000.0).as("c"))
+      .orderBy("label", "pos")
+
   val entries: Seq[(String, QFn)] = Seq(
+    "llm_chunk_docs" -> llmChunkDocs,
+    "llm_embed_centroid" -> llmEmbedCentroid,
     "llm_sample_stratified" -> llmSampleStratified,
     "llm_pack_sequences" -> llmPackSequences,
     "llm_interleave_sources" -> llmInterleaveSources,
@@ -236,6 +278,25 @@ object LlmText {
     "llm_fingerprint" -> llmFingerprint)
 
   val oracles: Seq[(String, String)] = Seq(
+    "llm_chunk_docs" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         st AS (
+           SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS start
+           FROM t)
+         SELECT doc_id,
+           CAST(start // 48 AS INT) AS chunk_id,
+           CAST(len(toks[start + 1 : start + 64]) AS INT) AS n_tokens,
+           array_to_string(toks[start + 1 : start + 64], ' ') AS chunk_text
+         FROM st ORDER BY doc_id, chunk_id""",
+    "llm_embed_centroid" ->
+      """WITH ex AS (
+           SELECT label, CAST(t.i AS INT) AS pos,
+             CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+           FROM embeddings, range(64) t(i))
+         SELECT label, pos, count(*) AS n,
+           CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0 AS c
+         FROM ex GROUP BY label, pos ORDER BY label, pos""",
     "llm_sample_stratified" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS chars_sampled
          FROM documents WHERE (doc_id * 2654435761) % 100 < 20
