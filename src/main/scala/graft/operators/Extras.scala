@@ -183,8 +183,33 @@ object Extras {
       .orderBy("user_id", "valid_from")
   }
 
+  /** Batch sessionization (gaps-and-islands): a new session starts
+    * after a >30-minute silence; session id is the running count of
+    * session starts per user. Both windows share one (user_id) hash
+    * partitioning + (ts, event_id) sort → one exchange total, then a
+    * partial-agg rollup per (user, session) — the standard clickstream
+    * shape at any scale. Gap compare is on epoch micros (exact integer
+    * math, identical in DuckDB via epoch_us). */
+  val aggSessionize: QFn = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("sess_start"), max("ts").as("sess_end"))
+      .orderBy("user_id", "sess_id")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "agg_pivot" -> aggPivot,
+    "agg_sessionize" -> aggSessionize,
     "etl_scd2" -> etlScd2,
     "dq_outliers" -> dqOutliers,
     "subquery_family" -> subqueryFamily,
@@ -262,6 +287,26 @@ object Extras {
            UNION ALL
            SELECT 'lineitem_negative_tax', count(*) FROM lineitem WHERE l_tax < 0.0)
          ORDER BY "check"""",
+    "agg_sessionize" ->
+      """WITH t AS (
+           SELECT user_id, ts, event_id,
+             lag(epoch_us(CAST(ts AS TIMESTAMP)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         marked AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN prev_us IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP)) - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM t),
+         sess AS (
+           SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+           FROM marked)
+         SELECT user_id, sess_id, count(*) AS n_events,
+           min(ts) AS sess_start, max(ts) AS sess_end
+         FROM sess GROUP BY user_id, sess_id ORDER BY user_id, sess_id""",
     "etl_scd2" ->
       """WITH marked AS (
            SELECT user_id, ts, event_id, event_type,
