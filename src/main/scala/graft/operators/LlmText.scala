@@ -143,6 +143,24 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  /** Feature hashing (the hashing trick): tokens folded into a fixed
+    * 32-bucket count vector per document — the bounded-width
+    * featurization step before any linear/hashed-embedding model, and
+    * collision-by-design (no vocabulary dictionary to build or ship,
+    * which is what makes it viable at 100 TB: one explode + one
+    * partial-agg shuffle, no global vocab state). Token hash is the
+    * same engine-portable integer polynomial family as
+    * [[llmFingerprint]]. */
+  val llmFeatureHash: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(words).as("w"))
+      .select(col("doc_id"),
+        ((length(col("w")) * 17 +
+          ascii(substring(col("w"), 1, 1)) * 31 +
+          expr("ascii(substring(w, length(w), 1))") * 7) % 32).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("doc_id", "bucket")
+
   /** Deterministic stratified sampling: ~20% per language via modular
     * arithmetic on doc_id (seed-free, engine-portable, reproducible —
     * what a training pipeline needs for holdout splits; at 100 TB it
@@ -275,7 +293,8 @@ object LlmText {
     "llm_tfidf" -> llmTfidf,
     "llm_quality_score" -> llmQualityScore,
     "llm_lang_id" -> llmLangId,
-    "llm_fingerprint" -> llmFingerprint)
+    "llm_fingerprint" -> llmFingerprint,
+    "llm_feature_hash" -> llmFeatureHash)
 
   val oracles: Seq[(String, String)] = Seq(
     "llm_chunk_docs" ->
@@ -394,6 +413,14 @@ object LlmText {
              {'score': CAST(CASE WHEN regexp_matches(text, '[一-鿿]') THEN 100 ELSE 0 END AS BIGINT), 'lang': 'zh'}
            ]))[1]).lang AS pred_lang
          FROM documents ORDER BY doc_id""",
+    "llm_feature_hash" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         SELECT doc_id,
+           CAST((length(w) * 17 + ascii(substr(w, 1, 1)) * 31
+                 + ascii(substr(w, length(w), 1)) * 7) % 32 AS INT) AS bucket,
+           count(*) AS cnt
+         FROM tok GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
     "llm_fingerprint" ->
       """SELECT doc_id,
            list_reduce(
