@@ -19,9 +19,10 @@ object PlanAudit {
     // <=#sources-row broadcast counts dim — both O(1)-size build sides
     // ts_gapfill crosses the generated hour spine with the <=5-value
     // event-type dim — another O(1)-size build side
+    // llm_kmeans broadcasts the k=8-row centroid table — O(1) build side
     val allowCross = Set("join_cross", "join_theta_range", "llm_knn_cosine",
       "llm_knn_ivf", "agg_pivot", "llm_tfidf", "llm_interleave_sources",
-      "ts_gapfill")
+      "ts_gapfill", "llm_kmeans")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         if (name.startsWith("stream_")) ()

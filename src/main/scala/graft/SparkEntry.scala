@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Multimodal.entries ++
       operators.Extras.entries ++
       operators.Extras2.entries ++
+      operators.Clustering.entries ++
       operators.TimeSeries.entries ++
       plans.AsOfJoinPlans.entries ++
       streaming.Streaming.entries
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.Extras.oracles ++
       operators.Extras2.oracles ++
+      operators.Clustering.oracles ++
       operators.TimeSeries.oracles ++
       plans.AsOfJoinPlans.oracles ++
       streaming.Streaming.oracles
