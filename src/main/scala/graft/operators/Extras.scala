@@ -207,9 +207,68 @@ object Extras {
       .orderBy("user_id", "sess_id")
   }
 
+  /** Funnel analysis (view → click → purchase): per-user earliest
+    * stage times with strict ordering (each stage must follow the
+    * previous one), then stage reach counts. Three aggregations and
+    * two joins ALL keyed on user_id — one co-partitioned lineage, no
+    * broadcast needed at any corpus size. */
+  val winFunnel: QFn = (s, d) => {
+    val e = Tables.events(s, d).select(col("user_id"), col("ts"), col("event_type"))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = e.filter(col("event_type") === "click")
+      .join(t1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    t1.agg(lit("1_view").as("stage"), count(lit(1)).as("n_users"))
+      .unionByName(t2.agg(lit("2_click").as("stage"), count(lit(1)).as("n_users")))
+      .unionByName(t3.agg(lit("3_purchase").as("stage"), count(lit(1)).as("n_users")))
+      .orderBy("stage")
+  }
+
+  /** Incremental aggregation (materialized-view maintenance): daily
+    * partials over the closed history merged with the open delta by
+    * re-aggregating the ALGEBRAIC state (count + exact decimal sum) —
+    * never rescanning history. The oracle is the full-scan
+    * aggregation: merged state ≡ recomputed state is exactly the MV
+    * correctness contract. Partials stay DECIMAL until the final
+    * cast, so the merge is lossless in any combine order. */
+  val etlIncrementalAgg: QFn = (s, d) => {
+    val e = Tables.events(s, d)
+    def partials(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 2))).as("psum"))
+    val hist = partials(e.filter(to_date(col("ts")) < "2024-01-25"))
+    val delta = partials(e.filter(to_date(col("ts")) >= "2024-01-25"))
+    hist.unionByName(delta)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_partials"), sum("pn").as("n"),
+        sum("psum").cast("double").as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Approximate quantiles (Greenwald–Khanna via
+    * `percentile_approx`) next to their exact twins — the
+    * bounded-memory sketch a 100 TB profiler uses. No cross-engine
+    * oracle (DuckDB's approx_quantile is a t-digest, a different
+    * sketch); ApproxQuantileSpec checks the rank-error contract
+    * against the exact quartiles instead. */
+  val aggApproxQuantile: QFn = (s, d) =>
+    Tables.lineitem(s, d).agg(
+      expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+        .as("approx_q"),
+      expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("exact_q"),
+      count(lit(1)).as("n"))
+
   val entries: Seq[(String, QFn)] = Seq(
     "agg_pivot" -> aggPivot,
     "agg_sessionize" -> aggSessionize,
+    "win_funnel" -> winFunnel,
+    "etl_incremental_agg" -> etlIncrementalAgg,
+    "agg_approx_quantile" -> aggApproxQuantile,
     "etl_scd2" -> etlScd2,
     "dq_outliers" -> dqOutliers,
     "subquery_family" -> subqueryFamily,
@@ -287,6 +346,33 @@ object Extras {
            UNION ALL
            SELECT 'lineitem_negative_tax', count(*) FROM lineitem WHERE l_tax < 0.0)
          ORDER BY "check"""",
+    "win_funnel" ->
+      """WITH t1 AS (
+           SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         t2 AS (
+           SELECT e.user_id, min(e.ts) AS t2 FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE e.event_type = 'click' AND e.ts > t1.t1
+           GROUP BY e.user_id),
+         t3 AS (
+           SELECT e.user_id, min(e.ts) AS t3 FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+           GROUP BY e.user_id)
+         SELECT * FROM (
+           SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+           UNION ALL
+           SELECT '2_click', count(*) FROM t2
+           UNION ALL
+           SELECT '3_purchase', count(*) FROM t3)
+         ORDER BY stage""",
+    "etl_incremental_agg" ->
+      """SELECT event_type,
+           count(DISTINCT CAST(ts AS DATE)) AS n_partials,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_sessionize" ->
       """WITH t AS (
            SELECT user_id, ts, event_id,
