@@ -263,9 +263,32 @@ object Extras {
       expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("exact_q"),
       count(lit(1)).as("n"))
 
+  /** CDC changelog apply: compact a change stream (insert / update /
+    * delete ops derived from the event feed) into the current
+    * snapshot — latest op per key wins (ts, event_id tiebreak),
+    * deleted keys drop out. One window shuffle on the primary key;
+    * the standard lakehouse MERGE-from-changelog shape, and the
+    * deterministic-compaction half of what `etl_upsert` does with a
+    * full-outer join. */
+  val etlCdcApply: QFn = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("op").as("last_op"),
+        col("ts").as("last_ts"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "agg_pivot" -> aggPivot,
     "agg_sessionize" -> aggSessionize,
+    "etl_cdc_apply" -> etlCdcApply,
     "win_funnel" -> winFunnel,
     "etl_incremental_agg" -> etlIncrementalAgg,
     "agg_approx_quantile" -> aggApproxQuantile,
@@ -346,6 +369,17 @@ object Extras {
            UNION ALL
            SELECT 'lineitem_negative_tax', count(*) FROM lineitem WHERE l_tax < 0.0)
          ORDER BY "check"""",
+    "etl_cdc_apply" ->
+      """WITH c AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, op AS last_op, ts AS last_ts, value AS last_value
+         FROM c WHERE rn = 1 AND op <> 'D' ORDER BY user_id""",
     "win_funnel" ->
       """WITH t1 AS (
            SELECT user_id, min(ts) AS t1 FROM events
