@@ -230,7 +230,29 @@ object Extras2 {
       .orderBy("l_returnflag")
   }
 
+  /** Spark 4 DataSketches HLL surface: per-day sketches of the user
+    * column, re-aggregated with `hll_union_agg` — THE pattern for
+    * distinct counting at 100 TB (per-partition sketches persisted
+    * once, any rollup answered by merging kilobyte sketch blobs
+    * instead of rescanning). Output: merged estimate vs
+    * direct-sketch estimate vs exact. The sketch-merge property
+    * (merged ≡ direct) and the ~2% HLL error contract are asserted
+    * in HllSketchSpec; no DuckDB oracle (different sketch
+    * implementation). */
+  val aggHllSketch: QFn = (s, d) => {
+    val e = Tables.events(s, d)
+    val daily = e.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.agg(
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+    val direct = e.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+      countDistinct(col("user_id")).as("exact_users"))
+    merged.crossJoin(direct)
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "agg_hll_sketch" -> aggHllSketch,
     "join_range_bucketed" -> joinRangeBucketed,
     "join_bucketed_colocated" -> joinBucketedColocated,
     "join_multiway" -> joinMultiway,
