@@ -161,6 +161,33 @@ object LlmText {
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
       .orderBy("doc_id", "bucket")
 
+  /** Bigram language-model statistics: conditional probability
+    * p(w2|w1) = n(w1,w2)/n(w1·) for the 50 most frequent bigrams —
+    * the co-occurrence table behind n-gram LMs, collocation mining
+    * and tokenizer-merge candidates. Two partial-agg shuffles over
+    * the exploded pair stream plus an equi-join on w1 (both sides
+    * already hash-partitioned on w1 — vocabulary-sized, not
+    * corpus-sized, after aggregation); p is an exact integer ratio
+    * in doubles, so no rounding is needed for cross-engine parity.
+    * Single-token docs contribute no pairs (same guard as the
+    * shingle pipeline). */
+  val llmNgramLm: QFn = (s, d) => {
+    val w = words
+    val pairs = Tables.documents(s, d)
+      .select(explode(
+        when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("n1"))
+    big.join(uni, "w1")
+      .withColumn("p", col("n12").cast("double") / col("n1").cast("double"))
+      .orderBy(col("n12").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   /** Deterministic stratified sampling: ~20% per language via modular
     * arithmetic on doc_id (seed-free, engine-portable, reproducible —
     * what a training pipeline needs for holdout splits; at 100 TB it
@@ -294,7 +321,8 @@ object LlmText {
     "llm_quality_score" -> llmQualityScore,
     "llm_lang_id" -> llmLangId,
     "llm_fingerprint" -> llmFingerprint,
-    "llm_feature_hash" -> llmFeatureHash)
+    "llm_feature_hash" -> llmFeatureHash,
+    "llm_ngram_lm" -> llmNgramLm)
 
   val oracles: Seq[(String, String)] = Seq(
     "llm_chunk_docs" ->
@@ -413,6 +441,21 @@ object LlmText {
              {'score': CAST(CASE WHEN regexp_matches(text, '[一-鿿]') THEN 100 ELSE 0 END AS BIGINT), 'lang': 'zh'}
            ]))[1]).lang AS pred_lang
          FROM documents ORDER BY doc_id""",
+    "llm_ngram_lm" ->
+      """WITH toks AS (
+           SELECT string_split(text, ' ') AS w FROM documents),
+         idx AS (
+           SELECT w, unnest(range(1, len(w))) AS i FROM toks),
+         pairs AS (
+           SELECT list_extract(w, CAST(i AS INT)) AS w1,
+                  list_extract(w, CAST(i AS INT) + 1) AS w2
+           FROM idx),
+         big AS (SELECT w1, w2, count(*) AS n12 FROM pairs GROUP BY w1, w2),
+         uni AS (SELECT w1, count(*) AS n1 FROM pairs GROUP BY w1)
+         SELECT b.w1, b.w2, n12, n1,
+           CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p
+         FROM big b JOIN uni u USING (w1)
+         ORDER BY n12 DESC, w1, w2 LIMIT 50""",
     "llm_feature_hash" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
