@@ -164,7 +164,24 @@ object Functions {
       length(col("props")).as("raw_len"))
       .orderBy("event_id")
 
+  /** Spark 4 VARIANT type: `parse_json` into the binary variant
+    * encoding, typed path extraction with `variant_get` (strict) and
+    * `try_variant_get` (lenient) — the schema-on-read semi-structured
+    * column a lakehouse ingests when JSON shapes drift. The oracle is
+    * plain JSON-path extraction: variant is an encoding, not a
+    * semantics change. */
+  val fnVariant: QFn = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(
+        col("event_id"),
+        variant_get(col("v"), "$.k", "int").as("k_var"),
+        (variant_get(col("v"), "$.k", "long") * 2).as("k_var2"),
+        try_variant_get(col("v"), "$.missing", "string").as("k_missing"))
+      .orderBy("event_id")
+
   val entries: Seq[(String, QFn)] = Seq(
+    "fn_variant" -> fnVariant,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
     "fn_ts_arith" -> fnTsArith,
@@ -263,6 +280,12 @@ object Functions {
            'len,words' AS keys_csv,
            CAST(length(text) + len(string_split(text, ' ')) AS BIGINT) AS vals_sum
          FROM documents ORDER BY doc_id""",
+    "fn_variant" ->
+      """SELECT event_id,
+           CAST(props->>'$.k' AS INT) AS k_var,
+           CAST(props->>'$.k' AS BIGINT) * 2 AS k_var2,
+           props->>'$.missing' AS k_missing
+         FROM events ORDER BY event_id""",
     "fn_json" ->
       """SELECT event_id,
            CAST(props->>'$.k' AS INT) AS k_get,
