@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QFn, Tables, Det}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Second coverage batch: the bucketed range join (the 100 TB path
@@ -251,8 +251,73 @@ object Extras2 {
     merged.crossJoin(direct)
   }
 
+  /** Shuffle-hash join, hint-forced: at 100 TB the planner knob that
+    * skips the sort phase of sort-merge when one side is modest but
+    * over the broadcast ceiling — hash-build per partition instead of
+    * sorting both fact streams. ExtensionSpec asserts
+    * ShuffledHashJoin is actually planned (the result itself is
+    * join-strategy-invariant, which is what the oracle checks). */
+  val joinShuffleHash: QFn = (s, d) =>
+    Tables.orders(s, d).hint("shuffle_hash")
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderstatus")
+
+  /** Z-order (Morton) clustering key: bit-interleave two join/filter
+    * dimensions so range pruning works on BOTH after one sort — the
+    * layout OPTIMIZE ZORDER writes in lakehouse table maintenance.
+    * The interleave is the classic shift-spread (pure 64-bit integer
+    * ops — bit-identical in any engine); the query reports per
+    * z-range how tightly each source dimension clusters, i.e. the
+    * min/max-pruning stats a file would carry after a z-sorted
+    * rewrite. */
+  val etlZorder: QFn = (s, d) => {
+    def spread16(c: Column): Column = {
+      var x = c.bitwiseAND(lit(0xFFFFL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+      x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+      x
+    }
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"),
+        spread16(col("l_orderkey"))
+          .bitwiseOR(shiftleft(spread16(col("l_partkey")), 1)).as("z"))
+      .groupBy(shiftright(col("z"), 16).as("z_range"))
+      .agg(count(lit(1)).as("n"),
+        min("l_orderkey").as("min_ok"), max("l_orderkey").as("max_ok"),
+        min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"))
+      .orderBy("z_range")
+  }
+
+  /** Schema-evolution scan: two parquet generations (v2 added the
+    * `value` column) merged at read time (`mergeSchema`) — the
+    * add-a-column migration every long-lived lake table goes
+    * through; old files surface NULLs. Oracled end-to-end against
+    * the un-split table. */
+  val scanSchemaEvolution: QFn = (s, d) => {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo"
+    val e = Tables.events(s, d)
+    val split = to_date(col("ts")) < "2024-01-15"
+    e.filter(split).select("event_id", "event_type")
+      .write.mode("overwrite").parquet(s"$path/gen=1")
+    e.filter(!split).select("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$path/gen=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("value")).as("n_with_value"),
+        dsum2(coalesce(col("value"), lit(0.0))).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "agg_hll_sketch" -> aggHllSketch,
+    "join_shuffle_hash" -> joinShuffleHash,
+    "etl_zorder" -> etlZorder,
+    "scan_schema_evolution" -> scanSchemaEvolution,
     "join_range_bucketed" -> joinRangeBucketed,
     "join_bucketed_colocated" -> joinBucketedColocated,
     "join_multiway" -> joinMultiway,
@@ -264,6 +329,35 @@ object Extras2 {
     "agg_string_agg" -> aggStringAgg)
 
   val oracles: Seq[(String, String)] = Seq(
+    "join_shuffle_hash" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "etl_zorder" ->
+      """WITH b AS (
+           SELECT l_orderkey, l_partkey,
+             l_orderkey & 65535 AS a, l_partkey & 65535 AS bb FROM lineitem),
+         s1 AS (SELECT l_orderkey, l_partkey,
+             (a | (a << 8)) & 16711935 AS a, (bb | (bb << 8)) & 16711935 AS bb FROM b),
+         s2 AS (SELECT l_orderkey, l_partkey,
+             (a | (a << 4)) & 252645135 AS a, (bb | (bb << 4)) & 252645135 AS bb FROM s1),
+         s3 AS (SELECT l_orderkey, l_partkey,
+             (a | (a << 2)) & 858993459 AS a, (bb | (bb << 2)) & 858993459 AS bb FROM s2),
+         s4 AS (SELECT l_orderkey, l_partkey,
+             (a | (a << 1)) & 1431655765 AS a, (bb | (bb << 1)) & 1431655765 AS bb FROM s3),
+         z AS (SELECT l_orderkey, l_partkey, (a | (bb << 1)) >> 16 AS z_range FROM s4)
+         SELECT z_range, count(*) AS n,
+           min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+           min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+         FROM z GROUP BY z_range ORDER BY z_range""",
+    "scan_schema_evolution" ->
+      """SELECT event_type, count(*) AS n,
+           count(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15' THEN 1 END) AS n_with_value,
+           CAST(sum(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-15'
+                         THEN CAST(value AS DECIMAL(30,2))
+                         ELSE CAST(0.0 AS DECIMAL(30,2)) END) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     // oracle = the straightforward range join; results must be
     // identical, which proves the bucketing rewrite is lossless
     "join_range_bucketed" ->

@@ -43,6 +43,12 @@ class RelationalSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"expected BHJ in plan:\n$p")
   }
 
+  test("join_shuffle_hash plans a ShuffledHashJoin (hint honored, no sort phase)") {
+    val p = plan(operators.Extras2.joinShuffleHash(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), s"expected SHJ in plan:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"SMJ planned despite hint:\n$p")
+  }
+
   test("limit_topk compiles to TakeOrderedAndProject (no global sort)") {
     val p = plan(operators.Relational.limitTopk(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
