@@ -313,8 +313,60 @@ object Extras2 {
       .orderBy("event_type")
   }
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    * keys match each other instead of vanishing — the semantics a
+    * dimension with an "unknown" bucket needs. Keys are derived
+    * (every 7th size → NULL) since the generator data is
+    * null-free; still a plain hash join (null hashes like any
+    * value). */
+  val joinNullSafe: QFn = (s, d) => {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), nullif(col("p_size") % 7, lit(0)).as("k"))
+    val dim = Tables.part(s, d).filter(col("p_partkey") <= 20)
+      .select(col("p_partkey").as("d_key"),
+        nullif(col("p_size") % 7, lit(0)).as("k2"))
+    p.join(broadcast(dim), col("k") <=> col("k2"))
+      .groupBy("d_key")
+      .agg(count(lit(1)).as("n_matches"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_matches"))
+      .orderBy("d_key")
+  }
+
+  /** Dynamic partition pruning: the fact side is laid out
+    * partition-per-event_type (the 100 TB layout where a dim filter
+    * must prune fact FILES, not fact rows); joining through a
+    * filtered dim plants a runtime subquery filter on the fact scan
+    * so non-qualifying partitions are never read. ExtensionSpec
+    * asserts the `dynamicpruning` subquery in the scan. Fixed tmp
+    * layout path, rewritten per run (overwrite). */
+  val joinDpp: QFn = (s, d) => {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_facts"
+    Tables.events(s, d)
+      .select("event_id", "event_type", "value")
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    dppJoinOnly(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** The DPP join subplan (pre-aggregation), exposed for the spec.
+    * Assumes [[joinDpp]] wrote the partitioned layout. */
+  def dppJoinOnly(s: SparkSession, d: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_facts"
+    val facts = s.read.parquet(path)
+    // dim: the per-type stats table, filtered — only 2 of 5 types
+    // survive, so 3 of 5 fact partitions must be skipped at runtime
+    val dim = Tables.events(s, d)
+      .groupBy(col("event_type").as("dim_type")).agg(count(lit(1)).as("type_n"))
+      .filter(col("dim_type").isin("purchase", "error"))
+    facts.join(dim, col("event_type") === col("dim_type"))
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "agg_hll_sketch" -> aggHllSketch,
+    "join_null_safe" -> joinNullSafe,
+    "join_dpp" -> joinDpp,
     "join_shuffle_hash" -> joinShuffleHash,
     "etl_zorder" -> etlZorder,
     "scan_schema_evolution" -> scanSchemaEvolution,
@@ -329,6 +381,25 @@ object Extras2 {
     "agg_string_agg" -> aggStringAgg)
 
   val oracles: Seq[(String, String)] = Seq(
+    "join_null_safe" ->
+      """WITH p AS (
+           SELECT p_partkey, nullif(p_size % 7, 0) AS k FROM part),
+         dim AS (
+           SELECT p_partkey AS d_key, nullif(p_size % 7, 0) AS k2
+           FROM part WHERE p_partkey <= 20)
+         SELECT d_key, count(*) AS n_matches,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_matches
+         FROM p JOIN dim ON k IS NOT DISTINCT FROM k2
+         GROUP BY d_key ORDER BY d_key""",
+    "join_dpp" ->
+      """WITH dim AS (
+           SELECT event_type AS dim_type, count(*) AS type_n
+           FROM events GROUP BY event_type)
+         SELECT e.event_type, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events e JOIN dim ON e.event_type = dim.dim_type
+         WHERE dim.dim_type IN ('purchase', 'error')
+         GROUP BY e.event_type ORDER BY e.event_type""",
     "join_shuffle_hash" ->
       """SELECT o_orderstatus, count(*) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty

@@ -110,6 +110,14 @@ class ExtensionSpec extends SparkTestBase {
     new graft.functions.GraftExtensions().apply(ext) // must not throw
   }
 
+  test("join_dpp plants a dynamic-pruning subquery on the fact scan") {
+    // build the partitioned layout, then inspect the join subplan
+    operators.Extras2.joinDpp(spark, sf).collect()
+    val p = plan(operators.Extras2.dppJoinOnly(spark, sf))
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$p")
+  }
+
   test("multimodal decode: deterministic, and histogram counts total bytes") {
     val a = operators.Multimodal.mmDecodeFeatures(spark, sf).collect()
     val b = operators.Multimodal.mmDecodeFeatures(spark, sf).collect()
