@@ -90,6 +90,59 @@ object Clustering {
 
   val llmKmeans: QFn = (s, d) => kmeans(s, d, iters = 3)._1
 
-  val entries: Seq[(String, QFn)] = Seq("llm_kmeans" -> llmKmeans)
+  /** Distributed BPE-style merge training: the `nMerges` most frequent
+    * adjacent token pairs, learned greedily — each round counts all
+    * adjacent pairs across the corpus (explode → partial-agg shuffle),
+    * takes the global argmax (a 1-row collect — the only driver state
+    * is the merge table itself, exactly like real BPE training), and
+    * rewrites the corpus with the pair fused. The rewrite is a
+    * left-to-right non-overlapping regexp replace — greedy BPE
+    * application semantics. Deterministic: ties break on the pair
+    * string; BpeSpec asserts partitioning invariance and that each
+    * merge shrinks the corpus token count by the merged pair's count.
+    */
+  def bpeTrain(s: SparkSession, d: String, nMerges: Int, preShuffle: Int = 0)
+      : DataFrame = {
+    import s.implicits._
+    // train on a deterministic 10% subsample — the standard tokenizer
+    // practice (merge ranks stabilize long before the full corpus),
+    // and what bounds the per-round pair-count shuffle at 100 TB
+    val base = Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), col("text"))
+    var corpus = if (preShuffle > 0) base.repartition(preShuffle) else base
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    while (rank <= nMerges) {
+      val w = split(col("text"), " ")
+      val top = corpus
+        .select(explode(when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("pr"))
+        .groupBy("pr.a", "pr.b").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (top.isEmpty) rank = nMerges + 1
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, n))
+        // fuse "a b" -> "a_b"; lookarounds keep full-token matches only
+        // (tokens are [a-z]+ in this corpus, but anchor anyway)
+        val pat = s"(?<=^| )${java.util.regex.Pattern.quote(a)} ${java.util.regex.Pattern.quote(b)}(?=$$| )"
+        corpus = corpus.select(col("doc_id"),
+          regexp_replace(col("text"), pat, s"${a}_$b").as("text"))
+          .localCheckpoint()  // truncate the per-round lineage
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "tok_a", "tok_b", "pair_count").orderBy("rank")
+  }
+
+  val llmBpeTrain: QFn = (s, d) => bpeTrain(s, d, nMerges = 6)
+
+  val entries: Seq[(String, QFn)] = Seq(
+    "llm_kmeans" -> llmKmeans,
+    "llm_bpe_train" -> llmBpeTrain)
   val oracles: Seq[(String, String)] = Seq.empty
 }
