@@ -363,8 +363,44 @@ object Extras2 {
     facts.join(dim, col("event_type") === col("dim_type"))
   }
 
+  /** Small-file compaction — the lake-maintenance rewrite: a
+    * 64-file fragmented layout (every real ingest produces one)
+    * coalesced into 4, verified lossless by aggregating the
+    * compacted copy against the source-of-truth oracle.
+    * `coalesce` (not `repartition`) keeps the rewrite shuffle-free;
+    * CompactionSpec asserts the output file count. At 100 TB this
+    * runs per-partition with target file size, same plan shape. */
+  val etlCompaction: QFn = (s, d) => {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val frag = s"$tmp/graft_compact_frag"
+    val tight = s"$tmp/graft_compact_tight"
+    val e = Tables.events(s, d).select("event_id", "event_type", "value")
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(tight)
+    s.read.parquet(tight)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Spark 4 collation: case-insensitive (UTF8_LCASE) vs binary
+    * string comparison as first-class column semantics — no more
+    * lower()-wrapping every predicate. The oracle expresses the same
+    * comparisons with explicit case folding. */
+  val fnCollation: QFn = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      (collate(upper(col("p_type")), "UTF8_LCASE") ===
+        collate(col("p_type"), "UTF8_LCASE")).as("ci_eq"),
+      (upper(col("p_type")) === col("p_type")).as("bin_eq"),
+      startswith(collate(upper(col("p_name")), "UTF8_LCASE"),
+        collate(lit("std"), "UTF8_LCASE")).as("ci_prefix"))
+      .orderBy("p_partkey")
+
   val entries: Seq[(String, QFn)] = Seq(
     "agg_hll_sketch" -> aggHllSketch,
+    "etl_compaction" -> etlCompaction,
+    "fn_collation" -> fnCollation,
     "join_null_safe" -> joinNullSafe,
     "join_dpp" -> joinDpp,
     "join_shuffle_hash" -> joinShuffleHash,
@@ -381,6 +417,16 @@ object Extras2 {
     "agg_string_agg" -> aggStringAgg)
 
   val oracles: Seq[(String, String)] = Seq(
+    "etl_compaction" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "fn_collation" ->
+      """SELECT p_partkey,
+           lower(upper(p_type)) = lower(p_type) AS ci_eq,
+           upper(p_type) = p_type AS bin_eq,
+           starts_with(lower(upper(p_name)), lower('std')) AS ci_prefix
+         FROM part ORDER BY p_partkey""",
     "join_null_safe" ->
       """WITH p AS (
            SELECT p_partkey, nullif(p_size % 7, 0) AS k FROM part),
