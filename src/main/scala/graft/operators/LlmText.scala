@@ -188,6 +188,18 @@ object LlmText {
       .limit(50)
   }
 
+  /** Top-20 trigram windows via the custom `NgramGen` Catalyst
+    * generator (functions/NgramGen.scala) — the UDTF surface: one doc
+    * row fans out to its sliding windows inside a `Generate` node (no
+    * shuffle), then a plain codegen'd hash-aggregate ranks the grams.
+    */
+  val llmNgramWindows: QFn = (s, d) =>
+    Tables.documents(s, d)
+      .select(graft.functions.NgramGen.ngramWindows(words, 3))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(20)
+
   /** Deterministic stratified sampling: ~20% per language via modular
     * arithmetic on doc_id (seed-free, engine-portable, reproducible —
     * what a training pipeline needs for holdout splits; at 100 TB it
@@ -322,7 +334,8 @@ object LlmText {
     "llm_lang_id" -> llmLangId,
     "llm_fingerprint" -> llmFingerprint,
     "llm_feature_hash" -> llmFeatureHash,
-    "llm_ngram_lm" -> llmNgramLm)
+    "llm_ngram_lm" -> llmNgramLm,
+    "llm_ngram_windows" -> llmNgramWindows)
 
   val oracles: Seq[(String, String)] = Seq(
     "llm_chunk_docs" ->
@@ -441,6 +454,18 @@ object LlmText {
              {'score': CAST(CASE WHEN regexp_matches(text, '[一-鿿]') THEN 100 ELSE 0 END AS BIGINT), 'lang': 'zh'}
            ]))[1]).lang AS pred_lang
          FROM documents ORDER BY doc_id""",
+    "llm_ngram_windows" ->
+      """WITH toks AS (
+           SELECT string_split(text, ' ') AS w FROM documents),
+         idx AS (
+           SELECT w, unnest(range(1, len(w) - 1)) AS i FROM toks),
+         tri AS (
+           SELECT list_extract(w, CAST(i AS INT)) || '_' ||
+                  list_extract(w, CAST(i AS INT) + 1) || '_' ||
+                  list_extract(w, CAST(i AS INT) + 2) AS gram
+           FROM idx)
+         SELECT gram, count(*) AS n FROM tri
+         GROUP BY gram ORDER BY n DESC, gram LIMIT 20""",
     "llm_ngram_lm" ->
       """WITH toks AS (
            SELECT string_split(text, ' ') AS w FROM documents),
