@@ -22,8 +22,9 @@ object PlanAudit {
     // llm_kmeans broadcasts the k=8-row centroid table — O(1) build side
     val allowCross = Set("join_cross", "join_theta_range", "llm_knn_cosine",
       "llm_knn_ivf", "agg_pivot", "llm_tfidf", "llm_interleave_sources",
-    // agg_hll_sketch crosses two 1-row aggregates — O(1) both sides
-      "ts_gapfill", "llm_kmeans", "agg_hll_sketch")
+    // agg_hll_sketch / scan_csv_malformed cross 1-row aggregates —
+    // O(1) both sides
+      "ts_gapfill", "llm_kmeans", "agg_hll_sketch", "scan_csv_malformed")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         if (name.startsWith("stream_")) ()

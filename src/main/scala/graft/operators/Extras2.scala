@@ -397,8 +397,48 @@ object Extras2 {
         collate(lit("std"), "UTF8_LCASE")).as("ci_prefix"))
       .orderBy("p_partkey")
 
+  /** Malformed-record handling on a text source — the ingest
+    * robustness contract: a staged CSV of orders plus three injected
+    * garbage lines, read twice — PERMISSIVE (corrupt rows surface in
+    * `_corrupt_record`, good columns NULL) and DROPMALFORMED (bad
+    * rows vanish). Output compares the three row counts; the oracle
+    * derives them from the clean table (+ the known 3 bad lines).
+    * At 100 TB this is the difference between one bad file poisoning
+    * a backfill and a quarantine column you can audit. */
+  val scanCsvMalformed: QFn = (s, d) => {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_malformed_csv"
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(path)).deleteRecursively()
+    Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").csv(path)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "part-bad.csv"),
+      "garbage,not_a_number,xxx\nonly_one_field\n1,2,3,4,5,extra\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, _corrupt_record STRING"
+    // Spark refuses a query that references ONLY the corrupt-record
+    // column of a raw CSV scan (it would re-parse inconsistently);
+    // the documented contract is to cache the parsed relation first.
+    val permissive = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record").csv(path)
+      .cache()
+    // cache here too: under column pruning a bare count references no
+    // fields, nothing parses, and DROPMALFORMED silently counts raw
+    // lines — materializing the full schema makes the drop real
+    val dropped = s.read.schema("o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE")
+      .option("mode", "DROPMALFORMED").csv(path)
+      .cache()
+    val a = permissive.agg(
+      count(lit(1)).as("n_permissive"),
+      count(col("_corrupt_record")).as("n_corrupt"))
+    val b = dropped.agg(count(lit(1)).as("n_dropmalformed"))
+    a.crossJoin(b)
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "agg_hll_sketch" -> aggHllSketch,
+    "scan_csv_malformed" -> scanCsvMalformed,
     "etl_compaction" -> etlCompaction,
     "fn_collation" -> fnCollation,
     "join_null_safe" -> joinNullSafe,
@@ -417,6 +457,11 @@ object Extras2 {
     "agg_string_agg" -> aggStringAgg)
 
   val oracles: Seq[(String, String)] = Seq(
+    "scan_csv_malformed" ->
+      """SELECT count(*) + 3 AS n_permissive,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           count(*) AS n_dropmalformed
+         FROM orders""",
     "etl_compaction" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
