@@ -309,6 +309,32 @@ object LlmSimilarity {
       .orderBy("a", "b")
   }
 
+  /** Asymmetric containment similarity c(A→B) = |A∩B| / |A|: finds
+    * documents mostly CONTAINED in another (quotes, excerpts,
+    * boilerplate wrappers) that symmetric Jaccard under-scores when
+    * |B| ≫ |A|. Same inverted-index postings join as
+    * [[llmNgramJaccard]] (one (source, gram) shuffle, AQE splits hot
+    * grams), but directional: both (a,b) orders survive and the
+    * denominator is the CONTAINED side only. */
+  val llmContainment: QFn = (s, d) => {
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        graft.functions.HashedBigrams(col("text")).as("hg"))
+    val sizes = g.select(col("doc_id"), size(col("hg")).as("sz"))
+    val postings = g.select(col("source"), col("doc_id"), explode(col("hg")).as("gram"))
+    postings.as("x").join(postings.as("y"),
+        col("x.source") === col("y.source") && col("x.gram") === col("y.gram") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.source").as("source"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sza"))), "a")
+      .select(col("a"), col("b"), col("source"),
+        (col("shared") / col("sza")).as("containment"))
+      .filter(col("containment") >= 0.5)
+      .orderBy("a", "b")
+  }
+
   /** Embedding cosine near-dup: same-label blocking, τ = 0.3
     * (label is the blocking key a real pipeline would shard on). */
   val llmEmbedNeardup: QFn = (s, d) => {
@@ -357,6 +383,7 @@ object LlmSimilarity {
     "llm_dedup_cluster" -> llmDedupCluster,
     "llm_simhash" -> llmSimhash,
     "llm_ngram_jaccard" -> llmNgramJaccard,
+    "llm_containment" -> llmContainment,
     "llm_embed_neardup" -> llmEmbedNeardup,
     "llm_multimodal_join" -> llmMultimodalJoin)
 
@@ -389,6 +416,18 @@ object LlmSimilarity {
                / len(list_distinct(x.grams || y.grams)) AS jaccard
            FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id < y.doc_id)
          WHERE jaccard >= 0.3 ORDER BY a, b""",
+    "llm_containment" ->
+      """WITH sh AS (
+           SELECT doc_id, source,
+             list_distinct(list_transform(range(len(string_split(text,' '))-1),
+               i -> string_split(text,' ')[i+1] || '_' || string_split(text,' ')[i+2])) AS grams
+           FROM documents)
+         SELECT a, b, source, containment FROM (
+           SELECT x.doc_id AS a, y.doc_id AS b, x.source AS source,
+             CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+               / len(x.grams) AS containment
+           FROM sh x JOIN sh y ON x.source = y.source AND x.doc_id <> y.doc_id)
+         WHERE containment >= 0.5 ORDER BY a, b""",
     "llm_embed_neardup" ->
       """SELECT a, b, label, cos_sim FROM (
            SELECT x.vec_id AS a, y.vec_id AS b, x.label AS label,
