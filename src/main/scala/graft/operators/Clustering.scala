@@ -29,13 +29,12 @@ import graft.functions.SqEuclidFD
   */
 object Clustering {
 
-  private val K = 8
   private val Dim = 64
 
   /** One k-means run; returns (cluster, n_points, wssse) — and the
     * centroids used, for the spec. */
-  def kmeans(s: SparkSession, d: String, iters: Int, preShuffle: Int = 0)
-      : (DataFrame, Array[Array[Double]]) = {
+  def kmeans(s: SparkSession, d: String, iters: Int, preShuffle: Int = 0,
+      K: Int = 8): (DataFrame, Array[Array[Double]]) = {
     val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val emb = if (preShuffle > 0) base.repartition(preShuffle) else base
     // deterministic seed centroids: k lowest vec_ids of a fixed

@@ -72,8 +72,10 @@ object LlmSimilarity {
       .orderBy("probe_id", "rk")
   }
 
-  /** IVF-bucketed ANN: a coarse quantizer of 16 deterministic
-    * centroids (fixed sample of the corpus); every vector is assigned
+  /** IVF-bucketed ANN with a REAL k-means coarse quantizer: 16
+    * centroids from two distributed Lloyd iterations
+    * ([[Clustering.kmeans]] — trained once, the way a production IVF
+    * index trains its quantizer offline); every vector is assigned
     * to its nearest centroid (one broadcast join + argmax — a single
     * corpus scan), and each probe searches only the nProbe = 4 nearest
     * inverted lists (~25% of the corpus here; the ratio is the knob).
@@ -83,10 +85,15 @@ object LlmSimilarity {
   val llmKnnIvf: QFn = (s, d) => {
     val nProbe = 4
     val emb = Tables.embeddings(s, d)
-    // deterministic coarse centroids: a fixed arithmetic subsample
-    val cents = emb.filter(pmod(col("vec_id"), lit(31)) === 7)
-      .orderBy("vec_id").limit(16)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    val cents = {
+      // quantizer centroids back to float so the same codegen'd
+      // float-array cosine kernel scores vectors and centroids alike
+      val km = Clustering.kmeans(s, d, iters = 2, K = 16)._2
+      import s.implicits._
+      km.zipWithIndex
+        .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }.toSeq
+        .toDF("cent_id", "cent_vec")
+    }
     // one flat (vector × centroid) broadcast join: the cosine runs in
     // ONE codegen'd expression per pair; argmax via windowed top-n
     def nearest(src: DataFrame, vecCol: String, idCol: String, n: Int): DataFrame = {
