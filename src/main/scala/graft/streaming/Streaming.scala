@@ -48,6 +48,40 @@ object Streaming {
     }
   }
 
+  /** Event-time TIMER processor (`transformWithState`, Spark 4's
+    * timer surface): per user, count events and keep a session-close
+    * timer 30 minutes past the latest event; when the WATERMARK
+    * passes the timer, [[handleExpiredTimer]] fires, emits the closed
+    * session (closed = true) and clears the state — bounded state by
+    * construction, driven by event time, the semantics
+    * `mapGroupsWithState` approximates with timeout conf. Exercised
+    * by the TwsTimerSpec hand-built feed. */
+  class SessionTimerProcessor
+      extends StatefulProcessor[Long, Ev, (Long, Long, Boolean)] {
+    @transient private var st: ValueState[(Long, Long)] = _ // (n, timerMs)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("sess",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[(Long, Long, Boolean)] = {
+      val (n0, prevTimer) = if (st.exists()) st.get() else (0L, -1L)
+      var n = n0; var maxTs = Long.MinValue
+      rows.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
+      if (prevTimer >= 0) getHandle.deleteTimer(prevTimer)
+      val timer = maxTs + 30L * 60 * 1000
+      getHandle.registerTimer(timer)
+      st.update((n, timer))
+      Iterator.single((uid, n, false))
+    }
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[(Long, Long, Boolean)] = {
+      val n = if (st.exists()) st.get()._1 else 0L
+      st.clear()
+      Iterator.single((uid, n, true))
+    }
+  }
+
   /** Replay-row memo: nine streaming keys each replay the same events
     * table through MemoryStream, and the driver-side collect+sort is
     * ~1 s per key at sf0.1 — pay it once per (session, sfDir). Harness
