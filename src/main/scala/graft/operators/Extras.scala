@@ -252,16 +252,24 @@ object Extras {
 
   /** Approximate quantiles (Greenwald–Khanna via
     * `percentile_approx`) next to their exact twins — the
-    * bounded-memory sketch a 100 TB profiler uses. No cross-engine
-    * oracle (DuckDB's approx_quantile is a t-digest, a different
-    * sketch); ApproxQuantileSpec checks the rank-error contract
-    * against the exact quartiles instead. */
+    * bounded-memory sketch a 100 TB profiler uses. One SCALAR row per
+    * quantile `(q, approx_q, exact_q, n)` — the result-canonicalizer
+    * sorts rows by every column, and array cells don't sort. No
+    * cross-engine oracle (DuckDB's approx_quantile is a t-digest, a
+    * different sketch); ApproxQuantileSpec checks the rank-error
+    * contract against the exact quartiles instead. */
   val aggApproxQuantile: QFn = (s, d) =>
     Tables.lineitem(s, d).agg(
       expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
-        .as("approx_q"),
-      expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("exact_q"),
+        .as("approx_a"),
+      expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("exact_a"),
       count(lit(1)).as("n"))
+      .select(posexplode(arrays_zip(col("approx_a"), col("exact_a"))), col("n"))
+      .select((lit(0.25) + col("pos") * lit(0.25)).as("q"),
+        col("col.approx_a").as("approx_q"),
+        round(col("col.exact_a"), 6).as("exact_q"),
+        col("n"))
+      .orderBy("q")
 
   /** CDC changelog apply: compact a change stream (insert / update /
     * delete ops derived from the event feed) into the current
