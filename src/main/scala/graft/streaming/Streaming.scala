@@ -89,10 +89,35 @@ object Streaming {
   private val replayRows =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Ev]]()
 
-  /** Replay events through `build`, return the materialized sink. */
+  /** Watermark-flush sentinels: two far-future events fed after the
+    * real data. The first advances the watermark past every real
+    * window; the second seals the first's own windows, so ALL real
+    * windows are emitted in a DATA batch (no reliance on the trailing
+    * no-data-batch flush) and only the second sentinel's windows stay
+    * unsealed in state. Keys filter sentinel windows out by window
+    * start (< [[SentinelGuard]]). */
+  private val Sentinel1 = Timestamp.valueOf("2099-01-01 00:00:00")
+  private val Sentinel2 = Timestamp.valueOf("2099-02-01 00:00:00")
+  val SentinelGuard = "2090-01-01"
+
+  /** State-store telemetry of the LAST finished streaming query run
+    * through [[runStream]]: total rows across its state operators at
+    * the final progress. Harness/spec diagnostic only — the
+    * bounded-state assertion for the append+watermark keys (state must
+    * hold only the unsealed sentinel windows, not every window ever
+    * opened). */
+  @volatile var lastStateRowsTotal: Long = -1L
+
+  /** Replay events through `build`, return the materialized sink.
+    * All queries run on the RocksDB state store provider — the
+    * production backend (bounded executor heap; state spills to local
+    * disk + changelog), pinned here so every stateful key exercises
+    * it. With `flush = true` the sentinel feed (above) seals all real
+    * event-time windows for Append-mode emission. */
   private def runStream(s: SparkSession, d: String,
       mode: OutputMode, name: String,
-      extraConfs: Map[String, String] = Map.empty)(build: DataFrame => DataFrame): DataFrame = {
+      extraConfs: Map[String, String] = Map.empty,
+      flush: Boolean = false)(build: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     val rows = replayRows.computeIfAbsent((s.sparkContext.applicationId, d), _ =>
       Tables.events(s, d)
@@ -105,7 +130,11 @@ object Streaming {
     // per-store checkpoint overhead dominates, so 8 beats 32. Pinned at
     // query start (state partitioning is fixed for the query's life);
     // previous values restored immediately after start.
-    val confs = Map("spark.sql.shuffle.partitions" -> "8") ++ extraConfs
+    val confs = Map(
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ) ++ extraConfs
     val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     val q = try {
@@ -119,6 +148,14 @@ object Streaming {
       val (first, second) = rows.splitAt(rows.length / 2)
       stream.addData(first); q.processAllAvailable()
       stream.addData(second); q.processAllAvailable()
+      if (flush) {
+        stream.addData(Ev(-1L, Sentinel1, -1L, "__flush__", 0.0, ""))
+        q.processAllAvailable()
+        stream.addData(Ev(-2L, Sentinel2, -1L, "__flush__", 0.0, ""))
+        q.processAllAvailable()
+      }
+      lastStateRowsTotal = Option(q.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
     } finally q.stop()
     s.table(sinkName)
   }
@@ -126,30 +163,49 @@ object Streaming {
   private def dsum2(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(30, 2))).cast("double")
 
-  /** 1-hour tumbling windows × event_type, complete mode. */
+  /** 1-hour tumbling windows × event_type — watermark + APPEND, the
+    * production shape: a window's state row is emitted once when the
+    * watermark seals it and then EVICTED, so state holds only open
+    * windows (bounded by the watermark horizon), not every window
+    * ever seen, and the sink is written once per window instead of
+    * re-emitting the whole result table each micro-batch. The
+    * sentinel feed seals the trailing windows so the batch-equivalence
+    * oracle still sees the complete result. */
   val streamTumbling: QFn = (s, d) =>
-    runStream(s, d, OutputMode.Complete(), "tumbling") { df =>
-      df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+    runStream(s, d, OutputMode.Append(), "tumbling", flush = true) { df =>
+      df.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
     }.select(col("window.start").as("w_start"), col("event_type"),
       col("n"), col("sum_value"))
+      .filter(col("w_start") < SentinelGuard)
       .orderBy("w_start", "event_type")
 
-  /** 1-hour windows sliding every 15 minutes, complete mode. */
+  /** 1-hour windows sliding every 15 minutes — watermark + APPEND
+    * (same bounded-state shape as [[streamTumbling]]; the 4× window
+    * fan-out makes unbounded Complete-mode state the canonical
+    * streaming scale-killer, so eviction matters most here). */
   val streamSliding: QFn = (s, d) =>
-    runStream(s, d, OutputMode.Complete(), "sliding") { df =>
-      df.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+    runStream(s, d, OutputMode.Append(), "sliding", flush = true) { df =>
+      df.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
         .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
     }.select(col("window.start").as("w_start"), col("n"), col("sum_value"))
+      .filter(col("w_start") < SentinelGuard)
       .orderBy("w_start")
 
-  /** Per-user session windows with a 30-minute gap, complete mode. */
+  /** Per-user session windows, 30-minute gap — watermark + APPEND:
+    * a session is emitted exactly once, when the watermark passes its
+    * close, and its state is evicted; only sessions still open within
+    * the watermark horizon occupy the store. */
   val streamSession: QFn = (s, d) =>
-    runStream(s, d, OutputMode.Complete(), "session") { df =>
-      df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+    runStream(s, d, OutputMode.Append(), "session", flush = true) { df =>
+      df.withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
     }.select(col("session_window.start").as("sess_start"), col("user_id"),
       col("n"), col("sum_value"))
+      .filter(col("sess_start") < SentinelGuard)
       .orderBy("user_id", "sess_start")
 
   /** Append mode + 1-hour watermark: only windows sealed by the final
@@ -219,11 +275,10 @@ object Streaming {
     * mode, no timers). State lives in a named `ValueState` — the new
     * API's composable state-variable model (vs. mapGroupsWithState's
     * single opaque value), with TTL available for bounded retention.
-    * Requires the RocksDB state store provider, pinned per-query. */
+    * Requires the RocksDB state store provider — which [[runStream]]
+    * pins for every streaming key. */
   val streamStatefulTws: QFn = (s, d) => {
-    val rocksConf = Map("spark.sql.streaming.stateStore.providerClass" ->
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val updates = runStream(s, d, OutputMode.Update(), "stateful_tws", rocksConf) { df =>
+    val updates = runStream(s, d, OutputMode.Update(), "stateful_tws") { df =>
       import df.sparkSession.implicits._
       df.filter(col("event_type") === "purchase").as[Ev]
         .groupByKey(_.user_id)

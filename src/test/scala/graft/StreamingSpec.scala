@@ -92,6 +92,34 @@ class StreamingSpec extends SparkTestBase {
     assert(appended <= allWindows, "append emitted more than exists")
   }
 
+  test("windowed append keys equal batch twins with BOUNDED state") {
+    // tumbling: batch-equivalence (the oracle's contract) …
+    val tumbled = streaming.Streaming.streamTumbling(spark, sf).collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("w_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum2(col("value")).as("sum_value"))
+      .orderBy("w_start", "event_type").collect()
+    assert(tumbled.map(_.toString).toSeq == batch.map(_.toString).toSeq)
+    // … AND bounded state: after the sentinel flush the store holds
+    // only the unsealed sentinel windows — not every window ever seen
+    // (Complete mode held all of them; that was the scale-killer).
+    val tumblingState = streaming.Streaming.lastStateRowsTotal
+    assert(tumblingState >= 0 && tumblingState <= 4,
+      s"tumbling state not bounded: $tumblingState rows vs ${batch.length} windows")
+
+    val slid = streaming.Streaming.streamSliding(spark, sf).count()
+    assert(slid > 0)
+    val slidingState = streaming.Streaming.lastStateRowsTotal
+    assert(slidingState >= 0 && slidingState <= 8,
+      s"sliding state not bounded: $slidingState rows vs $slid windows")
+
+    val sessioned = streaming.Streaming.streamSession(spark, sf).count()
+    assert(sessioned > 0)
+    val sessionState = streaming.Streaming.lastStateRowsTotal
+    assert(sessionState >= 0 && sessionState <= 4,
+      s"session state not bounded: $sessionState rows vs $sessioned sessions")
+  }
+
   test("streaming keys equal their batch twins (dedup + stateful)") {
     val streamed = streaming.Streaming.streamDedup(spark, sf).collect()
     val batch = Tables.events(spark, sf).groupBy("event_type")
