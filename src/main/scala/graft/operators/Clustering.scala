@@ -29,13 +29,18 @@ import graft.functions.SqEuclidFD
   */
 object Clustering {
 
-  private val Dim = 64
-
   /** One k-means run; returns (cluster, n_points, wssse) — and the
     * centroids used, for the spec. */
   def kmeans(s: SparkSession, d: String, iters: Int, preShuffle: Int = 0,
-      K: Int = 8): (DataFrame, Array[Array[Double]]) = {
-    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      K: Int = 8): (DataFrame, Array[Array[Double]]) =
+    kmeansOn(s, Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      iters, preShuffle, K)
+
+  /** Lloyd iterations over any (vec_id, embedding float array) frame —
+    * the quantizer-training entry the IVF index and the angular-bound
+    * near-dup blocking share. */
+  def kmeansOn(s: SparkSession, base: DataFrame, iters: Int,
+      preShuffle: Int = 0, K: Int = 8): (DataFrame, Array[Array[Double]]) = {
     val emb = if (preShuffle > 0) base.repartition(preShuffle) else base
     // deterministic seed centroids: k lowest vec_ids of a fixed
     // arithmetic subsample (same spirit as the IVF coarse quantizer)
@@ -66,7 +71,7 @@ object Clustering {
         .groupBy("cluster", "pos")
         .agg(sum("q").as("sq"), count(lit(1)).as("n"))
         .collect()
-      val next = Array.tabulate(K, Dim)((c, p) => cents(c)(p))
+      val next = Array.tabulate(K, cents(0).length)((c, p) => cents(c)(p))
       sums.foreach { r =>
         val c = r.getInt(0); val p = r.getInt(1)
         // quantized mean: nearest-integer micro-units via exact

@@ -342,17 +342,95 @@ object LlmSimilarity {
       .orderBy("a", "b")
   }
 
-  /** Embedding cosine near-dup: same-label blocking, τ = 0.3
-    * (label is the blocking key a real pipeline would shard on). */
-  val llmEmbedNeardup: QFn = (s, d) => {
-    val e = Tables.embeddings(s, d)
-    e.as("x").join(e.as("y"),
-        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        col("x.label").as("label"),
-        round(cosine(col("x.embedding"), col("y.embedding")), 6).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.3)
+  /** Embedding cosine near-dup (τ = 0.3, same-label pairs) — EXACT
+    * angular-bound cell blocking, not an all-pairs product:
+    *
+    *  1. a k-means coarse quantizer ([[Clustering.kmeansOn]], K = 16)
+    *     assigns every vector its nearest-by-cosine cell in one
+    *     broadcast scan (the IVF assignment);
+    *  2. each non-empty cell's angular RADIUS r_c = max angle(x, c) is
+    *     one K-row aggregate (bounded driver state, like the
+    *     centroids themselves);
+    *  3. the K×K cell pairs are pruned on the driver by the triangle
+    *     inequality on the unit sphere: a pair (x ∈ ci, y ∈ cj) can
+    *     reach angle(x,y) ≤ acos τ only if
+    *     θ(ci,cj) ≤ acos τ + r_i + r_j — every surviving pair of
+    *     vectors provably lands in an ADMISSIBLE cell pair, so recall
+    *     is complete BY CONSTRUCTION (unlike hyperplane LSH, which at
+    *     τ = 0.3 ≈ 72° has near-coin-flip bit agreement and cannot be
+    *     recall-complete);
+    *  4. vectors join only through the admissible (cell, cell) list —
+    *     the equi-join keys are (cell, label), so the comparison
+    *     volume is Σ_admissible |ci|·|cj|, never n²/blocks.
+    *
+    * On clustered corpora (the real near-dup regime) the bound prunes
+    * most cell pairs — EmbedNeardupSpec proves exactness + pruning on
+    * a 3-cluster corpus. On THIS benchmark's near-uniform vectors
+    * (max pairwise cos ≈ 0.51 at angles ≥ 60°) few cell pairs prune at
+    * τ = 0.3 — that is a property of random data, not of the plan: the
+    * candidate volume is still bounded by the admissible list, and the
+    * same code at production thresholds (τ ≥ 0.8) prunes nearly all
+    * of the K² pairs. Oracle unchanged (exact τ = 0.3 semantics). */
+  val llmEmbedNeardup: QFn = (s, d) =>
+    embedNeardupBlocked(s, Tables.embeddings(s, d), tau = 0.3, K = 16)._1
+
+  /** The angular-bound blocked near-dup join; returns the pair frame
+    * and the admissible cell-pair count (the spec asserts it prunes
+    * below K² on clustered data). Exact for any input: recall follows
+    * from the triangle inequality, precision from the final cosine
+    * filter. */
+  def embedNeardupBlocked(s: SparkSession, emb: DataFrame, tau: Double,
+      K: Int): (DataFrame, Int) = {
+    import s.implicits._
+    val cents = Clustering.kmeansOn(s,
+      emb.select(col("vec_id"), col("embedding")), iters = 2, K = K)._2
+      // float-rounded like the broadcast cent_vec, so driver-side
+      // centroid angles and executor-side assignment cosines agree
+      .map(_.map(v => v.toFloat.toDouble))
+    val centDf = broadcast(cents.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toSeq.toDF("cell", "cent_vec"))
+    // nearest-by-cosine cell per vector + its angle to the centroid;
+    // materialized once (localCheckpoint) — reused by the radius agg
+    // and both sides of the pair join. At 100 TB this frame is the
+    // cell-partitioned index layout the corpus would be WRITTEN in.
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    val assigned = emb.crossJoin(centDf)
+      .withColumn("csim", least(greatest(cosine(col("embedding"), col("cent_vec")),
+        lit(-1.0)), lit(1.0)))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"), col("cell"),
+        acos(col("csim")).as("cang"))
+      .localCheckpoint()
+    // per-cell angular radius: K rows to the driver (bounded state)
+    val radii: Map[Int, Double] = assigned.groupBy("cell")
+      .agg(max("cang").as("r")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // driver-side admissibility over K² centroid pairs
+    def angle(i: Int, j: Int): Double = {
+      val (a, b) = (cents(i), cents(j))
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var p = 0
+      while (p < a.length) { dot += a(p) * b(p); na += a(p) * a(p); nb += b(p) * b(p); p += 1 }
+      math.acos(math.max(-1.0, math.min(1.0, dot / math.sqrt(na * nb))))
+    }
+    val maxAngle = math.acos(tau) + 1e-6
+    val admissible = for {
+      i <- radii.keys.toSeq; j <- radii.keys.toSeq
+      if angle(i, j) <= maxAngle + radii(i) + radii(j)
+    } yield (i, j)
+    val admDf = broadcast(admissible.toDF("ca", "cb"))
+    val x = assigned.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("label"), col("cell").as("ca"))
+    val y = assigned.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("label").as("lb"), col("cell").as("cy"))
+    val pairs = x.join(admDf, "ca")
+      .join(y, col("cb") === col("cy") && col("label") === col("lb") &&
+        col("a") < col("b"))
+      .withColumn("cos_sim", round(cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos_sim") >= tau)
+      .select(col("a"), col("b"), col("label"), col("cos_sim"))
       .orderBy("a", "b")
+    (pairs, admissible.size)
   }
 
   /** Multimodal join: text + vector in one row, filtered by label and
