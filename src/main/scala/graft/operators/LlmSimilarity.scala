@@ -154,27 +154,39 @@ object LlmSimilarity {
         as.toArray, bs.toArray, MersennePrime).as("sig"))
   }
 
-  /** MinHash LSH near-dedup: candidate pairs from band buckets, scored
-    * by signature agreement (est. Jaccard) and exact bigram Jaccard.
-    * Emits pairs with est ≥ 0.35. No oracle (hash-seed specific) — the
-    * spec checks recall of high-Jaccard pairs and estimate error. */
-  val llmNearDedup: QFn = (s, d) => {
-    val sigs = minhashSignatures(s, d)
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(MinhashBands - 1)),
+  /** (doc_id, band, band_key) LSH bucket keys: the 64-perm signature
+    * cut into `bands` equal slices, each hashed to one 8-byte key.
+    * Pairs agreeing on any full slice share that band's key — the
+    * banding equi-join that replaces the all-pairs product. */
+  private def lshBandKeys(sigs: DataFrame, bands: Int): DataFrame = {
+    val rows = MinhashPerms / bands
+    sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
         j => xxhash64(concat_ws("_", j.cast("string"),
-          slice(col("sig"), j * (MinhashPerms / MinhashBands) + 1,
-            lit(MinhashPerms / MinhashBands)).cast("string"))))))
+          slice(col("sig"), j * rows + 1, lit(rows)).cast("string"))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-    // dedupe candidate id-pairs FIRST (cheap 16-byte rows), then join
-    // the signatures back — the 512-byte sig arrays never go through
-    // the distinct's shuffle
-    val keys = banded.select("doc_id", "band", "band_key")
-    val cands = keys.as("x").join(keys.as("y"),
+  }
+
+  /** Deduped candidate id-pairs from an LSH band-bucket self-join.
+    * Pairs are deduped FIRST (cheap 16-byte rows) so the 512-byte sig
+    * arrays never go through the distinct's shuffle. */
+  private def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
+    val keys = lshBandKeys(sigs, bands).select("doc_id", "band", "band_key")
+    keys.as("x").join(keys.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+  }
+
+  /** MinHash LSH near-dedup: candidate pairs from band buckets, scored
+    * by signature agreement (est. Jaccard) and exact bigram Jaccard.
+    * Emits pairs with est ≥ 0.35. No oracle (hash-seed specific) — the
+    * spec checks recall of high-Jaccard pairs and estimate error;
+    * [[llmNearDedupExact]] is the oracle-checkable twin. */
+  val llmNearDedup: QFn = (s, d) => {
+    val sigs = minhashSignatures(s, d)
+    val cands = lshCandidates(sigs, MinhashBands)
     val est = cands
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
       .join(sigs.select(col("doc_id").as("b"), col("sig").as("sb")), "b")
@@ -193,6 +205,30 @@ object LlmSimilarity {
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"),
         round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))), 6).as("exact_jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** The ORACLE-CHECKABLE near-dedup twin (SURVEY §2.9's suggested
+    * partial oracle): LSH candidates filtered by EXACT hashed-bigram
+    * Jaccard ≥ 0.5 — the emitted pairs are seed-independent, so DuckDB
+    * can recompute them as the full all-pairs Jaccard join. Recall:
+    * 32 bands × 2 rows catch a J = 0.5 pair with p = 1−(1−J²)³² ≈
+    * 1−10⁻⁴ (and every planted pair in this corpus sits at J ≥ 0.7,
+    * where the miss odds are ~4·10⁻¹⁰); the band keys are a strict
+    * SUPERSET of the 16×4 keys the estimating key uses. Candidate
+    * generation stays the banding equi-join — DuckDB's n² join is the
+    * oracle's cost, not the engine's. */
+  val llmNearDedupExact: QFn = (s, d) => {
+    val cands = lshCandidates(minhashSignatures(s, d), bands = 32)
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.HashedBigrams(col("text")).as("grams"))
+    cands
+      .join(grams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
+      .join(grams.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
+      .withColumn("j", size(array_intersect(col("ga"), col("gb"))).cast("double") /
+        size(array_union(col("ga"), col("gb"))))
+      .filter(col("j") >= 0.5)
+      .select(col("a"), col("b"), round(col("j"), 6).as("exact_jaccard"))
       .orderBy("a", "b")
   }
 
@@ -465,6 +501,7 @@ object LlmSimilarity {
     "llm_knn_cosine" -> llmKnnCosine,
     "llm_knn_ivf" -> llmKnnIvf,
     "llm_near_dedup" -> llmNearDedup,
+    "llm_near_dedup_exact" -> llmNearDedupExact,
     "llm_dedup_cluster" -> llmDedupCluster,
     "llm_simhash" -> llmSimhash,
     "llm_ngram_jaccard" -> llmNgramJaccard,
@@ -489,6 +526,21 @@ object LlmSimilarity {
              CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS INT) AS rk
            FROM sims)
          WHERE rk <= 5 ORDER BY probe_id, rk""",
+    "llm_near_dedup_exact" ->
+      // the engine's emitted pairs are LSH candidates filtered by exact
+      // Jaccard; the oracle recomputes the same seed-independent set as
+      // an all-pairs join (affordable for DuckDB at oracle scale)
+      """WITH sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(len(string_split(text,' '))-1),
+               i -> string_split(text,' ')[i+1] || '_' || string_split(text,' ')[i+2])) AS grams
+           FROM documents)
+         SELECT a, b, round(j, 6) AS exact_jaccard FROM (
+           SELECT x.doc_id AS a, y.doc_id AS b,
+             CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+               / len(list_distinct(x.grams || y.grams)) AS j
+           FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+         WHERE j >= 0.5 ORDER BY a, b""",
     "llm_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id, source,
