@@ -32,7 +32,14 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}"""
+    println(json)
+    // durable copy: the round-2 driver artifact lost its tail to stdout
+    // truncation — persist the full per-key JSON alongside the repo too
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")),
+      json.getBytes("UTF-8"))
     spark.stop()
   }
 }

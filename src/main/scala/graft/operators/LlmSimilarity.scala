@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
   *    banding shuffle), never an all-pairs product;
   *  - SimHash pairs come from 16-bit chunk buckets (pigeonhole: any
   *    pair within Hamming ≤ 3 of 64 bits shares one of 4 chunks);
-  *  - exact n-gram Jaccard runs as an inverted-index set-similarity
-  *    join (postings equi-join on (source, gram)); embedding near-dup
-  *    is *blocked* (same label) — the bounded variant;
+  *  - exact n-gram Jaccard runs as a prefix-filtered inverted-index
+  *    set-similarity join (rarest-gram postings equi-join, exact
+  *    verification on candidates); embedding near-dup is *blocked*
+  *    by admissible quantizer-cell pairs — the bounded variant;
   *  - the multimodal join is a plain equi-join, broadcast-able when
   *    one side is a dimension.
   */
@@ -308,73 +309,103 @@ object LlmSimilarity {
       .orderBy("doc_id")
   }
 
-  /** Exact word-bigram Jaccard ≥ 0.3 within the same source, via an
-    * INVERTED-INDEX set-similarity join: explode each doc's gram set to
-    * (source, gram) postings, self-equi-join the postings list, count
-    * shared grams per (a, b) pair, then |A∩B| / (|A| + |B| − |A∩B|).
-    * Pairs sharing zero grams have Jaccard 0 and are correctly absent.
+  /** Exact word-bigram Jaccard ≥ 0.3 within the same source, via a
+    * PREFIX-FILTERED inverted-index set-similarity join (the AllPairs /
+    * SSJoin bound):
     *
-    * Fully relational and shuffle-parallel: parallelism is bounded by
-    * the posting-list shuffle (hash on (source, gram)), not by the
-    * number of source blocks — the previous collect_list-per-source
-    * + typed flatMap design capped parallelism at #sources and pushed
-    * every block through one task (65 s at sf0.1; this runs in a few
-    * seconds with all 32 cores busy). At 100 TB: hot grams are the
-    * skew axis — AQE skew-join splits them, and a prefix filter (index
-    * only each set's rarest-k grams) bounds the candidate join; the
-    * grams are hashed to 8-byte longs so the posting shuffle stays
-    * narrow. Integer set math is dialect-exact → DuckDB oracle. */
+    *  1. grams get a global total order: (document frequency, gram)
+    *     ascending — rarest first, hottest LAST;
+    *  2. each doc indexes only its first |A| − ⌈τ·|A|⌉ + 1 grams.
+    *     Recall is complete by the prefix lemma: J(A,B) ≥ τ forces
+    *     overlap o ≥ ⌈τ·|A|⌉ and o ≥ ⌈τ·|B|⌉, and the globally
+    *     SMALLEST common gram has at least o − 1 overlap grams ranked
+    *     after it in each doc, so its rank is ≤ |X| − o + 1 ≤ prefix
+    *     length in BOTH docs — every qualifying pair collides in the
+    *     prefix index;
+    *  3. candidate (a, b) pairs from the prefix-postings self-join are
+    *     verified EXACTLY via `array_intersect` on the full gram sets,
+    *     so the output is identical to the unfiltered join (same
+    *     DuckDB oracle).
+    *
+    * This is the 100 TB hot-gram answer, not a mitigation: a gram in
+    * every document has maximal df, ranks last in every doc, and is
+    * NEVER indexed — the skew axis of the naive postings self-join
+    * (AQE skew-split only spreads it) is gone structurally, and the
+    * candidate join touches ~(1−τ) of the postings volume. Document
+    * frequency itself is one map-side-combined groupBy over postings;
+    * prefix ranking is one (source, doc_id)-partitioned window. */
   val llmNgramJaccard: QFn = (s, d) => {
+    val tau = 0.3
     // native single-pass gram hashing: the composed transform/xxhash64
-    // chain was interpreted (HOFs are CodegenFallback) and re-evaluated
-    // once per self-join side — 4.4 s per evaluation at sf0.1 vs ~0.2 s
-    // for this expression
+    // chain was interpreted (HOFs are CodegenFallback) — 4.4 s per
+    // evaluation at sf0.1 vs ~0.2 s for this expression
     val g = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         graft.functions.HashedBigrams(col("text")).as("hg"))
-    val sizes = g.select(col("doc_id"), size(col("hg")).as("sz"))
-    val postings = g.select(col("source"), col("doc_id"), explode(col("hg")).as("gram"))
-    val shared = postings.as("x").join(postings.as("y"),
+    val postings = g.select(col("source"), col("doc_id"),
+      size(col("hg")).as("sz"), explode(col("hg")).as("gram"))
+    val dfreq = postings.groupBy("source", "gram").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("source", "doc_id").orderBy("df", "gram")
+    val prefix = postings.join(dfreq, Seq("source", "gram"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("sz") - ceil(lit(tau) * col("sz")) + lit(1))
+      .select("source", "doc_id", "gram")
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.source") === col("y.source") && col("x.gram") === col("y.gram") &&
           col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.source").as("source"))
-      .agg(count(lit(1)).as("shared"))
-    // |A|/|B| join back: the size table is one int per doc — broadcast
-    // here; at sizes beyond broadcast range it degrades to a plain
-    // shuffle join on a, b (drop the hint, AQE decides).
-    shared
-      .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sza"))), "a")
-      .join(broadcast(sizes.select(col("doc_id").as("b"), col("sz").as("szb"))), "b")
+      .distinct()
+    // exact verification on the (few) candidates: full gram arrays join
+    // back on a / b — plain shuffle joins, AQE broadcasts when small
+    cand
+      .join(g.select(col("doc_id").as("a"), col("hg").as("hga")), "a")
+      .join(g.select(col("doc_id").as("b"), col("hg").as("hgb")), "b")
+      .withColumn("shared", size(array_intersect(col("hga"), col("hgb"))))
       .select(col("a"), col("b"), col("source"),
-        (col("shared") / (col("sza") + col("szb") - col("shared"))).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
+        (col("shared") / (size(col("hga")) + size(col("hgb")) - col("shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= tau)
       .orderBy("a", "b")
   }
 
   /** Asymmetric containment similarity c(A→B) = |A∩B| / |A|: finds
     * documents mostly CONTAINED in another (quotes, excerpts,
     * boilerplate wrappers) that symmetric Jaccard under-scores when
-    * |B| ≫ |A|. Same inverted-index postings join as
-    * [[llmNgramJaccard]] (one (source, gram) shuffle, AQE splits hot
-    * grams), but directional: both (a,b) orders survive and the
-    * denominator is the CONTAINED side only. */
+    * |B| ≫ |A|. Prefix-filtered like [[llmNgramJaccard]], but the
+    * bound is ONE-SIDED: c(A→B) ≥ τ bounds overlap by ⌈τ·|A|⌉ alone
+    * (|B| is unconstrained), so only the contained side's postings are
+    * prefix-pruned — the containing side stays fully indexed, and the
+    * smallest common gram still collides (it is in A's prefix by the
+    * same rank argument, and in B's full postings trivially).
+    * Candidates are verified exactly on the full gram arrays, both
+    * (a, b) orders survive, and the denominator is the contained side. */
   val llmContainment: QFn = (s, d) => {
+    val tau = 0.5
     val g = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         graft.functions.HashedBigrams(col("text")).as("hg"))
-    val sizes = g.select(col("doc_id"), size(col("hg")).as("sz"))
-    val postings = g.select(col("source"), col("doc_id"), explode(col("hg")).as("gram"))
-    postings.as("x").join(postings.as("y"),
+    val postings = g.select(col("source"), col("doc_id"),
+      size(col("hg")).as("sz"), explode(col("hg")).as("gram"))
+    val dfreq = postings.groupBy("source", "gram").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("source", "doc_id").orderBy("df", "gram")
+    val prefix = postings.join(dfreq, Seq("source", "gram"))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("sz") - ceil(lit(tau) * col("sz")) + lit(1))
+      .select("source", "doc_id", "gram")
+    val cand = prefix.as("x").join(postings.as("y"),
         col("x.source") === col("y.source") && col("x.gram") === col("y.gram") &&
           col("x.doc_id") =!= col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.source").as("source"))
-      .agg(count(lit(1)).as("shared"))
-      .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sza"))), "a")
+      .distinct()
+    cand
+      .join(g.select(col("doc_id").as("a"), col("hg").as("hga")), "a")
+      .join(g.select(col("doc_id").as("b"), col("hg").as("hgb")), "b")
       .select(col("a"), col("b"), col("source"),
-        (col("shared") / col("sza")).as("containment"))
-      .filter(col("containment") >= 0.5)
+        (size(array_intersect(col("hga"), col("hgb"))) / size(col("hga")))
+          .as("containment"))
+      .filter(col("containment") >= tau)
       .orderBy("a", "b")
   }
 

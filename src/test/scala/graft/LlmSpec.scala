@@ -133,4 +133,32 @@ class LlmSpec extends SparkTestBase {
         col("spread_udf") =!= col("spread_native"))
     assert(bad.count() == 0)
   }
+
+  test("prefix-filtered jaccard & containment equal the all-pairs truth") {
+    // ground truth: EXACT similarity on every same-source pair (all-pairs
+    // join — fine at sf0.001). The prefix lemma says the rarest-gram
+    // index loses no qualifying pair; this pins it against the rewrite.
+    val g = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        graft.functions.HashedBigrams(col("text")).as("hg"))
+    val pairs = g.as("x").join(g.as("y"),
+        col("x.source") === col("y.source") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        size(array_intersect(col("x.hg"), col("y.hg"))).as("shared"),
+        size(col("x.hg")).as("sza"), size(col("y.hg")).as("szb"))
+    val truthJ = pairs.filter(col("a") < col("b"))
+      .filter(col("shared") / (col("sza") + col("szb") - col("shared")) >= 0.3)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotJ = operators.LlmSimilarity.llmNgramJaccard(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotJ == truthJ, s"jaccard mismatch: missed=${truthJ -- gotJ} extra=${gotJ -- truthJ}")
+
+    val truthC = pairs
+      .filter(col("shared") / col("sza") >= 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotC = operators.LlmSimilarity.llmContainment(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotC == truthC, s"containment mismatch: missed=${truthC -- gotC} extra=${gotC -- truthC}")
+  }
 }
