@@ -320,7 +320,81 @@ object LlmText {
         (col("sq").cast("double") / col("n").cast("double") / 1000000.0).as("c"))
       .orderBy("label", "pos")
 
+  /** Benchmark decontamination — the pre-training hygiene pass: flag
+    * every training document that shares a word 3-gram with the eval
+    * set (here, the deterministic doc_id % 10 == 0 slice stands in for
+    * a held-out benchmark). Per flagged doc: how many distinct grams
+    * leak and how many eval docs they touch.
+    *
+    * Scale shape: benchmarks are tiny next to a 100 TB corpus, so the
+    * eval gram postings BROADCAST and the corpus side never shuffles
+    * until the final per-doc aggregate — one scan of the training
+    * data against an in-memory gram set, the same plan n-gram-overlap
+    * decontamination runs in production pipelines. */
+  val llmDecontaminate: QFn = (s, d) => {
+    val grams3 = when(size(words) >= 3, array_distinct(transform(
+        sequence(lit(0), size(words) - 3),
+        i => concat_ws(" ", slice(words, i + 1, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+    val docs = Tables.documents(s, d)
+    val evalG = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), explode(grams3).as("gram"))
+    val trainG = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), explode(grams3).as("gram"))
+    trainG.join(broadcast(evalG), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** The whole curation pipeline as ONE declarative plan — quality
+    * gate ([[llmQualityScore]]'s formula ≥ 0.75) → language gate
+    * (en/es) → exact content dedup (min-doc_id keeper, one shuffle)
+    * → 512-token sequence packing. Output: one row per pack.
+    *
+    * The point is compositional: Catalyst fuses the two gates into
+    * the parquet scan (pushed filters on lang + projected text), the
+    * dedup is a single hash shuffle, and packing reuses the sharded
+    * prefix-sum — no global window anywhere, so the one plan holds
+    * from sf0.001 to a 1000-executor corpus run. */
+  val llmCorpusPipeline: QFn = (s, d) => {
+    val capacity = 512L
+    val nWords = size(words)
+    val stop = Array("the", "a", "of", "and", "to", "in", "is", "on")
+    val quality =
+      when(nWords.between(30, 1000), 0.5).otherwise(0.0) +
+        when(size(filter(words, w => w.isin(stop: _*))).cast("double") / nWords > 0.02, 0.25)
+          .otherwise(0.0) +
+        when(size(array_distinct(words)).cast("double") / nWords > 0.2, 0.25)
+          .otherwise(0.0)
+    val kept = Tables.documents(s, d)
+      .filter(col("lang").isin("en", "es") && quality >= 0.75)
+      .select(col("doc_id"), nWords.cast("long").as("n_tokens"),
+        sha2(lower(trim(col("text"))), 256).as("h"))
+    val wDedup = Window.partitionBy("h").orderBy("doc_id")
+    val uniq = kept.withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("n_tokens"), floor(col("doc_id") / 4096L).as("shard"))
+    val wIn = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inShard = uniq.withColumn("cum_in_shard", sum("n_tokens").over(wIn))
+    val wShard = Window.orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = uniq.groupBy("shard").agg(sum("n_tokens").as("shard_tokens"))
+      .withColumn("base", coalesce(sum("shard_tokens").over(wShard), lit(0L)))
+      .select("shard", "base")
+    inShard.join(broadcast(offsets), "shard")
+      .withColumn("cum_after", col("base") + col("cum_in_shard"))
+      .withColumn("pack_id", floor((col("cum_after") - col("n_tokens")) / capacity))
+      .groupBy("pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("pack_tokens"))
+      .orderBy("pack_id")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "llm_decontaminate" -> llmDecontaminate,
+    "llm_corpus_pipeline" -> llmCorpusPipeline,
     "llm_chunk_docs" -> llmChunkDocs,
     "llm_embed_centroid" -> llmEmbedCentroid,
     "llm_sample_stratified" -> llmSampleStratified,
@@ -338,6 +412,49 @@ object LlmText {
     "llm_ngram_windows" -> llmNgramWindows)
 
   val oracles: Seq[(String, String)] = Seq(
+    "llm_decontaminate" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         g AS (
+           SELECT DISTINCT doc_id, array_to_string(w[s + 1 : s + 3], ' ') AS gram
+           FROM (
+             SELECT doc_id, w,
+               unnest(range(0, greatest(len(w) - 2, 0))) AS s
+             FROM t))
+         SELECT tr.doc_id, count(DISTINCT tr.gram) AS n_shared_grams,
+           count(DISTINCT ev.doc_id) AS n_eval_docs
+         FROM g tr JOIN g ev ON tr.gram = ev.gram
+         WHERE tr.doc_id % 10 <> 0 AND ev.doc_id % 10 = 0
+         GROUP BY tr.doc_id ORDER BY tr.doc_id""",
+    "llm_corpus_pipeline" ->
+      """WITH scored AS (
+           SELECT doc_id, text, lang,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','on'))) AS n_stop,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+           FROM documents),
+         kept AS (
+           SELECT doc_id, text, CAST(n_words AS BIGINT) AS n_tokens
+           FROM scored
+           WHERE lang IN ('en', 'es')
+             AND (CASE WHEN n_words BETWEEN 30 AND 1000 THEN 0.5 ELSE 0.0 END
+                + CASE WHEN CAST(n_stop AS DOUBLE) / n_words > 0.02 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN CAST(n_distinct AS DOUBLE) / n_words > 0.2 THEN 0.25 ELSE 0.0 END)
+               >= 0.75),
+         uniq AS (
+           SELECT doc_id, n_tokens,
+             row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+               ORDER BY doc_id) AS rn
+           FROM kept),
+         packed AS (
+           SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after
+           FROM uniq WHERE rn = 1)
+         SELECT CAST(floor((cum_after - n_tokens) / 512.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+         FROM packed GROUP BY 1 ORDER BY 1""",
     "llm_chunk_docs" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

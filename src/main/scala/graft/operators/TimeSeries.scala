@@ -85,10 +85,47 @@ object TimeSeries {
       .orderBy("bar", "event_type")
   }
 
+  /** Linear-interpolation resample — [[tsGapfill]]'s twin for the mid
+    * price a quote store actually wants: a missing hourly bar gets
+    * prev + (next − prev) · elapsed/gap, not a stale forward-copy.
+    * The spine is hourly-regular, so bar POSITION (row_number per
+    * type) replaces timestamp arithmetic — the interpolation fraction
+    * is a ratio of small integers, exact in both engines. One window
+    * pass in each direction carries the last/next observed value and
+    * its position; edge bars missing an observation on either side
+    * stay null (the left join's is_gap still marks them). Same
+    * (event_type)-partitioned single-shuffle shape as gapfill. */
+  val tsInterpolate: QFn = (s, d) => {
+    val e = Tables.events(s, d)
+    val hourly = e.select(bar.as("bar"), col("event_type"), col("value"))
+      .groupBy("bar", "event_type").agg(davg2(col("value")).as("v"))
+    val bounds = e.agg(min(bar).as("lo"), max(bar).as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("bar"))
+      .crossJoin(e.select("event_type").distinct())
+    val wIdx = Window.partitionBy("event_type").orderBy("bar")
+    val wPrev = wIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = wIdx.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(hourly, Seq("bar", "event_type"), "left")
+      .withColumn("idx", row_number().over(wIdx))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pi", last(when(col("v").isNotNull, col("idx")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("ni", first(when(col("v").isNotNull, col("idx")), ignoreNulls = true).over(wNext))
+      .select(col("bar"), col("event_type"),
+        col("v").isNull.cast("int").as("is_gap"),
+        round(when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("idx") - col("pi")).cast("double") / (col("ni") - col("pi")).cast("double"))),
+          6).as("interp_value"))
+      .orderBy("bar", "event_type")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "ts_ohlc_bars" -> tsOhlcBars,
     "ts_vwap" -> tsVwap,
-    "ts_gapfill" -> tsGapfill)
+    "ts_gapfill" -> tsGapfill,
+    "ts_interpolate" -> tsInterpolate)
 
   val oracles: Seq[(String, String)] = Seq(
     "ts_ohlc_bars" ->
@@ -132,5 +169,37 @@ object TimeSeries {
               PARTITION BY s.event_type ORDER BY s.bar
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
           FROM spine s LEFT JOIN hourly h ON s.bar = h.bar AND s.event_type = h.event_type
-          ORDER BY s.bar, s.event_type""")
+          ORDER BY s.bar, s.event_type""",
+    "ts_interpolate" ->
+      s"""WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
+              ${sqlAvg2("value")} AS v
+            FROM events GROUP BY 1, 2),
+          bounds AS (
+            SELECT min(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS lo,
+              max(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hi
+            FROM events),
+          spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bar, et.event_type
+            FROM bounds, (SELECT DISTINCT event_type FROM events) et),
+          j AS (
+            SELECT s.bar, s.event_type, h.v,
+              row_number() OVER (PARTITION BY s.event_type ORDER BY s.bar) AS idx
+            FROM spine s LEFT JOIN hourly h ON s.bar = h.bar AND s.event_type = h.event_type),
+          f AS (
+            SELECT bar, event_type, v, idx,
+              last_value(v IGNORE NULLS) OVER wp AS pv,
+              last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wp AS pi,
+              first_value(v IGNORE NULLS) OVER wn AS nv,
+              first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER wn AS ni
+            FROM j
+            WINDOW wp AS (PARTITION BY event_type ORDER BY bar
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wn AS (PARTITION BY event_type ORDER BY bar
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          SELECT bar, event_type, CAST(v IS NULL AS INT) AS is_gap,
+            round(CASE WHEN v IS NOT NULL THEN v
+              ELSE pv + (nv - pv) *
+                (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)) END, 6) AS interp_value
+          FROM f ORDER BY bar, event_type""")
 }
