@@ -208,6 +208,60 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Forward as-of: each purchase matched to the NEXT click at-or-after
+    * it — the other half of the as-of family (quote-after-trade in the
+    * bid/ask domain). Same union+window shape as [[joinAsof]], mirrored:
+    * purchases sort BEFORE same-ts clicks (tag 0 vs 1) so the
+    * current-row→following frame sees an equal-timestamp click, and
+    * `first(ignoreNulls)` carries it backward. One shuffle on user_id. */
+  val joinAsofForward: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"), lit(1).as("tag"), col("event_id"),
+      col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(0).as("tag"), col("event_id"),
+      lit(null).cast("timestamp").as("click_ts"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("next_click_ts", first(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select("event_id", "user_id", "ts", "next_click_ts")
+      .orderBy("event_id")
+  }
+
+  /** Nearest as-of: each purchase matched to the click MINIMIZING
+    * |Δt|, earlier side winning ties. Both directional carries come
+    * from the same user_id-partitioned exchange (two sorts, one
+    * shuffle); the choice is a pure integer-µs projection. */
+  val joinAsofNearest: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, d).select("event_id", "ts", "user_id", "event_type")
+    val clicks = e.filter(col("event_type") === "click").select(
+      col("user_id"), col("ts"), lit(0).as("tagB"), lit(1).as("tagF"),
+      col("event_id"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase").select(
+      col("user_id"), col("ts"), lit(1).as("tagB"), lit(0).as("tagF"),
+      col("event_id"), lit(null).cast("timestamp").as("click_ts"))
+    val wB = Window.partitionBy("user_id").orderBy("ts", "tagB", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id").orderBy("ts", "tagF", "event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("prev_ts", last(col("click_ts"), ignoreNulls = true).over(wB))
+      .withColumn("next_ts", first(col("click_ts"), ignoreNulls = true).over(wF))
+      .filter(col("tagB") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("prev_ts").isNull, col("next_ts"))
+          .when(col("next_ts").isNull, col("prev_ts"))
+          .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) <=
+            unix_micros(col("next_ts")) - unix_micros(col("ts")), col("prev_ts"))
+          .otherwise(col("next_ts")).as("near_click_ts"))
+      .orderBy("event_id")
+  }
+
   /** Interval join: lineitems shipped within 30 days of their order
     * date (equi key + range residual → no nested loop). */
   val joinInterval: QFn = (s, d) =>
@@ -342,6 +396,8 @@ object Relational {
     "join_theta_range" -> joinThetaRange,
     "join_cross" -> joinCross,
     "join_asof" -> joinAsof,
+    "join_asof_forward" -> joinAsofForward,
+    "join_asof_nearest" -> joinAsofNearest,
     "join_interval" -> joinInterval,
     "agg_pricing_summary" -> aggPricingSummary,
     "agg_distinct" -> aggDistinct,
@@ -431,6 +487,29 @@ object Relational {
            CAST((SELECT max(c.ts) FROM events c
              WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts) AS TIMESTAMP) AS last_click_ts
          FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+    "join_asof_forward" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+           (SELECT min(CAST(c.ts AS TIMESTAMP)) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = p.user_id
+               AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)) AS next_click_ts
+         FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+    "join_asof_nearest" ->
+      """WITH p AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
+               WHERE c.event_type = 'click' AND c.user_id = e.user_id
+                 AND CAST(c.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)) AS prev_ts,
+             (SELECT min(CAST(c.ts AS TIMESTAMP)) FROM events c
+               WHERE c.event_type = 'click' AND c.user_id = e.user_id
+                 AND CAST(c.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)) AS next_ts
+           FROM events e WHERE event_type = 'purchase')
+         SELECT event_id, user_id, ts,
+           CASE WHEN prev_ts IS NULL THEN next_ts
+                WHEN next_ts IS NULL THEN prev_ts
+                WHEN epoch_us(ts) - epoch_us(prev_ts)
+                  <= epoch_us(next_ts) - epoch_us(ts) THEN prev_ts
+                ELSE next_ts END AS near_click_ts
+         FROM p ORDER BY event_id""",
     "join_interval" ->
       s"""SELECT o_orderpriority, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
           FROM orders JOIN lineitem ON l_orderkey = o_orderkey

@@ -165,6 +165,26 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("as-of family: forward is at-or-after, nearest minimizes |delta-t|") {
+    val back = operators.Relational.joinAsof(spark, sf)
+      .withColumnRenamed("last_click_ts", "prev_ts")
+    val fwd = operators.Relational.joinAsofForward(spark, sf)
+      .withColumnRenamed("next_click_ts", "next_ts")
+    assert(fwd.filter(col("next_ts") < col("ts")).count() == 0)
+    // nearest must pick whichever of (prev, next) is closer in micros,
+    // preferring prev on ties; and be one of the two carries
+    val near = operators.Relational.joinAsofNearest(spark, sf)
+    val j = near.join(back.select("event_id", "prev_ts"), "event_id")
+      .join(fwd.select("event_id", "next_ts"), "event_id")
+    val expect = when(col("prev_ts").isNull, col("next_ts"))
+      .when(col("next_ts").isNull, col("prev_ts"))
+      .when(unix_micros(col("ts")) - unix_micros(col("prev_ts")) <=
+        unix_micros(col("next_ts")) - unix_micros(col("ts")), col("prev_ts"))
+      .otherwise(col("next_ts"))
+    assert(j.filter(!(col("near_click_ts") <=> expect)).count() == 0)
+    assert(near.filter(col("near_click_ts").isNotNull).count() > 0)
+  }
+
   test("agg_approx_distinct HLL relative error < 5%") {
     operators.Relational.aggApproxDistinct(spark, sf).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
