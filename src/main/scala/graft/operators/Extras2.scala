@@ -436,7 +436,54 @@ object Extras2 {
     a.crossJoin(b)
   }
 
+  /** Dynamic partition overwrite — the lakehouse partial-reload: a
+    * corrected purchase feed replaces ONLY the purchase partition
+    * (per-write `partitionOverwriteMode=dynamic` option, no session
+    * conf mutation); every other partition's files are untouched. At
+    * 100 TB this is the difference between rewriting a day and
+    * rewriting the table. Final state = untouched partitions ∪
+    * replacement rows, which is exactly what the oracle recomputes. */
+  val etlDynamicPartitionOverwrite: QFn = (s, d) => {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dpo_sink"
+    val e = Tables.events(s, d).select("event_id", "event_type", "value")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    e.filter(col("event_type") === "purchase" && col("value") > 10)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(path)
+    s.read.parquet(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** Bloom-filter join pre-reduction — the semi-join-pushdown pattern
+    * a 100 TB fact⋈selective-dim join wants: build a compact bloom
+    * over the dim keys (`stat.bloomFilter`, KBs for millions of keys),
+    * broadcast it, and drop non-matching fact rows BEFORE the join
+    * shuffle. False positives survive the filter but die in the exact
+    * join, so the result is bit-identical to the plain join — fully
+    * oracle-able — while the shuffle volume falls to ~selectivity.
+    * (Spark's own InjectRuntimeFilter does this automatically only
+    * under AQE-visible selective builds; this is the explicit form.) */
+  val joinBloomPrefilter: QFn = (s, d) => {
+    val dim = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val bf = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
+    val bfB = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfB.value.mightContainLong(k))
+    Tables.orders(s, d)
+      .filter(mightContain(col("o_custkey")))
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "etl_dynamic_partition_overwrite" -> etlDynamicPartitionOverwrite,
+    "join_bloom_prefilter" -> joinBloomPrefilter,
     "agg_hll_sketch" -> aggHllSketch,
     "scan_csv_malformed" -> scanCsvMalformed,
     "etl_compaction" -> etlCompaction,
@@ -457,6 +504,20 @@ object Extras2 {
     "agg_string_agg" -> aggStringAgg)
 
   val oracles: Seq[(String, String)] = Seq(
+    "etl_dynamic_partition_overwrite" ->
+      s"""SELECT event_type, count(*) AS n, ${sqlSum2("value")} AS sum_value
+          FROM (
+            SELECT event_type, value FROM events WHERE event_type <> 'purchase'
+            UNION ALL
+            SELECT event_type, value FROM events
+            WHERE event_type = 'purchase' AND value > 10)
+          GROUP BY event_type ORDER BY event_type""",
+    "join_bloom_prefilter" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+            ${sqlSum2("o_totalprice")} AS sum_price
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "scan_csv_malformed" ->
       """SELECT count(*) + 3 AS n_permissive,
            CAST(3 AS BIGINT) AS n_corrupt,

@@ -185,6 +185,20 @@ class RelationalSpec extends SparkTestBase {
     assert(near.filter(col("near_click_ts").isNotNull).count() > 0)
   }
 
+  test("join_bloom_prefilter: no false negatives, near-exact fact pruning") {
+    val dim = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bf = dim.stat.bloomFilter("c_custkey", 100000L, 0.01)
+    val o = Tables.orders(spark, sf)
+    val total = o.count()
+    val mightContain = udf((k: Long) => bf.mightContainLong(k))
+    val kept = o.filter(mightContain(col("o_custkey"))).count()
+    val trueMatches = o.join(dim, col("o_custkey") === col("c_custkey"), "left_semi").count()
+    assert(kept >= trueMatches, "bloom filters must never drop a true match")
+    assert(kept <= trueMatches + math.max(10L, (total * 0.05).toLong),
+      s"bloom pruned too little: kept=$kept true=$trueMatches total=$total")
+  }
+
   test("agg_approx_distinct HLL relative error < 5%") {
     operators.Relational.aggApproxDistinct(spark, sf).collect().foreach { r =>
       val approx = r.getLong(1).toDouble
