@@ -80,6 +80,19 @@ object Relational {
   val sourceJsonRoundtrip: QFn = (s, d) => roundtrip(s, d, "json")
   val sourceOrcRoundtrip: QFn = (s, d) => roundtrip(s, d, "orc")
 
+  /** Line-oriented text source — the one-column `value` schema every
+    * raw log/corpus ingest starts from. documents.text staged as .txt
+    * lines (the corpus has no embedded newlines), read back, and
+    * reduced to line/char totals the parquet truth must reproduce. */
+  val sourceTextRoundtrip: QFn = (s, d) => {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_text"
+    Tables.documents(s, d).select(col("text"))
+      .write.mode("overwrite").text(path)
+    s.read.text(path)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).as("n_chars"))
+  }
+
   // ---------------------------------------------------------------- §2.2
 
   /** Derived-column arithmetic; per-row IEEE double ops are
@@ -386,6 +399,7 @@ object Relational {
     "source_csv_roundtrip" -> sourceCsvRoundtrip,
     "source_json_roundtrip" -> sourceJsonRoundtrip,
     "source_orc_roundtrip" -> sourceOrcRoundtrip,
+    "source_text_roundtrip" -> sourceTextRoundtrip,
     "project_arith" -> projectArith,
     "filter_conj" -> filterConj,
     "filter_null_semantics" -> filterNullSemantics,
@@ -425,6 +439,9 @@ object Relational {
       s"""SELECT l_returnflag, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty
           FROM lineitem WHERE l_orderkey % 50 = 0
           GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "source_text_roundtrip" ->
+      """SELECT count(*) AS n_lines, CAST(sum(len(text)) AS BIGINT) AS n_chars
+         FROM documents""",
     "scan_filter_pushdown" ->
       s"""SELECT l_returnflag, count(*) AS n, ${sqlSum2("l_extendedprice")} AS sum_price
           FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
