@@ -48,6 +48,9 @@ object Clustering {
       .filter(pmod(col("vec_id"), lit(17)) === 3).orderBy("vec_id").limit(K)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // the subsample can under-deliver on a tiny corpus: clamp K to the
+    // seeds actually found (effK lists) instead of indexing past them
+    val effK = cents.length
 
     def assigned(): DataFrame = {
       val centRows = cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
@@ -71,7 +74,7 @@ object Clustering {
         .groupBy("cluster", "pos")
         .agg(sum("q").as("sq"), count(lit(1)).as("n"))
         .collect()
-      val next = Array.tabulate(K, cents(0).length)((c, p) => cents(c)(p))
+      val next = Array.tabulate(effK, cents(0).length)((c, p) => cents(c)(p))
       sums.foreach { r =>
         val c = r.getInt(0); val p = r.getInt(1)
         // quantized mean: nearest-integer micro-units via exact

@@ -68,8 +68,8 @@ class LlmSpec extends SparkTestBase {
     val brute = pairs(operators.LlmSimilarity.llmKnnCosine(spark, sf))
     val ivf = pairs(operators.LlmSimilarity.llmKnnIvf(spark, sf))
     val recall = (brute & ivf).size.toDouble / brute.size
-    info(s"IVF recall@5 = $recall (nProbe=4 of 16 lists, ~25% of corpus scanned)")
-    assert(recall >= 0.3, s"recall collapsed: $recall")
+    info(s"IVF recall@5 = $recall (nProbe=16 of 64 lists, ~25% of corpus scanned)")
+    assert(recall >= 0.5, s"recall collapsed: $recall")
   }
 
   test("llm_dedup_cluster: pairs are closed under clustering, one keeper each") {
