@@ -24,7 +24,9 @@ object PlanAudit {
       "llm_knn_ivf", "agg_pivot", "llm_tfidf", "llm_interleave_sources",
     // agg_hll_sketch / scan_csv_malformed cross 1-row aggregates —
     // O(1) both sides
-      "ts_gapfill", "llm_kmeans", "agg_hll_sketch", "scan_csv_malformed")
+    // ts_interpolate shares ts_gapfill's spine × event-type-dim cross
+      "ts_gapfill", "ts_interpolate", "llm_kmeans", "agg_hll_sketch",
+      "scan_csv_malformed")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         if (name.startsWith("stream_")) ()
