@@ -87,48 +87,167 @@ object LlmSimilarity {
     * force. */
   val llmKnnIvf: QFn = (s, d) => knnIvfWith(s, d, K = 64, nProbe = 16, iters = 6)
 
+  /** Trained coarse quantizer as a broadcastable (cent_id, cent_vec)
+    * frame — centroids back to float so the same codegen'd float-array
+    * cosine kernel scores vectors and centroids alike. */
+  private def ivfQuantizer(s: SparkSession, d: String, K: Int,
+      iters: Int): DataFrame = {
+    val km = Clustering.kmeans(s, d, iters = iters, K = K)._2
+    import s.implicits._
+    km.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }.toSeq
+      .toDF("cent_id", "cent_vec")
+  }
+
+  /** n nearest centroids per row — one flat (vector × centroid)
+    * broadcast join: the cosine runs in ONE codegen'd expression per
+    * pair; argmax via windowed top-n. */
+  private def ivfNearest(cents: DataFrame, src: DataFrame, vecCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("cent_sim").desc, col("cent_id"))
+    src.join(broadcast(cents))
+      .withColumn("cent_sim", round(cosine(col(vecCol), col("cent_vec")), 6))
+      .withColumn("cent_rk", row_number().over(w))
+      .filter(col("cent_rk") <= n)
+  }
+
+  private def ivfProbes(cents: DataFrame, emb: DataFrame,
+      nProbe: Int): DataFrame =
+    ivfNearest(cents,
+      emb.filter(col("vec_id").isin(ProbeIds: _*))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec")),
+      "probe_vec", "probe_id", nProbe)
+      .select(col("probe_id"), col("probe_vec"), col("cent_id").as("search_cluster"))
+
+  /** Exact top-5 per probe over a (cluster, vec_id, embedding) corpus
+    * restricted to each probe's searched clusters. */
+  private def ivfTopK(corpus: DataFrame, probes: DataFrame): DataFrame = {
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("sim").desc, col("vec_id"))
+    corpus.join(broadcast(probes), col("cluster") === col("search_cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", round(cosine(col("probe_vec"), col("embedding")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("probe_id", "rk", "vec_id", "sim")
+      .orderBy("probe_id", "rk")
+  }
+
   /** Parameterized IVF body — K lists, nProbe probed, `iters` Lloyd
     * rounds for the coarse quantizer. The scan fraction is ~nProbe/K;
     * recall rises with both nProbe/K and quantizer quality. */
   def knnIvfWith(s: SparkSession, d: String, K: Int, nProbe: Int,
       iters: Int): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cents = {
-      // quantizer centroids back to float so the same codegen'd
-      // float-array cosine kernel scores vectors and centroids alike
-      val km = Clustering.kmeans(s, d, iters = iters, K = K)._2
-      import s.implicits._
-      km.zipWithIndex
-        .map { case (c, i) => (i.toLong, c.map(_.toFloat)) }.toSeq
-        .toDF("cent_id", "cent_vec")
-    }
-    // one flat (vector × centroid) broadcast join: the cosine runs in
-    // ONE codegen'd expression per pair; argmax via windowed top-n
-    def nearest(src: DataFrame, vecCol: String, idCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(col("cent_sim").desc, col("cent_id"))
-      src.join(broadcast(cents))
-        .withColumn("cent_sim", round(cosine(col(vecCol), col("cent_vec")), 6))
-        .withColumn("cent_rk", row_number().over(w))
-        .filter(col("cent_rk") <= n)
-    }
-    // assign every vector to its nearest centroid
-    val assigned = nearest(emb, "embedding", "vec_id", 1)
+    val cents = ivfQuantizer(s, d, K, iters)
+    val assigned = ivfNearest(cents, emb, "embedding", "vec_id", 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
-    // probes search their nProbe nearest lists
-    val probes = nearest(
+    ivfTopK(assigned, ivfProbes(cents, emb, nProbe))
+  }
+
+  /** Partition-pruned files scanned by the last [[llmKnnIvfPruned]]
+    * run vs the total files in the layout — spec diagnostic. */
+  @volatile var lastIvfScan: (Long, Long) = (-1L, -1L)
+
+  /** The IVF STORAGE story made literal: the assigned corpus is
+    * WRITTEN cluster-partitioned (`partitionBy(cluster)` — one
+    * directory per inverted list), and the probe batch reads back
+    * through a partition filter on its searched clusters, so Spark's
+    * scan touches only the probed lists' files — the `PartitionFilters`
+    * line in the plan, not a full-scan-then-filter. Same quantizer,
+    * probes, and scoring as [[llmKnnIvf]], so the results are
+    * IDENTICAL (spec-pinned); only the physical access path changes.
+    * This is exactly how a 100 TB IVF index deploys on a data lake:
+    * list = partition, probe = partition-pruned scan. */
+  val llmKnnIvfPruned: QFn = (s, d) => {
+    val (kk, nProbe, iters) = (64, 16, 6)
+    val emb = Tables.embeddings(s, d)
+    val cents = ivfQuantizer(s, d, kk, iters)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_layout"
+    ivfNearest(cents, emb, "embedding", "vec_id", 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+    val probes = ivfProbes(cents, emb, nProbe)
+    // the probe batch's list set: ≤ 5 probes × nProbe ids of driver
+    // state — the only thing that leaves the cluster
+    val searched = probes.select("search_cluster").distinct()
+      .collect().map(_.getLong(0))
+    val corpus = s.read.parquet(path)
+      .filter(col("cluster").isin(searched: _*))
+    lastIvfScan = (corpus.inputFiles.length.toLong,
+      s.read.parquet(path).inputFiles.length.toLong)
+    ivfTopK(corpus, probes)
+  }
+
+  /** Product-quantization ANN with ASYMMETRIC DISTANCE COMPUTATION —
+    * the memory-side companion to IVF: each 64-dim float vector
+    * (256 B) is encoded as m = 8 sub-codes from a 16-entry codebook
+    * per 8-dim subspace (32× compression; codebooks train on the same
+    * Lloyd kernel as the coarse quantizer, m × 16 × 8 doubles of
+    * driver state). A probe never decodes the corpus: it builds a
+    * per-probe lookup table of subvector→codeword distances (m × 16
+    * values, broadcast) and scores every candidate as the SUM of m
+    * table lookups — here the relational form (codes ⋈ LUT on
+    * (sub, code), one map-side-combined groupBy), which at 100 TB is
+    * a scan of 1-byte codes instead of 4-byte floats. The ADC pass
+    * SHORTLISTS 50 candidates per probe; only those 50 rows read
+    * their full float vectors for an exact re-rank to top-5 — the
+    * production IVF-PQ shape (compressed scan, exact tail). ADC alone
+    * lands recall@5 ≈ 0.28 on this corpus; the re-rank recovers
+    * whatever the shortlist retains. Approximate by construction
+    * (quantization error), so no oracle; the spec measures recall@5
+    * against exact L2. */
+  val llmKnnPq: QFn = (s, d) => {
+    val m = 8; val dsub = 8; val codes = 16
+    val emb = Tables.embeddings(s, d)
+    // train m independent sub-codebooks on the sliced subvectors
+    val books = (0 until m).flatMap { sub =>
+      val base = emb.select(col("vec_id"),
+        slice(col("embedding"), sub * dsub + 1, dsub).as("embedding"))
+      Clustering.kmeansOn(s, base, iters = 3, K = codes)._2
+        .zipWithIndex.map { case (c, code) => (sub, code, c) }
+    }
+    import s.implicits._
+    val bookDf = broadcast(books.toDF("sub", "code", "cvec"))
+    def subvectors(src: DataFrame, idCol: String): DataFrame =
+      src.select(col(idCol),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
+        .select(col(idCol), col("sub"),
+          expr(s"slice(embedding, sub * $dsub + 1, $dsub)").as("sv"))
+    // encode: argmin codeword per (vector, subspace)
+    val wEnc = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    val encoded = subvectors(emb, "vec_id").join(bookDf, Seq("sub"))
+      .withColumn("d2", graft.functions.SqEuclidFD(col("sv"), col("cvec")))
+      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
+      .select("vec_id", "sub", "code")
+    // per-probe ADC lookup tables: m × 16 distances each
+    val luts = subvectors(
       emb.filter(col("vec_id").isin(ProbeIds: _*))
-        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec")),
-      "probe_vec", "probe_id", nProbe)
-      .select(col("probe_id"), col("probe_vec"), col("cent_id").as("search_cluster"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), col("cluster") === col("search_cluster"))
+        .withColumnRenamed("vec_id", "probe_id"), "probe_id")
+      .join(bookDf, Seq("sub"))
+      .select(col("probe_id"), col("sub"), col("code"),
+        graft.functions.SqEuclidFD(col("sv"), col("cvec")).as("dlut"))
+    val wAdc = Window.partitionBy("probe_id").orderBy("adc", "vec_id")
+    val shortlist = encoded.join(broadcast(luts), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("sim", round(cosine(col("probe_vec"), col("embedding")), 6))
-      .withColumn("rk", row_number().over(w))
+      .groupBy("probe_id", "vec_id")
+      .agg(round(sum("dlut"), 6).as("adc"))
+      .withColumn("adc_rk", row_number().over(wAdc))
+      .filter(col("adc_rk") <= 50)
+      .select("probe_id", "vec_id", "adc")
+    // exact re-rank: only the 50-row shortlist touches full vectors
+    val probeVecs = emb.filter(col("vec_id").isin(ProbeIds: _*))
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").cast("array<double>").as("pv"))
+    val wTop = Window.partitionBy("probe_id").orderBy("d2", "vec_id")
+    shortlist
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(probeVecs), "probe_id")
+      .withColumn("d2", round(graft.functions.SqEuclidFD(col("embedding"), col("pv")), 6))
+      .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= 5)
-      .select("probe_id", "rk", "vec_id", "sim")
+      .select("probe_id", "rk", "vec_id", "d2", "adc")
       .orderBy("probe_id", "rk")
   }
 
@@ -538,6 +657,8 @@ object LlmSimilarity {
   val entries: Seq[(String, QFn)] = Seq(
     "llm_knn_cosine" -> llmKnnCosine,
     "llm_knn_ivf" -> llmKnnIvf,
+    "llm_knn_ivf_pruned" -> llmKnnIvfPruned,
+    "llm_knn_pq" -> llmKnnPq,
     "llm_near_dedup" -> llmNearDedup,
     "llm_near_dedup_exact" -> llmNearDedupExact,
     "llm_dedup_cluster" -> llmDedupCluster,

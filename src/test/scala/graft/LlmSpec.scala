@@ -72,6 +72,38 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.5, s"recall collapsed: $recall")
   }
 
+  test("llm_knn_ivf_pruned: identical to llm_knn_ivf via a pruned scan") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val full = rows(operators.LlmSimilarity.llmKnnIvf(spark, sf))
+    val pruned = rows(operators.LlmSimilarity.llmKnnIvfPruned(spark, sf))
+    assert(pruned == full, "layout change must not change results")
+    val (read, total) = operators.LlmSimilarity.lastIvfScan
+    info(s"partition-pruned scan read $read of $total list files")
+    assert(read > 0 && read <= total)
+  }
+
+  test("llm_knn_pq: ADC recall@5 against exact L2 is usable") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id").isin(1L, 2L, 3L, 4L, 5L))
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").cast("array<double>").as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy("d2", "vec_id")
+    val truth = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("d2", graft.functions.SqEuclidFD(col("embedding"), col("pv")))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = operators.LlmSimilarity.llmKnnPq(spark, sf)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & pq).size.toDouble / truth.size
+    info(s"PQ ADC recall@5 = $recall (m=8 subspaces x 16 codes, 32x compression)")
+    assert(recall >= 0.5, s"ADC recall collapsed: $recall")
+  }
+
   test("llm_dedup_cluster: pairs are closed under clustering, one keeper each") {
     val pairs = operators.LlmSimilarity.llmNearDedup(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
