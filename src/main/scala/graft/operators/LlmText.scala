@@ -320,6 +320,35 @@ object LlmText {
         (col("sq").cast("double") / col("n").cast("double") / 1000000.0).as("c"))
       .orderBy("label", "pos")
 
+  /** Per-dimension z-scoring of the embedding corpus — the feature
+    * standardization step before clustering/ANN trains on raw
+    * embeddings. Exactness trick shared with [[llmEmbedCentroid]]:
+    * values quantize to integer micro-units, so the per-dimension
+    * sum / sum-of-squares are EXACT integers and every engine derives
+    * bit-identical mean/std (IEEE division and correctly-rounded
+    * sqrt); z is rounded to absorb the final composition ulp. The
+    * stats table is 64 rows (one per dimension) — a broadcast — so
+    * normalization is one map-side-combined groupBy plus a broadcast
+    * projection; emitted rows are the deterministic vec_id % 50
+    * sample. */
+  val llmEmbedNormalize: QFn = (s, d) => {
+    val ex = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos"),
+        floor(col("col").cast("double") * 1000000.0).cast("long").as("q"))
+    val st = ex.groupBy("pos").agg(
+      sum("q").cast("double").as("sq"),
+      sum(col("q") * col("q")).cast("double").as("sqq"),
+      count(lit(1)).cast("double").as("n"))
+    ex.filter(col("vec_id") % 50 === 0)
+      .join(broadcast(st), "pos")
+      .select(col("vec_id"), col("pos"),
+        round((col("q").cast("double") - col("sq") / col("n")) /
+          sqrt(col("sqq") / col("n") - (col("sq") / col("n")) * (col("sq") / col("n"))),
+          6).as("z"))
+      .orderBy("vec_id", "pos")
+  }
+
   /** Benchmark decontamination — the pre-training hygiene pass: flag
     * every training document that shares a word 3-gram with the eval
     * set (here, the deterministic doc_id % 10 == 0 slice stands in for
@@ -393,6 +422,7 @@ object LlmText {
   }
 
   val entries: Seq[(String, QFn)] = Seq(
+    "llm_embed_normalize" -> llmEmbedNormalize,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_corpus_pipeline" -> llmCorpusPipeline,
     "llm_chunk_docs" -> llmChunkDocs,
@@ -412,6 +442,22 @@ object LlmText {
     "llm_ngram_windows" -> llmNgramWindows)
 
   val oracles: Seq[(String, String)] = Seq(
+    "llm_embed_normalize" ->
+      """WITH ex AS (
+           SELECT vec_id, CAST(t.i AS INT) AS pos,
+             CAST(floor(CAST(embedding[t.i + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+           FROM embeddings, range(64) t(i)),
+         st AS (
+           SELECT pos, CAST(sum(q) AS DOUBLE) AS sq,
+             CAST(sum(q * q) AS DOUBLE) AS sqq,
+             CAST(count(*) AS DOUBLE) AS n
+           FROM ex GROUP BY pos)
+         SELECT e.vec_id, e.pos,
+           round((CAST(e.q AS DOUBLE) - st.sq / st.n)
+             / sqrt(st.sqq / st.n - (st.sq / st.n) * (st.sq / st.n)), 6) AS z
+         FROM ex e JOIN st USING (pos)
+         WHERE e.vec_id % 50 = 0
+         ORDER BY e.vec_id, e.pos""",
     "llm_decontaminate" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
