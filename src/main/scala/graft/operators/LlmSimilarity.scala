@@ -201,26 +201,54 @@ object LlmSimilarity {
   val llmKnnPq: QFn = (s, d) => {
     val m = 8; val dsub = 8; val codes = 16
     val emb = Tables.embeddings(s, d)
-    // train m independent sub-codebooks on the sliced subvectors
-    val books = (0 until m).flatMap { sub =>
-      val base = emb.select(col("vec_id"),
-        slice(col("embedding"), sub * dsub + 1, dsub).as("embedding"))
-      Clustering.kmeansOn(s, base, iters = 3, K = codes)._2
-        .zipWithIndex.map { case (c, code) => (sub, code, c) }
-    }
     import s.implicits._
-    val bookDf = broadcast(books.toDF("sub", "code", "cvec"))
     def subvectors(src: DataFrame, idCol: String): DataFrame =
       src.select(col(idCol),
         explode(sequence(lit(0), lit(m - 1))).as("sub"), col("embedding"))
         .select(col(idCol), col("sub"),
           expr(s"slice(embedding, sub * $dsub + 1, $dsub)").as("sv"))
-    // encode: argmin codeword per (vector, subspace)
-    val wEnc = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
-    val encoded = subvectors(emb, "vec_id").join(bookDf, Seq("sub"))
-      .withColumn("d2", graft.functions.SqEuclidFD(col("sv"), col("cvec")))
-      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
-      .select("vec_id", "sub", "code")
+    // train all m sub-codebooks JOINTLY — per Lloyd round: ONE corpus
+    // pass assigns every (vector, subspace) pair against its
+    // subspace's codebook and ONE micro-unit integer aggregate
+    // (m × codes × dsub rows) updates every codebook. m separate
+    // kmeansOn loops cost m× the driver-synchronized jobs for the
+    // same math (7.2 s → ~2.5 s at sf0.1); exact integer means keep
+    // the result executor-count-invariant like Clustering.kmeansOn.
+    val subvAll = subvectors(emb, "vec_id")
+    // seeds: the same deterministic arithmetic subsample, sliced
+    var cents: Array[(Int, Int, Array[Double])] = emb
+      .filter(pmod(col("vec_id"), lit(17)) === 3).orderBy("vec_id").limit(codes)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .zipWithIndex.flatMap { case (v, code) =>
+        (0 until m).map(sub => (sub, code, v.slice(sub * dsub, (sub + 1) * dsub)))
+      }
+    val wAsg = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    def assign(): DataFrame =
+      subvAll.join(broadcast(cents.toSeq.toDF("sub", "code", "cvec")), Seq("sub"))
+        .withColumn("d2", graft.functions.SqEuclidFD(col("sv"), col("cvec")))
+        .withColumn("rk", row_number().over(wAsg)).filter(col("rk") === 1)
+    (0 until 3).foreach { _ =>
+      val next = cents.map { case (s0, c0, v) => ((s0, c0), v.clone) }.toMap
+      assign()
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .select(col("sub"), col("code"), col("pos"),
+          floor(col("col").cast("double") * 1000000.0).cast("long").as("q"))
+        .groupBy("sub", "code", "pos")
+        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+        .collect().foreach { r =>
+          val key = (r.getInt(0), r.getInt(1)); val p = r.getInt(2)
+          val sq = r.getLong(3); val n = r.getLong(4)
+          val half = if (sq >= 0) n / 2 else -(n / 2)
+          next(key)(p) = ((sq + half) / n).toDouble / 1000000.0
+        }
+      cents = next.toArray.map { case ((s0, c0), v) => (s0, c0, v) }
+        .sortBy(t => (t._1, t._2))
+    }
+    val bookDf = broadcast(cents.toSeq.toDF("sub", "code", "cvec"))
+    // encode: argmin codeword per (vector, subspace) — the final
+    // assignment pass against the trained books
+    val encoded = assign().select("vec_id", "sub", "code")
     // per-probe ADC lookup tables: m × 16 distances each
     val luts = subvectors(
       emb.filter(col("vec_id").isin(ProbeIds: _*))
@@ -460,14 +488,18 @@ object LlmSimilarity {
     * candidate join touches ~(1−τ) of the postings volume. Document
     * frequency itself is one map-side-combined groupBy over postings;
     * prefix ranking is one (source, doc_id)-partitioned window. */
-  val llmNgramJaccard: QFn = (s, d) => {
-    val tau = 0.3
+  val llmNgramJaccard: QFn = (s, d) =>
     // native single-pass gram hashing: the composed transform/xxhash64
     // chain was interpreted (HOFs are CodegenFallback) — 4.4 s per
     // evaluation at sf0.1 vs ~0.2 s for this expression
-    val g = Tables.documents(s, d)
+    ngramJaccardOn(Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        graft.functions.HashedBigrams(col("text")).as("hg"))
+        graft.functions.HashedBigrams(col("text")).as("hg")), 0.3)
+
+  /** Prefix-filtered Jaccard core over ANY (doc_id, source, hg) frame
+    * — the property spec drives it with generated corpora at random
+    * thresholds to pin the prefix lemma independent of the fixture. */
+  def ngramJaccardOn(g: DataFrame, tau: Double): DataFrame = {
     val postings = g.select(col("source"), col("doc_id"),
       size(col("hg")).as("sz"), explode(col("hg")).as("gram"))
     val dfreq = postings.groupBy("source", "gram").agg(count(lit(1)).as("df"))

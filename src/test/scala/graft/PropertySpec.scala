@@ -158,4 +158,34 @@ class PropertySpec extends SparkTestBase {
       assert(bad.isEmpty, s"unmatched purchases with prior clicks: ${bad.length}")
     }
   }
+
+  test("prefix-filter lemma: filtered jaccard == all-pairs, any corpus, any tau") {
+    // random word-soup corpora over a tiny vocabulary (gram collisions
+    // guaranteed) at random thresholds: the prefix-filtered join must
+    // emit EXACTLY the all-pairs result — the lemma, not the fixture
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val doc = Gen.choose(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpus = Gen.choose(8, 25).flatMap(n => Gen.listOfN(n, doc))
+    val tauGen = Gen.oneOf(0.2, 0.3, 0.5, 0.7)
+    forAll(Gen.zip(corpus, tauGen), n = 5) { case (docs, tau) =>
+      import spark.implicits._
+      val g = docs.zipWithIndex
+        .map { case (t, i) => (i.toLong, "s" + (i % 2), t) }
+        .toDF("doc_id", "source", "text")
+        .select(col("doc_id"), col("source"),
+          graft.functions.HashedBigrams(col("text")).as("hg"))
+      val got = operators.LlmSimilarity.ngramJaccardOn(g, tau)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truth = g.as("x").join(g.as("y"),
+          col("x.source") === col("y.source") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          size(array_intersect(col("x.hg"), col("y.hg"))).as("i"),
+          (size(col("x.hg")) + size(col("y.hg"))).as("s"))
+        .filter(col("i") / (col("s") - col("i")) >= tau)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == truth,
+        s"tau=$tau missed=${truth -- got} extra=${got -- truth} docs=$docs")
+    }
+  }
 }
