@@ -87,14 +87,58 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Modality DISPATCH — the mixed-corpus shape: one table carries
+    * text/image/audio payloads (mime synthesized from doc_id here),
+    * each modality routes through its own decode pipeline (all stubs:
+    * text → token count, image → fake WxH from the byte length,
+    * audio → fake duration at a nominal byte rate), and the per-
+    * modality feature rows union back to one (doc_id, mime, feature,
+    * value) frame. Each branch is a pushed-filter scan + narrow
+    * projection, so at 100 TB the three pipelines read disjoint row
+    * sets in parallel and nothing shuffles until downstream use. */
+  val mmModalityDispatch: QFn = (s, d) => {
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "text/plain")
+        .when(col("doc_id") % 3 === 1, "image/fake")
+        .otherwise("audio/fake").as("mime"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val textF = base.filter(col("mime") === "text/plain")
+      .select(col("doc_id"), col("mime"), lit("n_tokens").as("feature"),
+        size(split(decode(col("payload"), "UTF-8"), " ")).cast("long").as("value"))
+    val imageF = base.filter(col("mime") === "image/fake")
+      .select(col("doc_id"), col("mime"), lit("width_px").as("feature"),
+        // STUB decode: a 64-byte-per-row fake raster
+        ceil(length(col("payload")) / lit(64.0)).cast("long").as("value"))
+    val audioF = base.filter(col("mime") === "audio/fake")
+      .select(col("doc_id"), col("mime"), lit("duration_ms").as("feature"),
+        // STUB decode: 8 bytes per millisecond nominal rate
+        floor(length(col("payload")) * lit(1000.0) / lit(8000.0)).cast("long").as("value"))
+    textF.unionByName(imageF).unionByName(audioF)
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "mm_decode_features" -> mmDecodeFeatures,
-    "mm_frame_sample" -> mmFrameSample)
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_modality_dispatch" -> mmModalityDispatch)
 
   /** Text payloads are pure ASCII, so the byte histogram/checksums are
     * SQL-expressible: bucket = ascii(char) >> 4, checksum = sum of
     * codes. The oracle proves the distributed decode path byte-exact. */
   val oracles: Seq[(String, String)] = Seq(
+    "mm_modality_dispatch" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'text/plain'
+                WHEN doc_id % 3 = 1 THEN 'image/fake'
+                ELSE 'audio/fake' END AS mime,
+           CASE WHEN doc_id % 3 = 0 THEN 'n_tokens'
+                WHEN doc_id % 3 = 1 THEN 'width_px'
+                ELSE 'duration_ms' END AS feature,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(len(string_split(text, ' ')) AS BIGINT)
+                WHEN doc_id % 3 = 1 THEN CAST(ceil(length(text) / 64.0) AS BIGINT)
+                ELSE CAST(floor(length(text) * 1000.0 / 8000.0) AS BIGINT) END AS value
+         FROM documents ORDER BY doc_id""",
     "mm_decode_features" ->
       """WITH h AS (
            SELECT doc_id, bucket, count(*) AS cnt FROM (
