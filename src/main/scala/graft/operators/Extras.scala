@@ -190,6 +190,26 @@ object Extras {
     * partial-agg rollup per (user, session) — the standard clickstream
     * shape at any scale. Gap compare is on epoch micros (exact integer
     * math, identical in DuckDB via epoch_us). */
+  /** Cohort retention matrix — users bucketed by their FIRST active
+    * ISO week, counted per (cohort, week offset) of later activity:
+    * the product-analytics staple. Two aggregations on user_id (first
+    * week, distinct active weeks) + one broadcast-able join; offsets
+    * are exact day arithmetic / 7 (weeks truncate to Monday in both
+    * engines). */
+  val aggRetentionCohort: QFn = (s, d) => {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val firstWk = e.groupBy("user_id").agg(min("wk").as("cohort"))
+    e.distinct().join(firstWk, "user_id")
+      .select(col("cohort"),
+        (datediff(col("wk").cast("date"), col("cohort").cast("date")) / 7)
+          .cast("int").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
   val aggSessionize: QFn = (s, d) => {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapUs = 30L * 60 * 1000000
@@ -296,6 +316,7 @@ object Extras {
   val entries: Seq[(String, QFn)] = Seq(
     "agg_pivot" -> aggPivot,
     "agg_sessionize" -> aggSessionize,
+    "agg_retention_cohort" -> aggRetentionCohort,
     "etl_cdc_apply" -> etlCdcApply,
     "win_funnel" -> winFunnel,
     "etl_incremental_agg" -> etlIncrementalAgg,
@@ -415,6 +436,18 @@ object Extras {
            count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_retention_cohort" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+           FROM events),
+         f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, wk FROM e)
+         SELECT cohort,
+           CAST(date_diff('day', CAST(cohort AS DATE), CAST(wk AS DATE)) // 7 AS INT)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+         FROM a JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "agg_sessionize" ->
       """WITH t AS (
            SELECT user_id, ts, event_id,

@@ -61,6 +61,30 @@ object TimeSeries {
         count(lit(1)).as("n_ticks"))
       .orderBy("bar")
 
+  /** Hourly TWAP — the TIME-weighted companion to [[tsVwap]]: each
+    * tick's value is weighted by how long it stood (µs to the next
+    * tick in the bar; the last tick carries to the bar's end), the
+    * quote-store average that sparse/bursty tick arrival demands.
+    * Weights are exact integer µs and the weighted sum runs through
+    * the decimal path, so the result is executor-count-invariant and
+    * hash-matches DuckDB. One (bar)-partitioned window + one groupBy
+    * on the same key — a single shuffle. */
+  val tsTwap: QFn = (s, d) => {
+    val w = Window.partitionBy("bar").orderBy("uts", "event_id")
+    Tables.events(s, d)
+      .select(bar.as("bar"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("uts"))
+      .withColumn("dt",
+        coalesce(lead("uts", 1).over(w),
+          unix_micros(col("bar") + expr("INTERVAL 1 HOUR"))) - col("uts"))
+      .groupBy("bar")
+      .agg(
+        when(sum("dt") === 0, lit(null))
+          .otherwise(dsum2(col("value") * col("dt")) / sum("dt")).as("twap"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("bar")
+  }
+
   /** Gap-filled hourly resample with forward fill: a generated hour
     * spine per event type (one `sequence` over the global [min, max]
     * bar range, exploded), left-joined to the observed hourly
@@ -125,7 +149,8 @@ object TimeSeries {
     "ts_ohlc_bars" -> tsOhlcBars,
     "ts_vwap" -> tsVwap,
     "ts_gapfill" -> tsGapfill,
-    "ts_interpolate" -> tsInterpolate)
+    "ts_interpolate" -> tsInterpolate,
+    "ts_twap" -> tsTwap)
 
   val oracles: Seq[(String, String)] = Seq(
     "ts_ohlc_bars" ->
@@ -170,6 +195,21 @@ object TimeSeries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
           FROM spine s LEFT JOIN hourly h ON s.bar = h.bar AND s.event_type = h.event_type
           ORDER BY s.bar, s.event_type""",
+    "ts_twap" ->
+      s"""WITH t AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_id, value,
+              epoch_us(CAST(ts AS TIMESTAMP)) AS uts
+            FROM events),
+          x AS (
+            SELECT bar, value,
+              coalesce(lead(uts) OVER (PARTITION BY bar ORDER BY uts, event_id),
+                epoch_us(bar + INTERVAL 1 HOUR)) - uts AS dt
+            FROM t)
+          SELECT bar,
+            CASE WHEN sum(dt) = 0 THEN NULL
+                 ELSE ${sqlSum2("value * dt")} / sum(dt) END AS twap,
+            count(*) AS n_ticks
+          FROM x GROUP BY bar ORDER BY bar""",
     "ts_interpolate" ->
       s"""WITH hourly AS (
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
