@@ -180,7 +180,29 @@ object Functions {
         try_variant_get(col("v"), "$.missing", "string").as("k_missing"))
       .orderBy("event_id")
 
+  /** Spark-4 XML scalar surface: build an XML document per row,
+    * parse it back with `from_xml` against a typed schema, extract
+    * the fields. Values survive the double round-trip bit-exactly
+    * (names are xml-safe lowercase words; numerics print/parse
+    * losslessly), so the oracle just re-emits the source columns. */
+  val fnXml: QFn = (s, d) => {
+    val xmlSchema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("size", IntegerType),
+      StructField("price", DoubleType)))
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        concat(lit("<part><name>"), col("p_name"), lit("</name><size>"),
+          col("p_size"), lit("</size><price>"), col("p_retailprice"),
+          lit("</price></part>")).as("x"))
+      .select(col("p_partkey"), from_xml(col("x"), xmlSchema).as("p"))
+      .select(col("p_partkey"), col("p.name").as("name"),
+        col("p.size").as("size"), col("p.price").as("price"))
+      .orderBy("p_partkey")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "fn_xml" -> fnXml,
     "fn_variant" -> fnVariant,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
@@ -192,6 +214,10 @@ object Functions {
     "fn_json" -> fnJson)
 
   val oracles: Seq[(String, String)] = Seq(
+    "fn_xml" ->
+      """SELECT p_partkey, p_name AS name, CAST(p_size AS INT) AS size,
+           p_retailprice AS price
+         FROM part ORDER BY p_partkey""",
     "fn_string" ->
       """SELECT p_partkey,
            upper(p_name) AS up, lower(p_brand) AS lo,
