@@ -5,8 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types.DecimalType
 import java.sql.Timestamp
 
@@ -45,6 +45,30 @@ object Streaming {
       rows.foreach { e => n += 1; total += BigDecimal(e.value.toString) }
       st.update((n, total))
       Iterator.single((uid, n, total.toDouble))
+    }
+  }
+
+  /** `MapState` processor — the keyed-collection state variable of
+    * the Spark-4 API: per user, a map of event_type → running count.
+    * A composite per-key collection like this is exactly what
+    * `mapGroupsWithState`'s single opaque value forces users to
+    * re-serialize wholesale; `MapState` reads/writes only the touched
+    * sub-keys (RocksDB point lookups). Emits the user's current
+    * counts each batch. */
+  class TypeCountsProcessor
+      extends StatefulProcessor[Long, Ev, (Long, String, Long)] {
+    @transient private var st: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getMapState[String, Long]("typeCounts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      rows.foreach { e =>
+        val cur = if (st.containsKey(e.event_type)) st.getValue(e.event_type) else 0L
+        st.updateValue(e.event_type, cur + 1)
+      }
+      // materialize: the state iterator must not outlive the handler
+      st.iterator().map { case (k, v) => (uid, k, v) }.toList.iterator
     }
   }
 
@@ -294,6 +318,27 @@ object Streaming {
       .orderBy("user_id")
   }
 
+  /** [[TypeCountsProcessor]] through `transformWithState` — per-user
+    * event-type counts in a `MapState`. Final state (max count per
+    * (user, type) across the update stream) equals the batch
+    * group-count, which is the DuckDB oracle. */
+  val streamStatefulMap: QFn = (s, d) => {
+    val updates = runStream(s, d, OutputMode.Update(), "stateful_map") { df =>
+      import df.sparkSession.implicits._
+      df.as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState[(Long, String, Long)](new TypeCountsProcessor(),
+          TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_type", "n")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("n").desc)
+    updates.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("user_id", "event_type", "n")
+      .orderBy("user_id", "event_type")
+  }
+
   /** Stream-stream inner join: each purchase joined to the same
     * user's clicks in the preceding hour. Both sides are watermarked
     * so the state store can evict; append mode. The oracle is the
@@ -431,7 +476,8 @@ object Streaming {
     "stream_late_data" -> streamLateData,
     "stream_dedup" -> streamDedup,
     "stream_stateful" -> streamStateful,
-    "stream_stateful_tws" -> streamStatefulTws)
+    "stream_stateful_tws" -> streamStatefulTws,
+    "stream_stateful_map" -> streamStatefulMap)
 
   val oracles: Seq[(String, String)] = Seq(
     "stream_join" ->
@@ -494,5 +540,9 @@ object Streaming {
       """SELECT user_id, count(*) AS n_purchases,
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
          FROM events WHERE event_type = 'purchase'
-         GROUP BY user_id ORDER BY user_id""")
+         GROUP BY user_id ORDER BY user_id""",
+    "stream_stateful_map" ->
+      """SELECT user_id, event_type, count(*) AS n
+         FROM events GROUP BY user_id, event_type
+         ORDER BY user_id, event_type""")
 }
