@@ -5,8 +5,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
+  MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 import org.apache.spark.sql.types.DecimalType
 import java.sql.Timestamp
 
@@ -69,6 +70,40 @@ object Streaming {
       }
       // materialize: the state iterator must not outlive the handler
       st.iterator().map { case (k, v) => (uid, k, v) }.toList.iterator
+    }
+  }
+
+  /** `ListState` processor — the append-log state variable: per user,
+    * the last 3 purchase values as a bounded recent-history window
+    * (append new rows, trim to the tail — RocksDB appends, no
+    * full-value rewrite). Emits the current trailing mean after each
+    * batch; the feed is (ts, event_id)-ordered, so "last 3" is
+    * well-defined and batch-reproducible. */
+  class RecentPurchasesProcessor
+      extends StatefulProcessor[Long, Ev, (Long, Long, Long, Double)] {
+    @transient private var st: ListState[Double] = _
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getListState[Double]("recent",
+        Encoders.scalaDouble, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("total",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Double)] = {
+      val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      batch.foreach(e => st.appendValue(e.value))
+      val n = (if (total.exists()) total.get() else 0L) + batch.length
+      total.update(n)
+      val all = st.get().toArray
+      val tail = all.takeRight(3)
+      if (all.length > 3) st.put(tail) // trim: bounded per-key state
+      // exact decimal sum, then ONE double division — same expression
+      // shape as the oracle's CAST(sum(decimal) AS DOUBLE) / count.
+      // n_total is monotone and versions the updates: the final
+      // (max-n_total) row per user is the end-of-stream state.
+      val mean = tail.map(v => BigDecimal(v.toString)).sum.toDouble / tail.length
+      Iterator.single((uid, n, tail.length.toLong, mean))
     }
   }
 
@@ -339,6 +374,28 @@ object Streaming {
       .orderBy("user_id", "event_type")
   }
 
+  /** [[RecentPurchasesProcessor]] through `transformWithState` —
+    * trailing-3 purchase mean per user in a `ListState`. Final
+    * update per user equals the batch last-3 aggregate (the feed is
+    * time-ordered), which is the DuckDB oracle. */
+  val streamStatefulList: QFn = (s, d) => {
+    val updates = runStream(s, d, OutputMode.Update(), "stateful_list") { df =>
+      import df.sparkSession.implicits._
+      df.filter(col("event_type") === "purchase").as[Ev]
+        .groupByKey(_.user_id)
+        .transformWithState[(Long, Long, Long, Double)](
+          new RecentPurchasesProcessor(), TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_total", "n_recent", "recent_mean")
+    }
+    // final state = the max-n_total (monotone version) row per user
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_total").desc)
+    updates.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("user_id", "n_total", "n_recent", "recent_mean")
+      .orderBy("user_id")
+  }
+
   /** Stream-stream inner join: each purchase joined to the same
     * user's clicks in the preceding hour. Both sides are watermarked
     * so the state store can evict; append mode. The oracle is the
@@ -477,7 +534,8 @@ object Streaming {
     "stream_dedup" -> streamDedup,
     "stream_stateful" -> streamStateful,
     "stream_stateful_tws" -> streamStatefulTws,
-    "stream_stateful_map" -> streamStatefulMap)
+    "stream_stateful_map" -> streamStatefulMap,
+    "stream_stateful_list" -> streamStatefulList)
 
   val oracles: Seq[(String, String)] = Seq(
     "stream_join" ->
@@ -544,5 +602,17 @@ object Streaming {
     "stream_stateful_map" ->
       """SELECT user_id, event_type, count(*) AS n
          FROM events GROUP BY user_id, event_type
-         ORDER BY user_id, event_type""")
+         ORDER BY user_id, event_type""",
+    "stream_stateful_list" ->
+      """WITH p AS (
+           SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_total
+           FROM events WHERE event_type = 'purchase')
+         SELECT user_id, n_total, count(*) AS n_recent,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) / count(*)
+             AS recent_mean
+         FROM p WHERE rn <= 3
+         GROUP BY user_id, n_total ORDER BY user_id""")
 }
