@@ -85,6 +85,32 @@ object TimeSeries {
       .orderBy("bar")
   }
 
+  /** Cross-signal Pearson correlation of hourly averages (purchase
+    * value vs click value per bar) — the pairs-analysis primitive a
+    * quote store runs across instruments. Every moment (Σx, Σy, Σxy,
+    * Σx², Σy²) goes through the exact decimal path and the closing
+    * formula is ONE double expression with identical shape in the
+    * oracle, so the statistic hash-matches despite five compositions.
+    * Two map-side-combined aggregations + a bar equi-join; the
+    * moments reduce to a single row. */
+  val tsCorrTypes: QFn = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .select(bar.as("bar"), col("event_type"), col("value"))
+      .groupBy("bar", "event_type").agg(davg2(col("value")).as("v"))
+    val x = hourly.filter(col("event_type") === "purchase")
+      .select(col("bar"), col("v").as("x"))
+    val y = hourly.filter(col("event_type") === "click")
+      .select(col("bar"), col("v").as("y"))
+    val n = count(lit(1))
+    val (sx, sy) = (dsum6(col("x")), dsum6(col("y")))
+    val (sxx, syy, sxy) = (dsum6(col("x") * col("x")),
+      dsum6(col("y") * col("y")), dsum6(col("x") * col("y")))
+    x.join(y, "bar").agg(
+      n.as("n_bars"),
+      round((n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr"))
+  }
+
   /** Gap-filled hourly resample with forward fill: a generated hour
     * spine per event type (one `sequence` over the global [min, max]
     * bar range, exploded), left-joined to the observed hourly
@@ -150,7 +176,8 @@ object TimeSeries {
     "ts_vwap" -> tsVwap,
     "ts_gapfill" -> tsGapfill,
     "ts_interpolate" -> tsInterpolate,
-    "ts_twap" -> tsTwap)
+    "ts_twap" -> tsTwap,
+    "ts_corr_types" -> tsCorrTypes)
 
   val oracles: Seq[(String, String)] = Seq(
     "ts_ohlc_bars" ->
@@ -195,6 +222,22 @@ object TimeSeries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
           FROM spine s LEFT JOIN hourly h ON s.bar = h.bar AND s.event_type = h.event_type
           ORDER BY s.bar, s.event_type""",
+    "ts_corr_types" ->
+      s"""WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
+              ${sqlAvg2("value")} AS v
+            FROM events GROUP BY 1, 2),
+          j AS (
+            SELECT x.v AS x, y.v AS y
+            FROM (SELECT bar, v FROM hourly WHERE event_type = 'purchase') x
+            JOIN (SELECT bar, v FROM hourly WHERE event_type = 'click') y
+              USING (bar))
+          SELECT count(*) AS n_bars,
+            round((count(*) * ${sqlSum6("x * y")} - ${sqlSum6("x")} * ${sqlSum6("y")})
+              / sqrt((count(*) * ${sqlSum6("x * x")} - ${sqlSum6("x")} * ${sqlSum6("x")})
+                   * (count(*) * ${sqlSum6("y * y")} - ${sqlSum6("y")} * ${sqlSum6("y")})),
+              6) AS corr
+          FROM j""",
     "ts_twap" ->
       s"""WITH t AS (
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_id, value,

@@ -29,6 +29,12 @@ class PipelineSpec extends SparkTestBase {
     assert(rows.filter(col("n_shared_grams") < 1 || col("n_eval_docs") < 1).count() == 0)
   }
 
+  test("llm_corpus_pipeline pushes the lang gate into the parquet scan") {
+    val p = plan(operators.LlmText.llmCorpusPipeline(spark, sf))
+    assert(p.contains("PushedFilters: [") && p.contains("In(lang"),
+      s"lang gate did not reach the scan:\n${p.take(2000)}")
+  }
+
   test("llm_corpus_pipeline: packs are contiguous and capacity-shaped") {
     val packs = operators.LlmText.llmCorpusPipeline(spark, sf).collect()
     assert(packs.nonEmpty)
