@@ -275,6 +275,17 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Tolerance as-of: the backward carry, nulled when the match is
+    * STALER than one hour — the staleness bound every production
+    * as-of join carries (a quote from yesterday must not price
+    * today's trade). Same single-exchange plan as [[joinAsof]] plus
+    * one projection. */
+  val joinAsofTolerance: QFn = (s, d) =>
+    joinAsof(s, d).select(col("event_id"), col("user_id"), col("ts"),
+      when(col("last_click_ts") >= col("ts") - expr("INTERVAL 1 HOUR"),
+        col("last_click_ts")).as("last_click_1h"))
+      .orderBy("event_id")
+
   /** Interval join: lineitems shipped within 30 days of their order
     * date (equi key + range residual → no nested loop). */
   val joinInterval: QFn = (s, d) =>
@@ -412,6 +423,7 @@ object Relational {
     "join_asof" -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
     "join_asof_nearest" -> joinAsofNearest,
+    "join_asof_tolerance" -> joinAsofTolerance,
     "join_interval" -> joinInterval,
     "agg_pricing_summary" -> aggPricingSummary,
     "agg_distinct" -> aggDistinct,
@@ -509,6 +521,14 @@ object Relational {
            (SELECT min(CAST(c.ts AS TIMESTAMP)) FROM events c
              WHERE c.event_type = 'click' AND c.user_id = p.user_id
                AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)) AS next_click_ts
+         FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
+    "join_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts,
+           (SELECT max(CAST(c.ts AS TIMESTAMP)) FROM events c
+             WHERE c.event_type = 'click' AND c.user_id = p.user_id
+               AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+               AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR)
+             AS last_click_1h
          FROM events p WHERE p.event_type = 'purchase' ORDER BY p.event_id""",
     "join_asof_nearest" ->
       """WITH p AS (

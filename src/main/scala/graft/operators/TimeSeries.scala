@@ -111,6 +111,27 @@ object TimeSeries {
         sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr"))
   }
 
+  /** Hourly realized volatility — √Σr² over consecutive-tick log
+    * returns within each bar, the microstructure statistic of an
+    * intraday store. Cross-engine determinism: each return rounds to
+    * 6 decimals FIRST (`fn_math` proves round-6 ln parity), so both
+    * engines square and decimal-sum identical doubles; non-positive
+    * prices yield null returns in both. One bar-partitioned window +
+    * the same-key groupBy — a single shuffle, like [[tsTwap]]. */
+  val tsRealizedVol: QFn = (s, d) => {
+    val w = Window.partitionBy("bar").orderBy("uts", "event_id")
+    Tables.events(s, d)
+      .select(bar.as("bar"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("uts"))
+      .withColumn("nv", lead("value", 1).over(w))
+      .withColumn("r", when(col("value") > 0 && col("nv") > 0,
+        round(log(col("nv") / col("value")), 6)))
+      .groupBy("bar")
+      .agg(round(sqrt(dsum6(col("r") * col("r"))), 6).as("rv"),
+        count(col("r")).as("n_returns"))
+      .orderBy("bar")
+  }
+
   /** Gap-filled hourly resample with forward fill: a generated hour
     * spine per event type (one `sequence` over the global [min, max]
     * bar range, exploded), left-joined to the observed hourly
@@ -177,7 +198,8 @@ object TimeSeries {
     "ts_gapfill" -> tsGapfill,
     "ts_interpolate" -> tsInterpolate,
     "ts_twap" -> tsTwap,
-    "ts_corr_types" -> tsCorrTypes)
+    "ts_corr_types" -> tsCorrTypes,
+    "ts_realized_vol" -> tsRealizedVol)
 
   val oracles: Seq[(String, String)] = Seq(
     "ts_ohlc_bars" ->
@@ -222,6 +244,22 @@ object TimeSeries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
           FROM spine s LEFT JOIN hourly h ON s.bar = h.bar AND s.event_type = h.event_type
           ORDER BY s.bar, s.event_type""",
+    "ts_realized_vol" ->
+      s"""WITH t AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_id,
+              value, epoch_us(CAST(ts AS TIMESTAMP)) AS uts
+            FROM events),
+          x AS (
+            SELECT bar, value,
+              lead(value) OVER (PARTITION BY bar ORDER BY uts, event_id) AS nv
+            FROM t),
+          r AS (
+            SELECT bar,
+              CASE WHEN value > 0 AND nv > 0 THEN round(ln(nv / value), 6) END AS r
+            FROM x)
+          SELECT bar, round(sqrt(${sqlSum6("r * r")}), 6) AS rv,
+            count(r) AS n_returns
+          FROM r GROUP BY bar ORDER BY bar""",
     "ts_corr_types" ->
       s"""WITH hourly AS (
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
