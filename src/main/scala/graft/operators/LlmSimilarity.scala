@@ -279,6 +279,65 @@ object LlmSimilarity {
       .orderBy("probe_id", "rk")
   }
 
+  /** HYBRID retrieval — the RAG-stack shape: BM25 lexical scoring
+    * (query = each probe document's term set) and cosine vector
+    * scoring run independently, each yields a top-20 list, and
+    * reciprocal-rank fusion (Σ 1/(60 + rank)) merges them into the
+    * final top-5 per probe. Cross-engine exactness: every BM25 term
+    * contribution and the fused score use literal double constants
+    * mirrored verbatim in the oracle, per-term contributions go
+    * through the decimal sum, and both ranks order by round-6 scores
+    * with doc_id tiebreaks — so even the two-stage ranking
+    * hash-matches. Scale shape: postings equi-join on term for the
+    * lexical side (df/avgdl are broadcast dims), broadcast probes for
+    * the vector side, and the fusion joins two ≤(probes × 20)-row
+    * lists. */
+  val llmHybridSearch: QFn = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), words.as("w"))
+    val terms = docs.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).cast("double").as("tf"))
+    val dl = docs.select(col("doc_id"), size(col("w")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (graft.Det.dsum2(col("dl")) / count(lit(1))).as("avgdl"))
+    val dfreq = terms.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
+    val qterms = terms.filter(col("doc_id").isin(ProbeIds: _*))
+      .select(col("doc_id").as("probe_id"), col("t")).distinct()
+    val scored = qterms
+      .join(terms, "t")
+      .filter(col("doc_id") =!= col("probe_id"))
+      .join(broadcast(dfreq), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("probe_id", "doc_id")
+      .agg(graft.Det.dsum6(col("c")).as("bm25"))
+    val wLex = Window.partitionBy("probe_id").orderBy(col("bm25").desc, col("doc_id"))
+    val lex = scored.withColumn("lex_rk", row_number().over(wLex))
+      .filter(col("lex_rk") <= 20).select("probe_id", "doc_id", "lex_rk")
+    val emb = Tables.embeddings(s, d)
+    val probesV = emb.filter(col("vec_id").isin(ProbeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val wVec = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    val vec = emb.crossJoin(broadcast(probesV))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", round(cosine(col("pv"), col("embedding")), 6))
+      .withColumn("vec_rk", row_number().over(wVec))
+      .filter(col("vec_rk") <= 20)
+      .select(col("probe_id"), col("vec_id").as("doc_id"), col("vec_rk"))
+    val wFuse = Window.partitionBy("probe_id").orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("probe_id", "doc_id"), "full_outer")
+      .select(col("probe_id"), col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60.0) + col("lex_rk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rk")), lit(0.0))).as("rrf"))
+      .withColumn("rk", row_number().over(wFuse))
+      .filter(col("rk") <= 5)
+      .select(col("probe_id"), col("rk"), col("doc_id"), round(col("rrf"), 9).as("rrf"))
+      .orderBy("probe_id", "rk")
+  }
+
   // ------------------------------------------------------- minhash LSH
 
   private val MinhashPerms = 64
@@ -691,6 +750,7 @@ object LlmSimilarity {
     "llm_knn_ivf" -> llmKnnIvf,
     "llm_knn_ivf_pruned" -> llmKnnIvfPruned,
     "llm_knn_pq" -> llmKnnPq,
+    "llm_hybrid_search" -> llmHybridSearch,
     "llm_near_dedup" -> llmNearDedup,
     "llm_near_dedup_exact" -> llmNearDedupExact,
     "llm_dedup_cluster" -> llmDedupCluster,
@@ -701,6 +761,70 @@ object LlmSimilarity {
     "llm_multimodal_join" -> llmMultimodalJoin)
 
   val oracles: Seq[(String, String)] = Seq(
+    "llm_hybrid_search" ->
+      // full BM25 + cosine + RRF in SQL — constants mirror the Spark
+      // literals verbatim; contributions decimal-summed; ranks order
+      // by round-6 scores with doc_id tiebreaks
+      s"""WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          terms AS (
+            SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+            FROM (SELECT doc_id, unnest(w) AS t FROM docs) GROUP BY doc_id, t),
+          dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM docs),
+          stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+              ${graft.Det.sqlSum2("dl")} / count(*) AS avgdl
+            FROM dl),
+          dfreq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM terms GROUP BY t),
+          q AS (
+            SELECT DISTINCT doc_id AS probe_id, t FROM terms
+            WHERE doc_id IN (1, 2, 3, 4, 5)),
+          contrib AS (
+            SELECT q.probe_id, terms.doc_id,
+              ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0) *
+                (terms.tf * 2.2) /
+                (terms.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+            FROM q
+            JOIN terms USING (t)
+            JOIN dfreq USING (t)
+            JOIN dl ON dl.doc_id = terms.doc_id, stats s
+            WHERE terms.doc_id <> q.probe_id),
+          bm AS (
+            SELECT probe_id, doc_id, ${graft.Det.sqlSum6("c")} AS bm25
+            FROM contrib GROUP BY probe_id, doc_id),
+          lex AS (
+            SELECT probe_id, doc_id, lex_rk FROM (
+              SELECT probe_id, doc_id, row_number() OVER (
+                PARTITION BY probe_id ORDER BY bm25 DESC, doc_id) AS lex_rk
+              FROM bm)
+            WHERE lex_rk <= 20),
+          sims AS (
+            SELECT p.vec_id AS probe_id, e.vec_id AS doc_id,
+              round(
+                list_sum(list_transform(range(64), i -> CAST(p.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(range(64), i -> CAST(p.embedding[i+1] AS DOUBLE) * CAST(p.embedding[i+1] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))), 6) AS sim
+            FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+            WHERE p.vec_id IN (1, 2, 3, 4, 5)),
+          vec AS (
+            SELECT probe_id, doc_id, vec_rk FROM (
+              SELECT probe_id, doc_id, row_number() OVER (
+                PARTITION BY probe_id ORDER BY sim DESC, doc_id) AS vec_rk
+              FROM sims)
+            WHERE vec_rk <= 20),
+          fused AS (
+            SELECT coalesce(l.probe_id, v.probe_id) AS probe_id,
+              coalesce(l.doc_id, v.doc_id) AS doc_id,
+              coalesce(CAST(1 AS DOUBLE) / (60.0 + CAST(l.lex_rk AS DOUBLE)), CAST(0 AS DOUBLE))
+                + coalesce(CAST(1 AS DOUBLE) / (60.0 + CAST(v.vec_rk AS DOUBLE)), CAST(0 AS DOUBLE)) AS rrf
+            FROM lex l FULL OUTER JOIN vec v
+              ON l.probe_id = v.probe_id AND l.doc_id = v.doc_id)
+          SELECT probe_id,
+            CAST(row_number() OVER (PARTITION BY probe_id
+              ORDER BY rrf DESC, doc_id) AS INT) AS rk,
+            doc_id, round(rrf, 9) AS rrf
+          FROM fused
+          QUALIFY rk <= 5 ORDER BY probe_id, rk""",
     "llm_knn_cosine" ->
       // cosine recomputed in DOUBLE (DuckDB's list_cosine_similarity is
       // float32) with the same sequential fold Spark performs
