@@ -457,6 +457,34 @@ object Extras2 {
       .orderBy("event_type")
   }
 
+  /** Targeted-erasure rewrite (the GDPR delete-by-key pattern): the
+    * table is laid out partitioned by a user-hash bucket, an erasure
+    * request maps to the (few) buckets its ids hash into, ONLY those
+    * partitions are read back, filtered, and dynamically overwritten —
+    * every other partition's files are untouched. `localCheckpoint`
+    * materializes the survivors first so the overwrite never reads
+    * the files it is replacing. At 100 TB this touches
+    * |buckets-hit| / |buckets| of the table instead of all of it. */
+  val etlGdprDelete: QFn = (s, d) => {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_gdpr_sink"
+    val deleteIds = Seq(1L, 7L, 42L, 99L)
+    Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      .withColumn("bucket", pmod(col("user_id"), lit(16)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val buckets = deleteIds.map(_ % 16).distinct
+    val survivors = s.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(!col("user_id").isin(deleteIds: _*))
+      .localCheckpoint()
+    survivors.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(path)
+    s.read.parquet(path).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   /** Bloom-filter join pre-reduction — the semi-join-pushdown pattern
     * a 100 TB fact⋈selective-dim join wants: build a compact bloom
     * over the dim keys (`stat.bloomFilter`, KBs for millions of keys),
@@ -483,6 +511,7 @@ object Extras2 {
 
   val entries: Seq[(String, QFn)] = Seq(
     "etl_dynamic_partition_overwrite" -> etlDynamicPartitionOverwrite,
+    "etl_gdpr_delete" -> etlGdprDelete,
     "join_bloom_prefilter" -> joinBloomPrefilter,
     "agg_hll_sketch" -> aggHllSketch,
     "scan_csv_malformed" -> scanCsvMalformed,
@@ -511,6 +540,11 @@ object Extras2 {
             UNION ALL
             SELECT event_type, value FROM events
             WHERE event_type = 'purchase' AND value > 10)
+          GROUP BY event_type ORDER BY event_type""",
+    "etl_gdpr_delete" ->
+      s"""SELECT event_type, count(*) AS n, ${sqlSum2("value")} AS sum_value,
+            count(DISTINCT user_id) AS n_users
+          FROM events WHERE user_id NOT IN (1, 7, 42, 99)
           GROUP BY event_type ORDER BY event_type""",
     "join_bloom_prefilter" ->
       s"""SELECT o_orderpriority, count(*) AS n,
