@@ -338,6 +338,64 @@ object LlmSimilarity {
       .orderBy("probe_id", "rk")
   }
 
+  /** MMR re-rank — the diversification tail of the retrieval stack:
+    * from each probe's cosine top-20, greedily pick 5 maximizing
+    * λ·sim(q, d) − (1−λ)·max_sim(d, already-picked) with λ = 0.7.
+    * The greedy loop is inherently sequential PER PROBE but the
+    * groups are bounded (20 candidates), so `flatMapGroups` over
+    * (probe → candidates) is the honest distributed shape: state
+    * never exceeds 20 vectors per group, probes process in parallel,
+    * and the corpus-side work (the top-20) is the same broadcast scan
+    * as [[llmKnnCosine]]. Greedy selection is not SQL-expressible —
+    * no oracle; the spec pins membership, the top-1 anchor, and that
+    * diversity strictly improves on the plain top-5. */
+  val llmRerankMmr: QFn = (s, d) => {
+    val lambda = 0.7
+    val emb = Tables.embeddings(s, d)
+    val probesV = emb.filter(col("vec_id").isin(ProbeIds: _*))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val wVec = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vec_id"))
+    val top20 = emb.crossJoin(broadcast(probesV))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("sim", round(cosine(col("pv"), col("embedding")), 6))
+      .withColumn("rk", row_number().over(wVec))
+      .filter(col("rk") <= 20)
+      .select(col("probe_id"), col("vec_id"), col("sim"), col("embedding"))
+    import s.implicits._
+    def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    top20.as[(Long, Long, Double, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (probe, it) =>
+        val pool = scala.collection.mutable.ArrayBuffer(
+          it.toArray.sortBy(c => (-c._3, c._2)): _*)
+        val picked = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Double)] // (vec_id, rank, mmr)
+        val pickedVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+        while (picked.size < 5 && pool.nonEmpty) {
+          val scoredPool = pool.map { c =>
+            val penalty =
+              if (pickedVecs.isEmpty) 0.0
+              else pickedVecs.map(v => cosLocal(c._4, v)).max
+            (c, lambda * c._3 - (1 - lambda) * penalty)
+          }
+          val (best, mmr) = scoredPool.minBy { case (c, m) => (-m, c._2) }
+          picked += ((best._2, picked.size + 1L, math.rint(mmr * 1e6) / 1e6))
+          pickedVecs += best._4
+          pool -= best
+        }
+        picked.iterator.map { case (v, rk, m) => (probe, rk, v, m) }
+      }
+      .toDF("probe_id", "rk", "vec_id", "mmr")
+      .orderBy("probe_id", "rk")
+  }
+
   // ------------------------------------------------------- minhash LSH
 
   private val MinhashPerms = 64
@@ -751,6 +809,7 @@ object LlmSimilarity {
     "llm_knn_ivf_pruned" -> llmKnnIvfPruned,
     "llm_knn_pq" -> llmKnnPq,
     "llm_hybrid_search" -> llmHybridSearch,
+    "llm_rerank_mmr" -> llmRerankMmr,
     "llm_near_dedup" -> llmNearDedup,
     "llm_near_dedup_exact" -> llmNearDedupExact,
     "llm_dedup_cluster" -> llmDedupCluster,

@@ -104,6 +104,35 @@ class LlmSpec extends SparkTestBase {
     assert(recall >= 0.5, s"ADC recall collapsed: $recall")
   }
 
+  test("llm_rerank_mmr: anchored, top-20-bounded, and more diverse than top-5") {
+    val knn = operators.LlmSimilarity.llmKnnCosine(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val mmr = operators.LlmSimilarity.llmRerankMmr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    def meanPairwise(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(emb(ids(i)), emb(ids(j)))
+      ps.sum / ps.size
+    }
+    mmr.groupBy(_._1).foreach { case (probe, rows) =>
+      assert(rows.length == 5, s"probe $probe: ${rows.length} picks")
+      // the first MMR pick is the plain top-1 (no penalty yet)
+      val top1 = knn.filter(p => p._1 == probe && p._2 == 1).head._3
+      assert(rows.minBy(_._2)._3 == top1, s"probe $probe lost its anchor")
+      val top5 = knn.filter(_._1 == probe).sortBy(_._2).take(5).map(_._3).toSeq
+      val picks = rows.sortBy(_._2).map(_._3).toSeq
+      assert(meanPairwise(picks) <= meanPairwise(top5) + 1e-9,
+        s"probe $probe: MMR did not diversify")
+    }
+  }
+
   test("llm_dedup_cluster: pairs are closed under clustering, one keeper each") {
     val pairs = operators.LlmSimilarity.llmNearDedup(spark, sf)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
