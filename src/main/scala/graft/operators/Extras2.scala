@@ -485,6 +485,23 @@ object Extras2 {
       .orderBy("event_type")
   }
 
+  /** Modern aggregate fill-ins: `count_if`, `bool_and`/`bool_or`,
+    * interpolated `median` (≡ DuckDB `quantile_cont(0.5)`), and
+    * `max_by` with a struct ordering key — the (value, event_id)
+    * tiebreak makes argmax deterministic on ties, which the oracle
+    * reproduces as a DESC/DESC window rank. */
+  val aggModernFillins: QFn = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count_if(col("value") > 50).as("n_big"),
+        bool_and(col("value") >= 0).as("all_nonneg"),
+        bool_or(col("value") > 99).as("any_high"),
+        round(median(col("value")), 6).as("med"),
+        max_by(col("event_id"), struct(col("value"), col("event_id")))
+          .as("argmax_id"))
+      .orderBy("event_type")
+
   /** Bloom-filter join pre-reduction — the semi-join-pushdown pattern
     * a 100 TB fact⋈selective-dim join wants: build a compact bloom
     * over the dim keys (`stat.bloomFilter`, KBs for millions of keys),
@@ -512,6 +529,7 @@ object Extras2 {
   val entries: Seq[(String, QFn)] = Seq(
     "etl_dynamic_partition_overwrite" -> etlDynamicPartitionOverwrite,
     "etl_gdpr_delete" -> etlGdprDelete,
+    "agg_modern_fillins" -> aggModernFillins,
     "join_bloom_prefilter" -> joinBloomPrefilter,
     "agg_hll_sketch" -> aggHllSketch,
     "scan_csv_malformed" -> scanCsvMalformed,
@@ -541,6 +559,22 @@ object Extras2 {
             SELECT event_type, value FROM events
             WHERE event_type = 'purchase' AND value > 10)
           GROUP BY event_type ORDER BY event_type""",
+    "agg_modern_fillins" ->
+      """WITH am AS (
+           SELECT event_type, event_id AS argmax_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT e.event_type,
+           count(*) FILTER (WHERE value > 50) AS n_big,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 99) AS any_high,
+           round(median(value), 6) AS med,
+           min(am.argmax_id) AS argmax_id
+         FROM events e
+         JOIN (SELECT event_type, argmax_id FROM am WHERE rn = 1) am
+           USING (event_type)
+         GROUP BY e.event_type ORDER BY e.event_type""",
     "etl_gdpr_delete" ->
       s"""SELECT event_type, count(*) AS n, ${sqlSum2("value")} AS sum_value,
             count(DISTINCT user_id) AS n_users

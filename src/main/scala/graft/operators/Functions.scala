@@ -201,8 +201,21 @@ object Functions {
       .orderBy("p_partkey")
   }
 
+  /** Data masking (`mask`) — the column-governance scalar: default
+    * class masking (upper→X, lower→x, digit→n, other kept) and fully
+    * custom replacement characters. The oracle is a per-character
+    * class CASE — single pass, so replacement characters can never be
+    * re-replaced (the chained-regexp pitfall). */
+  val fnMask: QFn = (s, d) =>
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      mask(col("p_brand")).as("m_default"),
+      mask(col("p_brand"), lit("U"), lit("l"), lit("d"), lit("o")).as("m_custom"))
+      .orderBy("p_partkey")
+
   val entries: Seq[(String, QFn)] = Seq(
     "fn_xml" -> fnXml,
+    "fn_mask" -> fnMask,
     "fn_variant" -> fnVariant,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
@@ -214,6 +227,19 @@ object Functions {
     "fn_json" -> fnJson)
 
   val oracles: Seq[(String, String)] = Seq(
+    "fn_mask" ->
+      """SELECT p_partkey,
+           array_to_string(list_transform(regexp_extract_all(p_brand, '.'),
+             c -> CASE WHEN c >= 'A' AND c <= 'Z' THEN 'X'
+                       WHEN c >= 'a' AND c <= 'z' THEN 'x'
+                       WHEN c >= '0' AND c <= '9' THEN 'n' ELSE c END), '')
+             AS m_default,
+           array_to_string(list_transform(regexp_extract_all(p_brand, '.'),
+             c -> CASE WHEN c >= 'A' AND c <= 'Z' THEN 'U'
+                       WHEN c >= 'a' AND c <= 'z' THEN 'l'
+                       WHEN c >= '0' AND c <= '9' THEN 'd' ELSE 'o' END), '')
+             AS m_custom
+         FROM part ORDER BY p_partkey""",
     "fn_xml" ->
       """SELECT p_partkey, p_name AS name, CAST(p_size AS INT) AS size,
            p_retailprice AS price

@@ -132,6 +132,31 @@ object TimeSeries {
       .orderBy("bar")
   }
 
+  /** OLS trend per event type — slope/intercept of value against
+    * hours-since-epoch, from the same exact decimal moments as
+    * [[tsCorrTypes]]: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+    * intercept = (Σy − slope·Σx)/n, one closing double expression
+    * mirrored in the oracle. x is the hour index ANCHORED at
+    * 2024-01-01 — small exact integers, so every moment stays below
+    * 2^53 and the nΣx² − (Σx)² cancellation is computed on exact
+    * doubles (hours-since-1970 put ~8e20 against ~8e20 and amplified
+    * representation noise past the round-6 guard). */
+  val tsLinregTrend: QFn = (s, d) => {
+    val anchor = unix_micros(lit("2024-01-01 00:00:00").cast("timestamp"))
+    val x = ((unix_micros(bar) - anchor) / lit(3600000000L)).cast("double")
+    val n = count(lit(1))
+    val (sx, sy) = (dsum6(col("x")), dsum6(col("y")))
+    val (sxx, sxy) = (dsum6(col("x") * col("x")), dsum6(col("x") * col("y")))
+    Tables.events(s, d)
+      .select(col("event_type"), x.as("x"), col("value").as("y"))
+      .groupBy("event_type")
+      .agg(n.as("n"),
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9).as("slope"),
+        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+          .as("intercept"))
+      .orderBy("event_type")
+  }
+
   /** Gap-filled hourly resample with forward fill: a generated hour
     * spine per event type (one `sequence` over the global [min, max]
     * bar range, exploded), left-joined to the observed hourly
@@ -199,7 +224,8 @@ object TimeSeries {
     "ts_interpolate" -> tsInterpolate,
     "ts_twap" -> tsTwap,
     "ts_corr_types" -> tsCorrTypes,
-    "ts_realized_vol" -> tsRealizedVol)
+    "ts_realized_vol" -> tsRealizedVol,
+    "ts_linreg_trend" -> tsLinregTrend)
 
   val oracles: Seq[(String, String)] = Seq(
     "ts_ohlc_bars" ->
@@ -244,6 +270,23 @@ object TimeSeries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
           FROM spine s LEFT JOIN hourly h ON s.bar = h.bar AND s.event_type = h.event_type
           ORDER BY s.bar, s.event_type""",
+    "ts_linreg_trend" ->
+      s"""WITH t AS (
+            SELECT event_type,
+              CAST(epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                   - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS DOUBLE)
+                / CAST(3600000000 AS DOUBLE) AS x,
+              value AS y
+            FROM events)
+          SELECT event_type, count(*) AS n,
+            round((count(*) * ${sqlSum6("x * y")} - ${sqlSum6("x")} * ${sqlSum6("y")})
+              / (count(*) * ${sqlSum6("x * x")} - ${sqlSum6("x")} * ${sqlSum6("x")}), 9)
+              AS slope,
+            round((${sqlSum6("y")}
+              - (count(*) * ${sqlSum6("x * y")} - ${sqlSum6("x")} * ${sqlSum6("y")})
+                / (count(*) * ${sqlSum6("x * x")} - ${sqlSum6("x")} * ${sqlSum6("x")})
+                * ${sqlSum6("x")}) / count(*), 6) AS intercept
+          FROM t GROUP BY event_type ORDER BY event_type""",
     "ts_realized_vol" ->
       s"""WITH t AS (
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_id,
