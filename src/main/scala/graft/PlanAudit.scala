@@ -24,9 +24,13 @@ object PlanAudit {
       "llm_knn_ivf", "agg_pivot", "llm_tfidf", "llm_interleave_sources",
     // agg_hll_sketch / scan_csv_malformed cross 1-row aggregates —
     // O(1) both sides
-    // ts_interpolate shares ts_gapfill's spine × event-type-dim cross
+    // ts_interpolate shares ts_gapfill's spine × event-type-dim cross;
+    // hybrid search crosses the 1-row corpus-stats scalar and the
+    // 5-probe broadcast; MMR's top-20 stage is the same probe cross
       "ts_gapfill", "ts_interpolate", "llm_kmeans", "agg_hll_sketch",
-      "scan_csv_malformed")
+    // ivf_pruned keeps llm_knn_ivf's probe × centroid broadcast cross
+      "scan_csv_malformed", "llm_hybrid_search", "llm_rerank_mmr",
+      "llm_knn_ivf_pruned")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         if (name.startsWith("stream_")) ()
