@@ -213,9 +213,27 @@ object Functions {
       mask(col("p_brand"), lit("U"), lit("l"), lit("d"), lit("o")).as("m_custom"))
       .orderBy("p_partkey")
 
+  /** TRY-mode arithmetic — the error-safe scalar family: under ANSI
+    * semantics a divide-by-zero or bigint overflow kills the job at
+    * row N of a 100 TB scan; `try_divide`/`try_add` degrade to NULL
+    * row-locally instead. div0's denominator is identically zero and
+    * every orderkey overflows MaxValue, so both columns are
+    * provably-NULL in the oracle (orderkey 0 alone fits without
+    * overflow and keeps its exact sum) while divq carries the real
+    * quotient. */
+  val fnTrySafe: QFn = (s, d) =>
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      try_divide(col("l_extendedprice"),
+        col("l_quantity") - col("l_quantity")).as("div0"),
+      try_divide(col("l_extendedprice"), col("l_quantity")).as("divq"),
+      try_add(col("l_orderkey"), lit(Long.MaxValue)).as("add_ovf"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   val entries: Seq[(String, QFn)] = Seq(
     "fn_xml" -> fnXml,
     "fn_mask" -> fnMask,
+    "fn_try_safe" -> fnTrySafe,
     "fn_variant" -> fnVariant,
     "fn_string" -> fnString,
     "fn_date" -> fnDate,
@@ -227,6 +245,13 @@ object Functions {
     "fn_json" -> fnJson)
 
   val oracles: Seq[(String, String)] = Seq(
+    "fn_try_safe" ->
+      """SELECT l_orderkey, l_linenumber,
+           CAST(NULL AS DOUBLE) AS div0,
+           l_extendedprice / l_quantity AS divq,
+           CASE WHEN l_orderkey > 0 THEN CAST(NULL AS BIGINT)
+                ELSE 9223372036854775807 + l_orderkey END AS add_ovf
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "fn_mask" ->
       """SELECT p_partkey,
            array_to_string(list_transform(regexp_extract_all(p_brand, '.'),
