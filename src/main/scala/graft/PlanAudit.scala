@@ -3,54 +3,62 @@ import org.apache.spark.sql.SparkSession
 
 /** Audits every registered query's executed plan for scale smells:
   * cartesian products, broadcast-nested-loop joins, and missing
-  * pushdowns — prints one line per finding. */
+  * codegen — one finding line each. Callable from the spec suite
+  * (PlanAuditSpec enforces an empty finding list every `sbt test`)
+  * and from the CLI main for ad-hoc runs. */
 object PlanAudit {
+  // cartesian/BNLJ are legitimate only where the operator IS a cross
+  // product or an intentionally-bounded theta join; llm_tfidf crosses
+  // a 1-row broadcast count scalar, llm_interleave_sources crosses a
+  // <=#sources-row broadcast counts dim — both O(1)-size build sides
+  // ts_gapfill crosses the generated hour spine with the <=5-value
+  // event-type dim — another O(1)-size build side
+  // llm_kmeans broadcasts the k=8-row centroid table — O(1) build side
+  val allowCross = Set("join_cross", "join_theta_range", "llm_knn_cosine",
+    "llm_knn_ivf", "agg_pivot", "llm_tfidf", "llm_interleave_sources",
+  // agg_hll_sketch / scan_csv_malformed cross 1-row aggregates —
+  // O(1) both sides
+  // ts_interpolate shares ts_gapfill's spine × event-type-dim cross;
+  // hybrid search crosses the 1-row corpus-stats scalar and the
+  // 5-probe broadcast; MMR's top-20 stage is the same probe cross
+    "ts_gapfill", "ts_interpolate", "llm_kmeans", "agg_hll_sketch",
+  // ivf_pruned keeps llm_knn_ivf's probe × centroid broadcast cross
+    "scan_csv_malformed", "llm_hybrid_search", "llm_rerank_mmr",
+    "llm_knn_ivf_pruned")
+
+  /** Execute every non-streaming registered query at `d` and return
+    * one "SMELL key: ..." / "ERROR key: ..." line per finding. Empty
+    * result = audit clean. */
+  def audit(spark: SparkSession, d: String): Seq[String] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (name.startsWith("stream_")) Nil
+      else try {
+        val df = fn(spark, d)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        val smells = Seq(
+          "CartesianProduct" -> p.contains("CartesianProduct"),
+          "BroadcastNestedLoopJoin" -> p.contains("BroadcastNestedLoopJoin"),
+          "codegen-absent" -> (!p.contains("*(") && !name.startsWith("mm_")))
+          .collect { case (s, true) => s }
+        val crossOk = allowCross.contains(name)
+        val bad = smells.filterNot(s =>
+          crossOk && (s == "CartesianProduct" || s == "BroadcastNestedLoopJoin"))
+        if (bad.nonEmpty) Seq(s"SMELL $name: ${bad.mkString(", ")}") else Nil
+      } catch { case e: Throwable =>
+        Seq(s"ERROR $name: ${String.valueOf(e.getMessage).take(100)}")
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.001"
-    // cartesian/BNLJ are legitimate only where the operator IS a cross
-    // product or an intentionally-bounded theta join; llm_tfidf crosses
-    // a 1-row broadcast count scalar, llm_interleave_sources crosses a
-    // <=#sources-row broadcast counts dim — both O(1)-size build sides
-    // ts_gapfill crosses the generated hour spine with the <=5-value
-    // event-type dim — another O(1)-size build side
-    // llm_kmeans broadcasts the k=8-row centroid table — O(1) build side
-    val allowCross = Set("join_cross", "join_theta_range", "llm_knn_cosine",
-      "llm_knn_ivf", "agg_pivot", "llm_tfidf", "llm_interleave_sources",
-    // agg_hll_sketch / scan_csv_malformed cross 1-row aggregates —
-    // O(1) both sides
-    // ts_interpolate shares ts_gapfill's spine × event-type-dim cross;
-    // hybrid search crosses the 1-row corpus-stats scalar and the
-    // 5-probe broadcast; MMR's top-20 stage is the same probe cross
-      "ts_gapfill", "ts_interpolate", "llm_kmeans", "agg_hll_sketch",
-    // ivf_pruned keeps llm_knn_ivf's probe × centroid broadcast cross
-      "scan_csv_malformed", "llm_hybrid_search", "llm_rerank_mmr",
-      "llm_knn_ivf_pruned")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        if (name.startsWith("stream_")) ()
-        else {
-          val df = fn(spark, d)
-          df.collect()
-          val p = df.queryExecution.executedPlan.toString
-          val smells = Seq(
-            "CartesianProduct" -> p.contains("CartesianProduct"),
-            "BroadcastNestedLoopJoin" -> p.contains("BroadcastNestedLoopJoin"),
-            "InMemoryTableScan-miss" -> false,
-            "codegen-absent" -> (!p.contains("*(") && !name.startsWith("mm_")))
-            .collect { case (s, true) => s }
-          val crossOk = allowCross.contains(name)
-          val bad = smells.filterNot(s =>
-            crossOk && (s == "CartesianProduct" || s == "BroadcastNestedLoopJoin"))
-          if (bad.nonEmpty) println(s"SMELL $name: ${bad.mkString(", ")}")
-        }
-      } catch { case e: Throwable => println(s"ERROR $name: ${e.getMessage.take(100)}") }
-    }
+    audit(spark, "/root/testdata/sf0.001").foreach(println)
     println("AUDIT DONE")
     spark.stop()
   }

@@ -14,6 +14,20 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Isolated write-then-read sink path for operators that exercise a
+    * storage layout (roundtrips, partition overwrites, IVF lists):
+    * suffixed with the dataset dir's hash and the Spark
+    * applicationId, so concurrent runs over different scale factors —
+    * or two JVMs (bench + test) running at once — never interleave
+    * writes into the same directory (r3 ADVICE). Within one app and
+    * dataset the path is stable, so repeated bench runs of the same
+    * key reuse (overwrite) their own sink. */
+  def sinkPath(s: SparkSession, d: String, tag: String): String = {
+    val h = d.hashCode & 0x7fffffff
+    val app = s.sparkContext.applicationId
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${h}_$app"
+  }
+
   val all: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

@@ -67,7 +67,15 @@ object Clustering {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     // the subsample can under-deliver on a tiny corpus: clamp K to the
-    // seeds actually found (effK lists) instead of indexing past them
+    // seeds actually found (effK lists) instead of indexing past them.
+    // If it delivers NOTHING (corpus smaller than the stride), fall
+    // back to the first K vec_ids so seeding never divides by zero.
+    if (cents.isEmpty) {
+      cents = base.orderBy("vec_id").limit(K)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    }
+    require(cents.nonEmpty, "k-means: empty corpus — cannot seed centroids")
     val effK = cents.length
 
     def assigned(): DataFrame = assignWith(s, emb, cents)

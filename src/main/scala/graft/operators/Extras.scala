@@ -79,8 +79,9 @@ object Extras {
     * filter (the spec asserts PartitionFilters in the scan). This is
     * THE layout decision that makes a 100 TB lake queryable. */
   val sinkPartitionedScan: QFn = (s, d) => {
-    // fixed path + overwrite: no tmpdir growth across repeated runs
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_part_sink"
+    // per-(dataset, app) path + overwrite: isolated from concurrent
+    // runs, no tmpdir growth across repeated runs in one app
+    val path = Tables.sinkPath(s, d, "part_sink")
     Tables.events(s, d)
       .write.mode("overwrite").partitionBy("event_type").parquet(path)
     s.read.parquet(path)

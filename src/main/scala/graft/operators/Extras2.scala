@@ -298,7 +298,7 @@ object Extras2 {
     * through; old files surface NULLs. Oracled end-to-end against
     * the un-split table. */
   val scanSchemaEvolution: QFn = (s, d) => {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_schema_evo"
+    val path = Tables.sinkPath(s, d, "schema_evo")
     val e = Tables.events(s, d)
     val split = to_date(col("ts")) < "2024-01-15"
     e.filter(split).select("event_id", "event_type")
@@ -340,7 +340,7 @@ object Extras2 {
     * asserts the `dynamicpruning` subquery in the scan. Fixed tmp
     * layout path, rewritten per run (overwrite). */
   val joinDpp: QFn = (s, d) => {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_facts"
+    val path = Tables.sinkPath(s, d, "dpp_facts")
     Tables.events(s, d)
       .select("event_id", "event_type", "value")
       .write.mode("overwrite").partitionBy("event_type").parquet(path)
@@ -353,7 +353,7 @@ object Extras2 {
   /** The DPP join subplan (pre-aggregation), exposed for the spec.
     * Assumes [[joinDpp]] wrote the partitioned layout. */
   def dppJoinOnly(s: SparkSession, d: String): DataFrame = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_facts"
+    val path = Tables.sinkPath(s, d, "dpp_facts")
     val facts = s.read.parquet(path)
     // dim: the per-type stats table, filtered — only 2 of 5 types
     // survive, so 3 of 5 fact partitions must be skipped at runtime
@@ -371,9 +371,8 @@ object Extras2 {
     * CompactionSpec asserts the output file count. At 100 TB this
     * runs per-partition with target file size, same plan shape. */
   val etlCompaction: QFn = (s, d) => {
-    val tmp = System.getProperty("java.io.tmpdir")
-    val frag = s"$tmp/graft_compact_frag"
-    val tight = s"$tmp/graft_compact_tight"
+    val frag = Tables.sinkPath(s, d, "compact_frag")
+    val tight = Tables.sinkPath(s, d, "compact_tight")
     val e = Tables.events(s, d).select("event_id", "event_type", "value")
     e.repartition(64).write.mode("overwrite").parquet(frag)
     s.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(tight)
@@ -406,7 +405,7 @@ object Extras2 {
     * At 100 TB this is the difference between one bad file poisoning
     * a backfill and a quarantine column you can audit. */
   val scanCsvMalformed: QFn = (s, d) => {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_malformed_csv"
+    val path = Tables.sinkPath(s, d, "malformed_csv")
     import scala.reflect.io.Directory
     new Directory(new java.io.File(path)).deleteRecursively()
     Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
@@ -444,7 +443,7 @@ object Extras2 {
     * rewriting the table. Final state = untouched partitions ∪
     * replacement rows, which is exactly what the oracle recomputes. */
   val etlDynamicPartitionOverwrite: QFn = (s, d) => {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dpo_sink"
+    val path = Tables.sinkPath(s, d, "dpo_sink")
     val e = Tables.events(s, d).select("event_id", "event_type", "value")
     e.write.mode("overwrite").partitionBy("event_type").parquet(path)
     e.filter(col("event_type") === "purchase" && col("value") > 10)
@@ -457,28 +456,43 @@ object Extras2 {
       .orderBy("event_type")
   }
 
-  /** Targeted-erasure rewrite (the GDPR delete-by-key pattern): the
-    * table is laid out partitioned by a user-hash bucket, an erasure
-    * request maps to the (few) buckets its ids hash into, ONLY those
-    * partitions are read back, filtered, and dynamically overwritten —
-    * every other partition's files are untouched. `localCheckpoint`
-    * materializes the survivors first so the overwrite never reads
-    * the files it is replacing. At 100 TB this touches
-    * |buckets-hit| / |buckets| of the table instead of all of it. */
-  val etlGdprDelete: QFn = (s, d) => {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_gdpr_sink"
-    val deleteIds = Seq(1L, 7L, 42L, 99L)
-    Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
-      .withColumn("bucket", pmod(col("user_id"), lit(16)))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    val buckets = deleteIds.map(_ % 16).distinct
+  /** Erase `deleteIds` from a user-hash-bucketed parquet layout at
+    * `path`: map the request to the (few) buckets its ids hash into,
+    * read ONLY those partitions back, filter, and statically
+    * overwrite EACH hit partition — including one whose survivors are
+    * empty. (Dynamic partition overwrite is wrong here: it only
+    * rewrites partitions that receive output rows, so a bucket whose
+    * rows ALL matched `deleteIds` would keep its stale files and the
+    * erasure would silently fail — r3 ADVICE.) `localCheckpoint`
+    * materializes the survivors first so no overwrite reads the files
+    * it is replacing. The per-bucket loop is bounded by the erasure
+    * request size, not the table. */
+  def gdprErase(s: SparkSession, path: String, deleteIds: Seq[Long],
+                nBuckets: Int = 16): Unit = {
+    val buckets = deleteIds.map(id => ((id % nBuckets) + nBuckets) % nBuckets).distinct
     val survivors = s.read.parquet(path)
       .filter(col("bucket").isin(buckets: _*))
       .filter(!col("user_id").isin(deleteIds: _*))
       .localCheckpoint()
-    survivors.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket").parquet(path)
+    buckets.foreach { b =>
+      survivors.filter(col("bucket") === b).drop("bucket")
+        .write.mode("overwrite").parquet(s"$path/bucket=$b")
+    }
+  }
+
+  /** Targeted-erasure rewrite (the GDPR delete-by-key pattern): the
+    * table is laid out partitioned by a user-hash bucket and
+    * [[gdprErase]] rewrites exactly the buckets the erasure request
+    * hashes into — every other partition's files are untouched. At
+    * 100 TB this touches |buckets-hit| / |buckets| of the table
+    * instead of all of it. */
+  val etlGdprDelete: QFn = (s, d) => {
+    val path = Tables.sinkPath(s, d, "gdpr_sink")
+    val deleteIds = Seq(1L, 7L, 42L, 99L)
+    Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+      .withColumn("bucket", pmod(col("user_id"), lit(16)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    gdprErase(s, path, deleteIds)
     s.read.parquet(path).groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"),
         countDistinct(col("user_id")).as("n_users"))

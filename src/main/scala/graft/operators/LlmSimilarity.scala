@@ -164,7 +164,7 @@ object LlmSimilarity {
     val (kk, nProbe, iters) = (64, 16, 6)
     val emb = Tables.embeddings(s, d)
     val cents = ivfQuantizer(s, d, kk, iters)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_layout"
+    val path = Tables.sinkPath(s, d, "ivf_layout")
     ivfNearest(cents, emb, "embedding", "vec_id", 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
@@ -216,9 +216,16 @@ object LlmSimilarity {
     // the result executor-count-invariant like Clustering.kmeansOn.
     val subvAll = subvectors(emb, "vec_id")
     // seeds: the same deterministic arithmetic subsample, sliced
-    var cents: Array[(Int, Int, Array[Double])] = emb
-      .filter(pmod(col("vec_id"), lit(17)) === 3).orderBy("vec_id").limit(codes)
-      .select("embedding").collect()
+    // same empty-subsample fallback as Clustering.kmeansOn: a corpus
+    // smaller than the stride must still seed the codebook
+    val seedVecs = {
+      val sub = emb.filter(pmod(col("vec_id"), lit(17)) === 3)
+        .orderBy("vec_id").limit(codes).select("embedding").collect()
+      if (sub.nonEmpty) sub
+      else emb.orderBy("vec_id").limit(codes).select("embedding").collect()
+    }
+    require(seedVecs.nonEmpty, "PQ: empty corpus — cannot seed codebooks")
+    var cents: Array[(Int, Int, Array[Double])] = seedVecs
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       .zipWithIndex.flatMap { case (v, code) =>
         (0 until m).map(sub => (sub, code, v.slice(sub * dsub, (sub + 1) * dsub)))

@@ -164,25 +164,23 @@ object LlmText {
   /** Bigram language-model statistics: conditional probability
     * p(w2|w1) = n(w1,w2)/n(w1·) for the 50 most frequent bigrams —
     * the co-occurrence table behind n-gram LMs, collocation mining
-    * and tokenizer-merge candidates. Two partial-agg shuffles over
-    * the exploded pair stream plus an equi-join on w1 (both sides
-    * already hash-partitioned on w1 — vocabulary-sized, not
-    * corpus-sized, after aggregation); p is an exact integer ratio
-    * in doubles, so no rounding is needed for cross-engine parity.
-    * Single-token docs contribute no pairs (same guard as the
-    * shingle pipeline). */
+    * and tokenizer-merge candidates. ONE corpus pass: pairs come
+    * from the native `BigramGen` generator (a Generate fan-out, no
+    * shuffle, no CodegenFallback HOF chain), one partial-agg shuffle
+    * builds n(w1,w2), and the context count n(w1·) = Σ_w2 n(w1,w2)
+    * is derived from the already-aggregated (vocabulary-sized, not
+    * corpus-sized) bigram table by a window over w1 — the second
+    * corpus tokenization the round-3 profile flagged is gone.
+    * p is an exact integer ratio in doubles, so no rounding is
+    * needed for cross-engine parity. Single-token docs contribute
+    * no pairs (same guard as the shingle pipeline). */
   val llmNgramLm: QFn = (s, d) => {
-    val w = words
-    val pairs = Tables.documents(s, d)
-      .select(explode(
-        when(size(w) >= 2,
-          transform(sequence(lit(1), size(w) - 1),
-            i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
-          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
-    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("n1"))
-    big.join(uni, "w1")
+    val big = Tables.documents(s, d)
+      .select(graft.functions.NgramGen.bigramPairs(words))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    big
+      .withColumn("n1", sum("n12").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w1")))
       .withColumn("p", col("n12").cast("double") / col("n1").cast("double"))
       .orderBy(col("n12").desc, col("w1"), col("w2"))
       .limit(50)
@@ -336,9 +334,14 @@ object LlmText {
       .select(col("vec_id"), posexplode(col("embedding")))
       .select(col("vec_id"), col("pos"),
         floor(col("col").cast("double") * 1000000.0).cast("long").as("q"))
+    // sqq accumulates q² ≈ 1e12 per row: a LongType sum would wrap
+    // silently past ~9e6 rows/dimension while the DuckDB oracle sums
+    // BIGINT into HUGEINT exactly — accumulate as decimal(38,0) so
+    // both engines compute the exact integer before the double cast
+    // (r3 ADVICE).
     val st = ex.groupBy("pos").agg(
       sum("q").cast("double").as("sq"),
-      sum(col("q") * col("q")).cast("double").as("sqq"),
+      sum((col("q") * col("q")).cast("decimal(38,0)")).cast("double").as("sqq"),
       count(lit(1)).cast("double").as("n"))
     ex.filter(col("vec_id") % 50 === 0)
       .join(broadcast(st), "pos")

@@ -52,9 +52,10 @@ object Relational {
     * DuckDB oracle, so the whole write→read path is oracle-checked. */
   private def roundtrip(s: SparkSession, d: String, fmt: String): DataFrame = {
     val sample = Tables.lineitem(s, d).filter(col("l_orderkey") % 50 === 0)
-    // FIXED per-format path (mode=overwrite): repeated verify/bench runs
-    // reuse the directory instead of accumulating UUID-named litter
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_$fmt"
+    // per-(format, dataset, app) path (mode=overwrite): repeated
+    // verify/bench runs reuse the directory instead of accumulating
+    // litter; concurrent runs over other SFs/JVMs are isolated
+    val path = Tables.sinkPath(s, d, s"roundtrip_$fmt")
     val w = sample.write.mode("overwrite")
       .option("header", "true").option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
     fmt match {
@@ -85,7 +86,7 @@ object Relational {
     * lines (the corpus has no embedded newlines), read back, and
     * reduced to line/char totals the parquet truth must reproduce. */
   val sourceTextRoundtrip: QFn = (s, d) => {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_text"
+    val path = Tables.sinkPath(s, d, "roundtrip_text")
     Tables.documents(s, d).select(col("text"))
       .write.mode("overwrite").text(path)
     s.read.text(path)

@@ -167,6 +167,22 @@ object Streaming {
     * opened). */
   @volatile var lastStateRowsTotal: Long = -1L
 
+  /** Chunked replay feed (r3 verdict item 5): each addData slice is
+    * one micro-batch, so the watermark advances per chunk and the
+    * harness's per-call footprint is O(chunk) ≤ 25k rows rather than
+    * the whole table in one block. The floor of two chunks preserves
+    * multi-batch watermark progression on small data; the cap bounds
+    * micro-batch count (per-batch RocksDB commit overhead) at ~n/25k
+    * on large data. */
+  private def feedChunks(stream: MemoryStream[Ev],
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      rows: Array[Ev]): Unit = {
+    val chunk = math.min(25000, math.max(1, (rows.length + 1) / 2))
+    rows.grouped(chunk).foreach { slice =>
+      stream.addData(slice.toSeq); q.processAllAvailable()
+    }
+  }
+
   /** Replay events through `build`, return the materialized sink.
     * All queries run on the RocksDB state store provider — the
     * production backend (bounded executor heap; state spills to local
@@ -204,9 +220,7 @@ object Streaming {
       case (k, None)    => s.conf.unset(k)
     }
     try {
-      val (first, second) = rows.splitAt(rows.length / 2)
-      stream.addData(first); q.processAllAvailable()
-      stream.addData(second); q.processAllAvailable()
+      feedChunks(stream, q, rows)
       if (flush) {
         stream.addData(Ev(-1L, Sentinel1, -1L, "__flush__", 0.0, ""))
         q.processAllAvailable()
@@ -428,11 +442,11 @@ object Streaming {
     * the checkpoint is durable state and `maxFilesPerTrigger` paces
     * ingestion. */
   val streamFileSource: QFn = (s, d) => {
-    val tmp = System.getProperty("java.io.tmpdir")
-    val src = s"$tmp/graft_stream_src"
-    val ckpt = s"$tmp/graft_stream_ckpt"
+    val src = Tables.sinkPath(s, d, "stream_src")
+    val ckpt = Tables.sinkPath(s, d, "stream_ckpt")
     // stage the events as files; clear the previous run's checkpoint
-    // (fixed paths — no tmpdir growth)
+    // (per-(dataset, app) paths — isolated from concurrent runs,
+    // no tmpdir growth within one app)
     import scala.reflect.io.Directory
     new Directory(new java.io.File(ckpt)).deleteRecursively()
     val batch = Tables.events(s, d)
@@ -460,9 +474,8 @@ object Streaming {
     * incremental contract that makes a 100 TB daily ingest touch only
     * the day's files, ever. */
   val streamIncrementalResume: QFn = (s, d) => {
-    val tmp = System.getProperty("java.io.tmpdir")
-    val src = s"$tmp/graft_incr_src"
-    val ckpt = s"$tmp/graft_incr_ckpt"
+    val src = Tables.sinkPath(s, d, "incr_src")
+    val ckpt = Tables.sinkPath(s, d, "incr_ckpt")
     import scala.reflect.io.Directory
     new Directory(new java.io.File(src)).deleteRecursively()
     new Directory(new java.io.File(ckpt)).deleteRecursively()
@@ -499,7 +512,7 @@ object Streaming {
     * bookkeeping. */
   val streamForeachBatch: QFn = (s, d) => {
     import s.implicits._
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_fb_sink"
+    val out = Tables.sinkPath(s, d, "fb_sink")
     val rows = replayRows.computeIfAbsent((s.sparkContext.applicationId, d), _ =>
       Tables.events(s, d)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -514,11 +527,7 @@ object Streaming {
       }
       .outputMode(OutputMode.Complete())
       .start()
-    try {
-      val (first, second) = rows.splitAt(rows.length / 2)
-      stream.addData(first); q.processAllAvailable()
-      stream.addData(second); q.processAllAvailable()
-    } finally q.stop()
+    try feedChunks(stream, q, rows) finally q.stop()
     s.read.parquet(out).orderBy("cohort")
   }
 
