@@ -499,6 +499,66 @@ object Extras2 {
       .orderBy("event_type")
   }
 
+  /** Executed (adaptive-final) plan of the last [[joinSkewAqe]] run —
+    * spec diagnostic for the OptimizeSkewedJoin assertion. */
+  @volatile var lastSkewJoinPlan: String = ""
+
+  /** AQE skew-join under a deliberately skewed key distribution — the
+    * runtime half of the skew story at BENCH scale (agg_salted_skew is
+    * the author-side half; RelationalSpec's AQE test is the smoke-
+    * scale proof). ~90% of lineitem lands on one join key, the dim
+    * side is unique-keyed, broadcast is disabled, and detection
+    * thresholds are set to data-scale sizes so `OptimizeSkewedJoin`
+    * must split the hot reducer partition at runtime instead of one
+    * straggler task dragging the stage — at 100 TB the difference
+    * between a 5-minute and a 5-hour join. The skewed execution runs
+    * INSIDE the conf scope (plan captured in [[lastSkewJoinPlan]]);
+    * the returned lazy twin recomputes the same (exact, oracle-able)
+    * aggregate under session confs, so nothing leaks to later keys. */
+  val joinSkewAqe: QFn = (s, d) => {
+    def build(): DataFrame = {
+      val skewK = (c: Column) => when(c % 100 < 90, 0L).otherwise(c % 100)
+      // repartition: a one-file parquet is one map task, and a skewed
+      // reducer partition splits only at mapper-output granularity
+      val fact = Tables.lineitem(s, d).repartition(8)
+        .select(skewK(col("l_orderkey")).as("k"), col("l_quantity"))
+      // localCheckpoint cuts the dim lineage (11 rows): OptimizeSkewedJoin
+      // only matches SMJ whose children are Sort-over-ShuffleQueryStage,
+      // and the dim agg's final HashAggregate in that position would
+      // hide the stage and silently disable the skew split (a plain
+      // .repartition(k) gets elided as redundant with the agg's own
+      // exchange, so it can't restore the shape)
+      val dim = Tables.orders(s, d)
+        .groupBy(skewK(col("o_orderkey")).as("k"))
+        .agg(count(lit(1)).as("o_n"))
+        .localCheckpoint()
+      fact.join(dim, "k")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"),
+          min("o_n").as("o_n"))
+        .orderBy("k")
+    }
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val skewed = build()
+      skewed.collect() // ~11 aggregated rows; runs the skew-split join
+      lastSkewJoinPlan = skewed.queryExecution.executedPlan.toString
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+    build()
+  }
+
   /** Modern aggregate fill-ins: `count_if`, `bool_and`/`bool_or`,
     * interpolated `median` (≡ DuckDB `quantile_cont(0.5)`), and
     * `max_by` with a struct ordering key — the (value, event_id)
@@ -552,6 +612,7 @@ object Extras2 {
     "join_null_safe" -> joinNullSafe,
     "join_dpp" -> joinDpp,
     "join_shuffle_hash" -> joinShuffleHash,
+    "join_skew_aqe" -> joinSkewAqe,
     "etl_zorder" -> etlZorder,
     "scan_schema_evolution" -> scanSchemaEvolution,
     "join_range_bucketed" -> joinRangeBucketed,
@@ -639,6 +700,19 @@ object Extras2 {
            CAST(sum(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_skew_aqe" ->
+      s"""WITH f AS (
+            SELECT CASE WHEN l_orderkey % 100 < 90 THEN 0
+                        ELSE l_orderkey % 100 END AS k, l_quantity
+            FROM lineitem),
+          dm AS (
+            SELECT CASE WHEN o_orderkey % 100 < 90 THEN 0
+                        ELSE o_orderkey % 100 END AS k, count(*) AS o_n
+            FROM orders GROUP BY 1)
+          SELECT k, count(*) AS n, ${sqlSum2("l_quantity")} AS sum_qty,
+            min(o_n) AS o_n
+          FROM f JOIN dm USING (k)
+          GROUP BY k ORDER BY k""",
     "etl_zorder" ->
       """WITH b AS (
            SELECT l_orderkey, l_partkey,

@@ -169,15 +169,15 @@ object Streaming {
 
   /** Chunked replay feed (r3 verdict item 5): each addData slice is
     * one micro-batch, so the watermark advances per chunk and the
-    * harness's per-call footprint is O(chunk) ≤ 25k rows rather than
+    * harness's per-call footprint is O(chunk) ≤ 50k rows (a few MB) rather than
     * the whole table in one block. The floor of two chunks preserves
     * multi-batch watermark progression on small data; the cap bounds
-    * micro-batch count (per-batch RocksDB commit overhead) at ~n/25k
+    * micro-batch count (per-batch RocksDB commit overhead) at ~n/50k
     * on large data. */
   private def feedChunks(stream: MemoryStream[Ev],
       q: org.apache.spark.sql.streaming.StreamingQuery,
       rows: Array[Ev]): Unit = {
-    val chunk = math.min(25000, math.max(1, (rows.length + 1) / 2))
+    val chunk = math.min(50000, math.max(1, (rows.length + 1) / 2))
     rows.grouped(chunk).foreach { slice =>
       stream.addData(slice.toSeq); q.processAllAvailable()
     }
