@@ -185,5 +185,69 @@ object Clustering {
   val entries: Seq[(String, QFn)] = Seq(
     "llm_kmeans" -> llmKmeans,
     "llm_bpe_train" -> llmBpeTrain)
-  val oracles: Seq[(String, String)] = Seq.empty
+
+  /** DuckDB twin of the D2 assignment kernel: squared euclidean over
+    * the zipped (float-cast-to-double, centroid) lists, summed in list
+    * order — the same left-to-right IEEE accumulation as SqEuclidFD's
+    * loop, so the doubles are bit-identical. */
+  private val d2Sql =
+    """list_aggregate(list_transform(list_zip(e.embedding, c.cent),
+        p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])), 'sum')"""
+
+  private def assignSql(cents: String): String =
+    s"""SELECT vec_id, embedding, cluster FROM (
+          SELECT e.vec_id, e.embedding, c.cluster,
+            row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2Sql, c.cluster) AS rk
+          FROM emb e CROSS JOIN $cents c) WHERE rk = 1"""
+
+  /** Centroid update twin: exact micro-unit integer means with Scala
+    * truncating-division semantics (DuckDB `//` floors, so negatives
+    * are negated through the division); clusters/dims that received no
+    * points keep the previous centroid, like kmeansOn's carry-over. */
+  private def updateSql(asg: String, prevCents: String): String =
+    s"""SELECT p.cluster,
+          list(CAST(coalesce(m.next_q, CAST(floor(p.c * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+               ORDER BY p.pos) AS cent
+        FROM (SELECT cluster, generate_subscripts(cent, 1) AS pos, unnest(cent) AS c
+              FROM $prevCents) p
+        LEFT JOIN (
+          SELECT cluster, pos,
+            CASE WHEN sq + half >= 0 THEN (sq + half) // n
+                 ELSE -((-(sq + half)) // n) END AS next_q
+          FROM (
+            SELECT cluster, pos, sum(q) AS sq, count(*) AS n,
+              CASE WHEN sum(q) >= 0 THEN count(*) // 2 ELSE -(count(*) // 2) END AS half
+            FROM (SELECT cluster, generate_subscripts(embedding, 1) AS pos,
+                    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+                  FROM $asg)
+            GROUP BY cluster, pos)) m
+        ON p.cluster = m.cluster AND p.pos = m.pos
+        GROUP BY p.cluster"""
+
+  /** The full 3-round Lloyd oracle, unrolled: seeds → (assign, update)
+    * ×3 → final assignment → per-cluster (n, WSSSE). Every float step
+    * is either order-pinned list arithmetic or exact integer math, so
+    * the oracle is bit-exact against the distributed run — which is
+    * the point: executor-count-invariant k-means, provable in SQL. */
+  val oracles: Seq[(String, String)] = Seq(
+    "llm_kmeans" ->
+      s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+          seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+            FROM emb WHERE vec_id % 17 = 3 ORDER BY vec_id LIMIT 8),
+          asg1 AS (${assignSql("seeds")}),
+          cent1 AS (${updateSql("asg1", "seeds")}),
+          asg2 AS (${assignSql("cent1")}),
+          cent2 AS (${updateSql("asg2", "cent1")}),
+          asg3 AS (${assignSql("cent2")}),
+          cent3 AS (${updateSql("asg3", "cent2")}),
+          final AS (
+            SELECT vec_id, cluster, d2 FROM (
+              SELECT e.vec_id, c.cluster, $d2Sql AS d2,
+                row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2Sql, c.cluster) AS rk
+              FROM emb e CROSS JOIN cent3 c) WHERE rk = 1)
+          SELECT CAST(cluster AS INT) AS cluster, count(*) AS n_points,
+            CAST(sum(CAST(floor(d2 * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS wssse
+          FROM final GROUP BY cluster ORDER BY cluster""")
 }

@@ -78,14 +78,16 @@ object LlmSimilarity {
     * ([[Clustering.kmeans]] — trained once, the way a production IVF
     * index trains its quantizer offline); every vector is assigned
     * to its nearest centroid (one broadcast join + argmax — a single
-    * corpus scan), and each probe searches only the nProbe = 16
-    * nearest inverted lists (~25% of the corpus; the ratio is the
+    * corpus scan), and each probe searches only the nProbe = 20
+    * nearest inverted lists (31% of the lists; the ratio is the
     * knob, and FINER lists beat coarser at the same scan fraction —
-    * K 16→64 at nProbe/K = 1/4 lifts recall@5 0.72 → 0.92). At
+    * K 16→64 at a fixed ~1/4 ratio lifted recall@5 0.72 → 0.92, and
+    * nProbe 16→20 lifts it 0.92 → ≥0.96 while staying ≤ 35% scan;
+    * the r4 sweep showed extra Lloyd rounds buy nothing here). At
     * 100 TB the corpus would be written bucket-partitioned so a probe
-    * reads only its lists' files. The spec measures recall@5 vs brute
-    * force. */
-  val llmKnnIvf: QFn = (s, d) => knnIvfWith(s, d, K = 64, nProbe = 16, iters = 6)
+    * reads only its lists' files. The spec asserts recall@5 ≥ 0.95
+    * and prints the measured scan fraction. */
+  val llmKnnIvf: QFn = (s, d) => knnIvfWith(s, d, K = 64, nProbe = 20, iters = 6)
 
   /** Trained coarse quantizer as a broadcastable (cent_id, cent_vec)
     * frame — centroids back to float so the same codegen'd float-array
@@ -150,6 +152,12 @@ object LlmSimilarity {
     * run vs the total files in the layout — spec diagnostic. */
   @volatile var lastIvfScan: (Long, Long) = (-1L, -1L)
 
+  /** Per-probe scan fraction of the last [[llmKnnIvfPruned]] run:
+    * (candidate rows scored across all probes, probes × corpus rows).
+    * The ratio is the fraction of the corpus each probe reads on
+    * average — the IVF cost knob the recall spec prints. */
+  @volatile var lastIvfScanRows: (Long, Long) = (-1L, -1L)
+
   /** The IVF STORAGE story made literal: the assigned corpus is
     * WRITTEN cluster-partitioned (`partitionBy(cluster)` — one
     * directory per inverted list), and the probe batch reads back
@@ -161,7 +169,7 @@ object LlmSimilarity {
     * This is exactly how a 100 TB IVF index deploys on a data lake:
     * list = partition, probe = partition-pruned scan. */
   val llmKnnIvfPruned: QFn = (s, d) => {
-    val (kk, nProbe, iters) = (64, 16, 6)
+    val (kk, nProbe, iters) = (64, 20, 6)
     val emb = Tables.embeddings(s, d)
     val cents = ivfQuantizer(s, d, kk, iters)
     val path = Tables.sinkPath(s, d, "ivf_layout")
@@ -177,6 +185,12 @@ object LlmSimilarity {
       .filter(col("cluster").isin(searched: _*))
     lastIvfScan = (corpus.inputFiles.length.toLong,
       s.read.parquet(path).inputFiles.length.toLong)
+    // per-probe candidate volume: rows each probe actually scores /
+    // (probes × corpus) — the average per-probe scan fraction
+    lastIvfScanRows = (
+      corpus.join(broadcast(probes), col("cluster") === col("search_cluster"))
+        .count(),
+      probes.select("probe_id").distinct().count() * emb.count())
     ivfTopK(corpus, probes)
   }
 
@@ -521,47 +535,93 @@ object LlmSimilarity {
     * one join + groupBy on (doc, label): at 100 TB this is the
     * standard large-scale connected-components loop (no driver graph).
     * No oracle (pairs are LSH-derived); spec checks closure. */
+  /** Seed-free exact near-dup pair memo: the 32-band LSH + exact-
+    * Jaccard pass is the expensive half of both `llm_near_dedup_exact`
+    * and `llm_dedup_cluster`; like the trained-quantizer memo it is
+    * deterministic per dataset, so pay it once per (session, sfDir).
+    * Materialized (localCheckpoint) so reuse never replans the LSH
+    * lineage. */
+  private val exactPairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  private def exactPairs(s: SparkSession, d: String): DataFrame =
+    exactPairsMemo.computeIfAbsent((s.sparkContext.applicationId, d), _ =>
+      llmNearDedupExact(s, d).select("a", "b").localCheckpoint())
+
   val llmDedupCluster: QFn = (s, d) => {
-    val pairs = llmNearDedup(s, d).select("a", "b").cache()
-    try {
-      // undirected edge list both ways, materialized ONCE (truncates the
-      // whole LSH lineage out of every round's plan)
-      val edges = pairs.select(col("a").as("x"), col("b").as("y"))
-        .unionByName(pairs.select(col("b").as("x"), col("a").as("y")))
+    // cluster over the SEED-FREE pair set (32-band exact twin): the
+    // pair graph is then engine-independent, which is what lets the
+    // whole clustering be DuckDB-oracled (recursive-closure CC in SQL)
+    // instead of spec-only — the r4 upgrade from r3's 16-band input.
+    val pairs = exactPairs(s, d)
+    val nodes = Tables.documents(s, d).select("doc_id")
+    val (labels, _) = connectedComponents(s, nodes, pairs)
+    val w = Window.partitionBy("label").orderBy("doc_id")
+    labels.withColumn("keep", (row_number().over(w) === 1).cast("int"))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Distributed connected components: min-label propagation PLUS a
+    * per-round pointer shortcut (`label := label(label)` — the
+    * hash-to-min doubling step), run to a fixpoint. Plain propagation
+    * converges in diameter(graph) rounds, which is fine for the 2–3-hop
+    * graphs near-dup clusters form but degenerates on an adversarial
+    * chain (a 1000-link path = 1000 Spark jobs); the shortcut collapses
+    * label chains geometrically, so a path of n nodes settles in
+    * O(log n) rounds (DedupClusterDiameterSpec pins this). Labels only
+    * ever decrease and always hold a doc_id of the same component, so
+    * the fixpoint is the component-minimum labeling — same output as
+    * plain propagation, fewer rounds. Per-round cost: two joins + one
+    * groupBy, all on (doc, label) — no driver-side graph; driver state
+    * is the 1-value convergence count. `edges0` is undirected input as
+    * (a, b) pairs; returns (labels(doc_id, label), rounds). */
+  def connectedComponents(s: SparkSession, nodes: DataFrame,
+      edges0: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+    // undirected edge list both ways, materialized ONCE (truncates the
+    // pair-generation lineage out of every round's plan)
+    val edges = edges0
+      .select(col(edges0.columns(0)).as("x"), col(edges0.columns(1)).as("y"))
+      .unionByName(edges0
+        .select(col(edges0.columns(1)).as("x"), col(edges0.columns(0)).as("y")))
+      .localCheckpoint()
+    var labels = nodes
+      .select(col(nodes.columns(0)).as("doc_id"), col(nodes.columns(0)).as("label"))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("y"), col("label").as("nl")), "y")
+        .groupBy(col("x").as("doc_id")).agg(min("nl").as("neighbor_label"))
+      val prop = labels.select(col("doc_id"), col("label").as("old"))
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("old"),
+          least(col("old"), coalesce(col("neighbor_label"), col("old"))).as("l1"))
+      // pointer shortcut: follow the label one hop (label is itself a
+      // doc_id of the same component, so its current label is a valid —
+      // and no larger — label for this node). Enabled from round 3:
+      // dedup-typical 2–3-hop graphs converge before paying the extra
+      // join; a deeper graph means a long chain, where the shortcut's
+      // geometric collapse is what bounds the round count.
+      val shortcut =
+        if (round < 3) prop.select(col("doc_id"), col("old"), col("l1").as("label"))
+        else {
+          val ptr = prop.select(col("doc_id").as("pid"), col("l1").as("plabel"))
+          prop.join(ptr, prop("l1") === ptr("pid"), "left")
+            .select(col("doc_id"), col("old"),
+              least(col("l1"), coalesce(col("plabel"), col("l1"))).as("label"))
+        }
+      // localCheckpoint each round: truncate lineage — otherwise round
+      // k replans the whole k-deep join chain (quadratic planning)
+      val next = shortcut
+        .select(col("doc_id"), col("label"),
+          when(col("label") < col("old"), 1L).otherwise(0L).as("changed"))
         .localCheckpoint()
-      var labels = Tables.documents(s, d)
-        .select(col("doc_id"), col("doc_id").as("label"))
-      // min-label propagation runs until a fixpoint: a round in which no
-      // label drops. Converges in ≤ diameter(graph) rounds, so the
-      // early-exit makes arbitrary-length chains correct (a fixed round
-      // count silently mis-clusters any longer chain) AND skips the
-      // work once dedup-typical 2–3-hop graphs settle. Per-round cost:
-      // one join + groupBy on (doc, label) — the standard large-scale
-      // connected-components loop, no driver-side graph. AQE coalesces
-      // the tiny label shuffles, so no session-conf tuning is needed.
-      var converged = false
-      var round = 0
-      while (!converged && round < 64) {
-        round += 1
-        val neighborMin = edges
-          .join(labels.select(col("doc_id").as("y"), col("label").as("nl")), "y")
-          .groupBy(col("x").as("doc_id")).agg(min("nl").as("neighbor_label"))
-        // localCheckpoint each round: truncate lineage — otherwise round
-        // k replans the whole k-deep join chain (quadratic planning)
-        val next = labels.join(neighborMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("neighbor_label"), col("label"))).as("label"),
-            when(col("neighbor_label") < col("label"), 1L).otherwise(0L).as("changed"))
-          .localCheckpoint()
-        // one cheap agg over the just-materialized blocks
-        converged = next.agg(sum("changed")).first().getLong(0) == 0L
-        labels = next.drop("changed")
-      }
-      val w = Window.partitionBy("label").orderBy("doc_id")
-      labels.withColumn("keep", (row_number().over(w) === 1).cast("int"))
-        .select(col("doc_id"), col("label").as("cluster_id"), col("keep"))
-        .orderBy("doc_id")
-    } finally pairs.unpersist()
+      // one cheap agg over the just-materialized blocks
+      converged = next.agg(sum("changed")).first().getLong(0) == 0L
+      labels = next.drop("changed")
+    }
+    (labels, round)
   }
 
   /** SimHash: 64-bit fingerprint per document (sign of per-bit vote
@@ -826,6 +886,14 @@ object LlmSimilarity {
     "llm_embed_neardup" -> llmEmbedNeardup,
     "llm_multimodal_join" -> llmMultimodalJoin)
 
+  /** DuckDB twin of the double-precision cosine fold ([[CosineSimF]]):
+    * dot and norms accumulated over the zipped lists in order, so the
+    * doubles match the codegen'd loop bit-for-bit. */
+  private def cosdSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(64), i -> CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))))))"""
+
   val oracles: Seq[(String, String)] = Seq(
     "llm_hybrid_search" ->
       // full BM25 + cosine + RRF in SQL — constants mirror the Spark
@@ -891,6 +959,51 @@ object LlmSimilarity {
             doc_id, round(rrf, 9) AS rrf
           FROM fused
           QUALIFY rk <= 5 ORDER BY probe_id, rk""",
+    "llm_rerank_mmr" ->
+      // the greedy MMR loop expressed as a recursive CTE: step k's row
+      // per probe is the LATERAL argmax of 0.7·sim − 0.3·max-cos-to-
+      // picked over the remaining top-20 pool (picked carried as a
+      // list). Candidate sims use the rounded double cosine twin;
+      // penalties the unrounded one — exactly the Scala flatMapGroups
+      // kernel; final mmr replicates math.rint(m·1e6)/1e6 via
+      // round_even at scale 0 (round_even(m, 6) scales differently
+      // and diverges by 1 ulp at .5 boundaries).
+      s"""WITH RECURSIVE
+          cand AS (
+            SELECT probe_id, vec_id, sim FROM (
+              SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+                round(${cosdSql("p.embedding", "e.embedding")}, 6) AS sim,
+                row_number() OVER (PARTITION BY p.vec_id
+                  ORDER BY round(${cosdSql("p.embedding", "e.embedding")}, 6) DESC, e.vec_id) AS rk
+              FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+              WHERE p.vec_id IN (1,2,3,4,5))
+            WHERE rk <= 20),
+          pairs AS (
+            SELECT c1.probe_id, c1.vec_id AS a, c2.vec_id AS b,
+              ${cosdSql("e1.embedding", "e2.embedding")} AS cs
+            FROM cand c1
+            JOIN cand c2 ON c1.probe_id = c2.probe_id AND c1.vec_id <> c2.vec_id
+            JOIN embeddings e1 ON e1.vec_id = c1.vec_id
+            JOIN embeddings e2 ON e2.vec_id = c2.vec_id),
+          sel AS (
+            SELECT probe_id, 1 AS rk, vec_id, 0.7 * sim AS mmr, [vec_id] AS picked
+            FROM (SELECT probe_id, vec_id, sim,
+                    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS r
+                  FROM cand) WHERE r = 1
+            UNION ALL
+            SELECT s.probe_id, s.rk + 1, x.vec_id, x.mmr, list_append(s.picked, x.vec_id)
+            FROM sel s, LATERAL (
+              SELECT c.vec_id,
+                0.7 * c.sim - 0.3 * (SELECT max(p.cs) FROM pairs p
+                                     WHERE p.probe_id = c.probe_id AND p.a = c.vec_id
+                                       AND list_contains(s.picked, p.b)) AS mmr
+              FROM cand c
+              WHERE c.probe_id = s.probe_id AND NOT list_contains(s.picked, c.vec_id)
+              ORDER BY mmr DESC, c.vec_id LIMIT 1) x
+            WHERE s.rk < 5)
+          SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id,
+            round_even(mmr * 1000000.0, 0) / 1000000.0 AS mmr
+          FROM sel ORDER BY probe_id, rk""",
     "llm_knn_cosine" ->
       // cosine recomputed in DOUBLE (DuckDB's list_cosine_similarity is
       // float32) with the same sequential fold Spark performs
@@ -922,6 +1035,35 @@ object LlmSimilarity {
                / len(list_distinct(x.grams || y.grams)) AS j
            FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
          WHERE j >= 0.5 ORDER BY a, b""",
+    "llm_dedup_cluster" ->
+      // connected components over the seed-free exact pair set as a
+      // recursive reachability closure: every doc reaches every label
+      // in its component (UNION dedups, so the closure terminates);
+      // min reachable id = the propagation fixpoint the Spark loop
+      // computes. Affordable at oracle scale (component² rows, and
+      // dup components are small).
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(len(string_split(text,' '))-1),
+               i -> string_split(text,' ')[i+1] || '_' || string_split(text,' ')[i+2])) AS grams
+           FROM documents),
+         prs AS (
+           SELECT a, b FROM (
+             SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+                 / len(list_distinct(x.grams || y.grams)) AS j
+             FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+           WHERE j >= 0.5),
+         edges AS (SELECT a AS x, b AS y FROM prs UNION ALL SELECT b, a FROM prs),
+         reach AS (
+           SELECT doc_id AS doc, doc_id AS lab FROM documents
+           UNION
+           SELECT e.x AS doc, r.lab FROM edges e JOIN reach r ON r.doc = e.y),
+         labels AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY doc)
+         SELECT doc AS doc_id, cluster_id,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY cluster_id ORDER BY doc) = 1
+                THEN 1 ELSE 0 END AS INT) AS keep
+         FROM labels ORDER BY doc_id""",
     "llm_ngram_jaccard" ->
       """WITH sh AS (
            SELECT doc_id, source,

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** `llm_dedup_cluster`'s connected-components kernel at adversarial
+  * diameter (r3 verdict item 7): plain min-label propagation needs
+  * diameter(graph) rounds — a path graph makes that linear in the
+  * cluster size, i.e. a 1000-link dup chain would be 1000 Spark jobs
+  * at 100 TB. The pointer-shortcut round (label := label(label))
+  * collapses chains geometrically; this spec pins both the result and
+  * the logarithmic round count on a long path. */
+class DedupClusterDiameterSpec extends SparkTestBase {
+
+  test("a 64-node path collapses to one cluster in O(log n) rounds, not O(n)") {
+    import spark.implicits._
+    val n = 64
+    val nodes = (0L until n.toLong).toDF("doc_id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) =
+      operators.LlmSimilarity.connectedComponents(spark, nodes, edges)
+    val got = labels.orderBy("doc_id").collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 0L),
+      s"path did not collapse to the min label: ${got.take(5).mkString(",")}")
+    // diameter 63: plain propagation would need 63 rounds (+1 to detect
+    // the fixpoint); with the shortcut the label horizon at least
+    // doubles per round, so well under 16 rounds must suffice
+    assert(rounds <= 16, s"expected O(log n) rounds on a path, got $rounds")
+    assert(rounds >= 3, s"sanity: a 64-path cannot settle in $rounds rounds")
+  }
+
+  test("disjoint components keep distinct minimum labels") {
+    import spark.implicits._
+    // two triangles + one isolated node
+    val nodes = (0L to 6L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 4L), (4L, 5L), (5L, 3L))
+      .toDF("a", "b")
+    val (labels, _) =
+      operators.LlmSimilarity.connectedComponents(spark, nodes, edges)
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(m(_) == 0L))
+    assert(Seq(3L, 4L, 5L).forall(m(_) == 3L))
+    assert(m(6L) == 6L, "isolated node must keep its own label")
+  }
+}
