@@ -17,9 +17,10 @@ import java.sql.Timestamp
   * Each `queries` entry runs a REAL streaming query (micro-batch
   * execution, state store, watermarks) to completion and returns the
   * final sink table, so the driver's batch-shaped contract still
-  * applies. Events are fed in two ts-ordered batches so watermarks
-  * advance mid-stream and stateful operators exercise their merge
-  * path. Results equal the equivalent batch aggregation (the oracle) —
+  * applies. Events are fed in bounded ts-ordered chunks (≥2 slices,
+  * ≤50k rows each — see [[feedChunks]]) so watermarks advance
+  * mid-stream and stateful operators exercise their merge path.
+  * Results equal the equivalent batch aggregation (the oracle) —
   * the streaming/batch unification Spark guarantees and the specs
   * assert.
   *
