@@ -112,8 +112,10 @@ class LlmSpec extends SparkTestBase {
       .select("probe_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (truth & pq).size.toDouble / truth.size
-    info(s"PQ ADC recall@5 = $recall (m=8 subspaces x 16 codes, 32x compression)")
-    assert(recall >= 0.5, s"ADC recall collapsed: $recall")
+    info(s"PQ ADC recall@5 = $recall (m=8 subspaces x 16 codes, 32x compression, 100-candidate re-rank)")
+    // r4 gate: 100-candidate shortlist lifts recall 0.8 → 0.92;
+    // asserted with headroom for corpus regeneration
+    assert(recall >= 0.85, s"PQ recall below the r4 gate: $recall")
   }
 
   test("llm_rerank_mmr: anchored, top-20-bounded, and more diverse than top-5") {

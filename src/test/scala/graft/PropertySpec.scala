@@ -188,4 +188,33 @@ class PropertySpec extends SparkTestBase {
         s"tau=$tau missed=${truth -- got} extra=${got -- truth} docs=$docs")
     }
   }
+
+  test("connected components: distributed labels == driver union-find on random graphs") {
+    // the log-round shortcut kernel must agree with a driver-side
+    // union-find on ANY graph shape, not just the path/triangle
+    // fixtures DedupClusterDiameterSpec pins
+    val graphGen = Gen.zip(Gen.choose(8, 24),
+      Gen.listOfN(20, Gen.zip(Gen.choose(0L, 23L), Gen.choose(0L, 23L))))
+    forAll(graphGen, n = 5) { case (n, rawEdges) =>
+      import spark.implicits._
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val edges = rawEdges.map { case (a, b) => (a % n, b % n) }
+        .filter { case (a, b) => a != b }
+      // driver union-find truth (min-id representative)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb); parent(math.max(ra, rb)) = lo }
+      }
+      val truth = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val edgeDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
+        else edges.toDF("a", "b")
+      val (labels, _) =
+        operators.LlmSimilarity.connectedComponents(spark, nodes, edgeDf)
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == truth, s"n=$n edges=$edges\ngot=$got\ntruth=$truth")
+    }
+  }
 }
