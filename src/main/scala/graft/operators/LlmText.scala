@@ -198,6 +198,33 @@ object LlmText {
       .orderBy(col("n").desc, col("gram"))
       .limit(20)
 
+  /** Per-document LM quality score: every document scored by the
+    * average conditional probability of its bigrams under the corpus's
+    * OWN bigram LM — the n-gram language-model filtering signal
+    * (CCNet/Gopher-style) that ranks fluent text above token soup.
+    * ONE corpus tokenization (the same native `BigramGen` fan-out as
+    * [[llmNgramLm]]) feeds both the LM aggregation and the per-doc
+    * scoring join; the LM table is VOCABULARY-sized after aggregation,
+    * so at 100 TB the join is a broadcast/shuffle of model weights,
+    * not data. Each p is rounded to 6 decimals and averaged by exact
+    * decimal sum / count, so the score is order-independent and
+    * engine-exact (the established dsum pattern). Single-token docs
+    * have no bigrams and drop out, like every shingle pipeline here. */
+  val llmLmScore: QFn = (s, d) => {
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.NgramGen.bigramPairs(words))
+    val lm = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      .withColumn("n1", sum("n12").over(Window.partitionBy("w1")))
+      .select(col("w1"), col("w2"),
+        round(col("n12").cast("double") / col("n1").cast("double"), 6).as("p"))
+    pairs.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("p").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+          .cast("double") / count(lit(1))).as("avg_p"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sampling: ~20% per language via modular
     * arithmetic on doc_id (seed-free, engine-portable, reproducible —
     * what a training pipeline needs for holdout splits; at 100 TB it
@@ -442,7 +469,8 @@ object LlmText {
     "llm_fingerprint" -> llmFingerprint,
     "llm_feature_hash" -> llmFeatureHash,
     "llm_ngram_lm" -> llmNgramLm,
-    "llm_ngram_windows" -> llmNgramWindows)
+    "llm_ngram_windows" -> llmNgramWindows,
+    "llm_lm_score" -> llmLmScore)
 
   val oracles: Seq[(String, String)] = Seq(
     "llm_embed_normalize" ->
@@ -647,6 +675,25 @@ object LlmText {
            CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p
          FROM big b JOIN uni u USING (w1)
          ORDER BY n12 DESC, w1, w2 LIMIT 50""",
+    "llm_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         idx AS (
+           SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
+         prs AS (
+           SELECT doc_id, list_extract(w, CAST(i AS INT)) AS w1,
+                  list_extract(w, CAST(i AS INT) + 1) AS w2
+           FROM idx),
+         big AS (SELECT w1, w2, count(*) AS n12 FROM prs GROUP BY w1, w2),
+         uni AS (SELECT w1, sum(n12) AS n1 FROM big GROUP BY w1),
+         lm AS (
+           SELECT w1, w2,
+             round(CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p
+           FROM big JOIN uni USING (w1))
+         SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_p
+         FROM prs JOIN lm USING (w1, w2)
+         GROUP BY doc_id ORDER BY doc_id""",
     "llm_feature_hash" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
