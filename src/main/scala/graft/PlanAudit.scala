@@ -24,7 +24,10 @@ object PlanAudit {
     "ts_gapfill", "ts_interpolate", "llm_kmeans", "agg_hll_sketch",
   // ivf_pruned keeps llm_knn_ivf's probe × centroid broadcast cross
     "scan_csv_malformed", "llm_hybrid_search", "llm_rerank_mmr",
-    "llm_knn_ivf_pruned")
+  // semantic decontamination crosses the broadcast benchmark-sized
+  // eval slice against the corpus scan — eval sets stay small no
+  // matter how big the corpus, the same justification as knn probes
+    "llm_knn_ivf_pruned", "llm_semantic_decontaminate")
 
   /** Execute every non-streaming registered query at `d` and return
     * one "SMELL key: ..." / "ERROR key: ..." line per finding. Empty

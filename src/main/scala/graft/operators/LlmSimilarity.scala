@@ -636,6 +636,29 @@ object LlmSimilarity {
     (labels, round)
   }
 
+  /** SEMANTIC decontamination — the embedding-space twin of the
+    * n-gram [[graft.operators.LlmText.llmDecontaminate]]: flag every
+    * training vector whose cosine similarity to ANY held-out eval
+    * vector (the deterministic vec_id % 10 slice standing in for a
+    * benchmark) reaches 0.4 — paraphrased leakage that n-gram overlap
+    * misses. Scale shape: eval sets are benchmark-sized regardless of
+    * corpus size, so the eval side BROADCASTS and the training corpus
+    * is scanned once with a codegen'd cosine per (train, eval) pair —
+    * no shuffle until the tiny per-hit aggregate. Exact: rounded sims,
+    * count + max are order-independent. */
+  val llmSemanticDecontaminate: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val eval = emb.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"))
+    emb.filter(col("vec_id") % 10 =!= 0)
+      .crossJoin(broadcast(eval))
+      .withColumn("sim", round(cosine(col("ev"), col("embedding")), 6))
+      .filter(col("sim") >= 0.4)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("sim").as("max_sim"))
+      .orderBy("vec_id")
+  }
+
   /** SimHash: 64-bit fingerprint per document (sign of per-bit vote
     * sums over xxhash64(token)), plus its 4×16-bit chunk keys — the
     * banding that finds Hamming ≤ 3 pairs without an all-pairs join.
@@ -896,6 +919,7 @@ object LlmSimilarity {
     "llm_ngram_jaccard" -> llmNgramJaccard,
     "llm_containment" -> llmContainment,
     "llm_embed_neardup" -> llmEmbedNeardup,
+    "llm_semantic_decontaminate" -> llmSemanticDecontaminate,
     "llm_multimodal_join" -> llmMultimodalJoin)
 
   /** DuckDB twin of the double-precision cosine fold ([[CosineSimF]]):
@@ -971,6 +995,15 @@ object LlmSimilarity {
             doc_id, round(rrf, 9) AS rrf
           FROM fused
           QUALIFY rk <= 5 ORDER BY probe_id, rk""",
+    "llm_semantic_decontaminate" ->
+      s"""SELECT t.vec_id, count(*) AS n_eval_hits, max(sim) AS max_sim
+          FROM (
+            SELECT t.vec_id,
+              round(${cosdSql("t.embedding", "e.embedding")}, 6) AS sim
+            FROM embeddings t JOIN embeddings e
+              ON t.vec_id % 10 <> 0 AND e.vec_id % 10 = 0) t
+          WHERE sim >= 0.4
+          GROUP BY t.vec_id ORDER BY t.vec_id""",
     "llm_rerank_mmr" ->
       // the greedy MMR loop expressed as a recursive CTE: step k's row
       // per probe is the LATERAL argmax of 0.7·sim − 0.3·max-cos-to-

@@ -225,6 +225,41 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals (the Gopher/MassiveText repetition filters):
+    * per document, the fraction of tokens covered by the single most
+    * frequent token, the duplicate-token fraction, and the duplicate-
+    * bigram fraction — the three cheapest detectors of boilerplate /
+    * generated-loop text. Pure integer ratios (IEEE-identical in any
+    * engine) over one token explode and one native bigram fan-out;
+    * both aggregations are map-side-combined groupBys, so at 100 TB
+    * this is two partial-agg shuffles keyed by doc — no corpus-wide
+    * state. Single-token docs have no bigrams → NULL bigram fraction
+    * (same convention as the shingle pipelines). */
+  val llmRepetition: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(words).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"))
+    val bg = docs
+      .select(col("doc_id"), graft.functions.NgramGen.bigramPairs(words))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("bc"))
+      .groupBy("doc_id").agg(
+        sum("bc").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    tok.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_c").cast("double") / col("n_tokens"), 6)
+          .as("top_token_frac"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        round(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6)
+          .as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sampling: ~20% per language via modular
     * arithmetic on doc_id (seed-free, engine-portable, reproducible —
     * what a training pipeline needs for holdout splits; at 100 TB it
@@ -470,7 +505,8 @@ object LlmText {
     "llm_feature_hash" -> llmFeatureHash,
     "llm_ngram_lm" -> llmNgramLm,
     "llm_ngram_windows" -> llmNgramWindows,
-    "llm_lm_score" -> llmLmScore)
+    "llm_lm_score" -> llmLmScore,
+    "llm_repetition" -> llmRepetition)
 
   val oracles: Seq[(String, String)] = Seq(
     "llm_embed_normalize" ->
@@ -694,6 +730,31 @@ object LlmText {
            CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_p
          FROM prs JOIN lm USING (w1, w2)
          GROUP BY doc_id ORDER BY doc_id""",
+    "llm_repetition" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+         t AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct, max(c) AS top_c
+           FROM tc GROUP BY doc_id),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
+         prs AS (
+           SELECT doc_id, list_extract(w, CAST(i AS INT)) AS w1,
+                  list_extract(w, CAST(i AS INT) + 1) AS w2
+           FROM idx),
+         bc AS (SELECT doc_id, w1, w2, count(*) AS bc FROM prs GROUP BY doc_id, w1, w2),
+         b AS (
+           SELECT doc_id, CAST(sum(bc) AS BIGINT) AS n_bigrams,
+             count(*) AS n_distinct_bigrams
+           FROM bc GROUP BY doc_id)
+         SELECT t.doc_id, n_tokens,
+           round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+           round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac
+         FROM t LEFT JOIN b ON t.doc_id = b.doc_id
+         ORDER BY t.doc_id""",
     "llm_feature_hash" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
