@@ -27,7 +27,9 @@ object PlanAudit {
   // semantic decontamination crosses the broadcast benchmark-sized
   // eval slice against the corpus scan — eval sets stay small no
   // matter how big the corpus, the same justification as knn probes
-    "llm_knn_ivf_pruned", "llm_semantic_decontaminate")
+  // source_drift crosses the 50-row broadcast top-token list and the
+  // 1-row corpus total against the sources dim — O(1) build sides
+    "llm_knn_ivf_pruned", "llm_semantic_decontaminate", "llm_source_drift")
 
   /** Execute every non-streaming registered query at `d` and return
     * one "SMELL key: ..." / "ERROR key: ..." line per finding. Empty

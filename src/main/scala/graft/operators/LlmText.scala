@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QFn, Tables}
+import graft.Det.dsum6
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -223,6 +224,43 @@ object LlmText {
         (sum(col("p").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
           .cast("double") / count(lit(1))).as("avg_p"))
       .orderBy("doc_id")
+  }
+
+  /** Source-mix drift: per-source chi-square divergence of the token
+    * distribution against the corpus-wide distribution, over the 50
+    * globally most frequent tokens — the mixing diagnostic a
+    * multi-source pretraining pipeline watches to catch one feed
+    * drifting (scraper change, encoding break) before it poisons the
+    * mix. ONE corpus tokenization pass builds the (source, token)
+    * count table (vocabulary × sources — checkpointed small); totals,
+    * the top-50 list, and the expected counts all derive from it, so
+    * at 100 TB the corpus is read once and everything downstream is
+    * model-sized. Zero-observed cells contribute their full expected
+    * term (the grid is sources × 50, built by cross join of two tiny
+    * broadcast sides). Terms use only +,−,×,÷ on doubles (no pow/log
+    * — engine-identical), each rounded to 6 decimals and decimal-
+    * summed, so the statistic is order-independent and oracle-exact. */
+  val llmSourceDrift: QFn = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("source"), explode(words).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val top = counts.groupBy("w").agg(sum("o").as("tok_n"))
+      .orderBy(col("tok_n").desc, col("w")).limit(50)
+    val srcTot = counts.groupBy("source").agg(sum("o").as("src_n"))
+    val allRow = srcTot.agg(sum("src_n").as("all_n"))
+    val dev = col("o").cast("double") - col("e")
+    srcTot.crossJoin(broadcast(top))
+      .join(counts, Seq("source", "w"), "left")
+      .na.fill(0, Seq("o"))
+      .crossJoin(broadcast(allRow))
+      .withColumn("e",
+        col("src_n").cast("double") * col("tok_n").cast("double")
+          / col("all_n").cast("double"))
+      .withColumn("term", round(dev * dev / col("e"), 6))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_cells"), dsum6(col("term")).as("chi2"))
+      .orderBy("source")
   }
 
   /** Repetition signals (the Gopher/MassiveText repetition filters):
@@ -506,7 +544,8 @@ object LlmText {
     "llm_ngram_lm" -> llmNgramLm,
     "llm_ngram_windows" -> llmNgramWindows,
     "llm_lm_score" -> llmLmScore,
-    "llm_repetition" -> llmRepetition)
+    "llm_repetition" -> llmRepetition,
+    "llm_source_drift" -> llmSourceDrift)
 
   val oracles: Seq[(String, String)] = Seq(
     "llm_embed_normalize" ->
@@ -730,6 +769,31 @@ object LlmText {
            CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_p
          FROM prs JOIN lm USING (w1, w2)
          GROUP BY doc_id ORDER BY doc_id""",
+    "llm_source_drift" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         counts AS (SELECT source, w, count(*) AS o FROM tok GROUP BY source, w),
+         top AS (
+           SELECT w, CAST(sum(o) AS BIGINT) AS tok_n FROM counts
+           GROUP BY w ORDER BY tok_n DESC, w LIMIT 50),
+         src AS (SELECT source, CAST(sum(o) AS BIGINT) AS src_n FROM counts GROUP BY source),
+         tot AS (SELECT CAST(sum(src_n) AS BIGINT) AS all_n FROM src),
+         grid AS (
+           SELECT s.source, t.w, s.src_n, t.tok_n,
+             coalesce(c.o, 0) AS o, tot.all_n
+           FROM src s CROSS JOIN top t
+           LEFT JOIN counts c ON c.source = s.source AND c.w = t.w
+           CROSS JOIN tot),
+         terms AS (
+           SELECT source,
+             round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 6) AS term
+           FROM (
+             SELECT source, o,
+               CAST(src_n AS DOUBLE) * CAST(tok_n AS DOUBLE) / CAST(all_n AS DOUBLE) AS e
+             FROM grid))
+         SELECT source, count(*) AS n_cells,
+           CAST(sum(CAST(term AS DECIMAL(30,6))) AS DOUBLE) AS chi2
+         FROM terms GROUP BY source ORDER BY source""",
     "llm_repetition" ->
       """WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
