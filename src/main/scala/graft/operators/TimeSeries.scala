@@ -217,7 +217,35 @@ object TimeSeries {
       .orderBy("bar", "event_type")
   }
 
+  /** Maximum drawdown per event type — the max adverse excursion of
+    * `value` from its running peak in (ts, event_id) order, with the
+    * trough row identified deterministically ((dd, ts, event_id)
+    * tiebreak). The risk statistic every intraday price stream is
+    * monitored by. One window shuffle on the type partition: the
+    * running peak is a ROWS-UNBOUNDED-PRECEDING max (streaming-
+    * friendly — no second pass), and the argmax is a row_number over
+    * the same partitioning, so the whole key is a single exchange.
+    * Exact: peak and dd are the same doubles in both engines (max and
+    * subtraction are order-free given the pinned window order). */
+  val tsDrawdown: QFn = (s, d) => {
+    val wRun = Window.partitionBy("event_type").orderBy("uts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wArg = Window.partitionBy("event_type")
+      .orderBy(col("dd").desc, col("uts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("uts"))
+      .withColumn("peak", max("value").over(wRun))
+      .withColumn("dd", col("peak") - col("value"))
+      .withColumn("rk", row_number().over(wArg))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("event_id").as("trough_event"),
+        round(col("dd"), 6).as("max_drawdown"), col("peak").as("peak_value"))
+      .orderBy("event_type")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "ts_drawdown" -> tsDrawdown,
     "ts_ohlc_bars" -> tsOhlcBars,
     "ts_vwap" -> tsVwap,
     "ts_gapfill" -> tsGapfill,
@@ -228,6 +256,21 @@ object TimeSeries {
     "ts_linreg_trend" -> tsLinregTrend)
 
   val oracles: Seq[(String, String)] = Seq(
+    "ts_drawdown" ->
+      """WITH t AS (
+           SELECT event_type, event_id, value, CAST(ts AS TIMESTAMP) AS tts,
+             max(value) OVER (PARTITION BY event_type
+               ORDER BY CAST(ts AS TIMESTAMP), event_id
+               ROWS UNBOUNDED PRECEDING) AS peak
+           FROM events),
+         dd AS (
+           SELECT event_type, event_id, peak, peak - value AS dd,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY peak - value DESC, tts, event_id) AS rk
+           FROM t)
+         SELECT event_type, event_id AS trough_event,
+           round(dd, 6) AS max_drawdown, peak AS peak_value
+         FROM dd WHERE rk = 1 ORDER BY event_type""",
     "ts_ohlc_bars" ->
       """WITH t AS (
            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
