@@ -255,6 +255,31 @@ object Streaming {
       .filter(col("w_start") < SentinelGuard)
       .orderBy("w_start", "event_type")
 
+  /** CHAINED time-window aggregations — two stateful operators in ONE
+    * streaming query (a Spark-4 capability: `window(window_col, ...)`
+    * re-windows the struct output of an upstream windowed agg):
+    * 15-minute partials roll up into 1-hour finals, both under the
+    * same watermark in Append mode. This is the production pre-agg
+    * cascade (fine-grain state for freshness, coarse-grain emission
+    * for the serving table) without a foreachBatch seam; each
+    * operator's state stays bounded by the watermark horizon. The
+    * 15-minute sums are exact decimal-summed 2-decimal values, so the
+    * hour-level re-sum is exact too and the final table equals the
+    * direct batch hour aggregate — the oracle. */
+  val streamChainedAgg: QFn = (s, d) =>
+    runStream(s, d, OutputMode.Append(), "chain", flush = true) { df =>
+      val quarter = df.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("qn"), dsum2(col("value")).as("qsum"))
+      quarter
+        .groupBy(window(col("window"), "1 hour"), col("event_type"))
+        .agg(sum("qn").as("n"),
+          sum(col("qsum").cast(DecimalType(30, 2))).cast("double").as("sum_value"))
+    }.select(col("window.start").as("w_start"), col("event_type"),
+      col("n"), col("sum_value"))
+      .filter(col("w_start") < SentinelGuard)
+      .orderBy("w_start", "event_type")
+
   /** 1-hour windows sliding every 15 minutes — watermark + APPEND
     * (same bounded-state shape as [[streamTumbling]]; the 4× window
     * fan-out makes unbounded Complete-mode state the canonical
@@ -538,6 +563,7 @@ object Streaming {
     "stream_incremental_resume" -> streamIncrementalResume,
     "stream_foreach_batch" -> streamForeachBatch,
     "stream_tumbling" -> streamTumbling,
+    "stream_chained_agg" -> streamChainedAgg,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
     "stream_late_data" -> streamLateData,
@@ -557,6 +583,13 @@ object Streaming {
           AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
          ORDER BY purchase_id, click_id""",
     "stream_tumbling" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_chained_agg" ->
+      // the chained 15-min → 1-hour cascade collapses to the direct
+      // hour aggregate (exact decimal partials make the re-sum exact)
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
            event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
