@@ -31,18 +31,25 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val times = (1 to nRuns).map { _ =>
+        // (seconds, succeeded) per run: a failed run's wall time must
+        // not win the best-of-n (a fast crash would otherwise report
+        // a nonsense "best" for a key that is also listed in failed)
+        val runs = (1 to nRuns).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case e: Throwable =>
-            if (!failed.contains(name)) {
-              failed ::= name
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              if (!failed.contains(name)) {
+                failed ::= name
+                System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              }
+              false
             }
-          }
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, ok)
         }
-        (name, times.min, times)
+        val good = runs.collect { case (t, true) => t }
+        val best = if (good.nonEmpty) good.min else runs.map(_._1).min
+        (name, best, runs.map(_._1))
       }
     val qs = results.map { case (k, best, _) => s"\"" + k + "\":" + best }
       .mkString("{", ",", "}")

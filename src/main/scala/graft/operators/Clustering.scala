@@ -206,7 +206,7 @@ object Clustering {
     * points keep the previous centroid, like kmeansOn's carry-over. */
   private def updateSql(asg: String, prevCents: String): String =
     s"""SELECT p.cluster,
-          list(CAST(coalesce(m.next_q, CAST(floor(p.c * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0
+          list(coalesce(CAST(m.next_q AS DOUBLE) / 1000000.0, p.c)
                ORDER BY p.pos) AS cent
         FROM (SELECT cluster, generate_subscripts(cent, 1) AS pos, unnest(cent) AS c
               FROM $prevCents) p
@@ -232,10 +232,18 @@ object Clustering {
   val oracles: Seq[(String, String)] = Seq(
     "llm_kmeans" ->
       s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+          seed_src AS (
+            -- same fallback as kmeansOn: if the arithmetic subsample is
+            -- empty (corpus smaller than the stride), seed from the
+            -- first K vec_ids instead
+            SELECT vec_id, embedding FROM emb WHERE vec_id % 17 = 3
+            UNION ALL
+            SELECT vec_id, embedding FROM emb
+            WHERE NOT EXISTS (SELECT 1 FROM emb WHERE vec_id % 17 = 3)),
           seeds AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-            FROM emb WHERE vec_id % 17 = 3 ORDER BY vec_id LIMIT 8),
+            FROM seed_src ORDER BY vec_id LIMIT 8),
           asg1 AS (${assignSql("seeds")}),
           cent1 AS (${updateSql("asg1", "seeds")}),
           asg2 AS (${assignSql("cent1")}),

@@ -467,8 +467,15 @@ object Extras2 {
     * materializes the survivors first so no overwrite reads the files
     * it is replacing. The per-bucket loop is bounded by the erasure
     * request size, not the table. */
-  def gdprErase(s: SparkSession, path: String, deleteIds: Seq[Long],
-                nBuckets: Int = 16): Unit = {
+  /** Bucket count of the GDPR layout. The eraser MUST hash with the
+    * same modulus the writer laid the table out with — a mismatch
+    * targets nonexistent partitions and silently leaves the erased
+    * users' files alive — so both sides share this one constant
+    * instead of taking it as a parameter. */
+  val GdprBuckets = 16
+
+  def gdprErase(s: SparkSession, path: String, deleteIds: Seq[Long]): Unit = {
+    val nBuckets = GdprBuckets
     val buckets = deleteIds.map(id => ((id % nBuckets) + nBuckets) % nBuckets).distinct
     val survivors = s.read.parquet(path)
       .filter(col("bucket").isin(buckets: _*))
@@ -490,7 +497,7 @@ object Extras2 {
     val path = Tables.sinkPath(s, d, "gdpr_sink")
     val deleteIds = Seq(1L, 7L, 42L, 99L)
     Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
-      .withColumn("bucket", pmod(col("user_id"), lit(16)))
+      .withColumn("bucket", pmod(col("user_id"), lit(GdprBuckets)))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     gdprErase(s, path, deleteIds)
     s.read.parquet(path).groupBy("event_type")

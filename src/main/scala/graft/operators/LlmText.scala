@@ -203,14 +203,18 @@ object LlmText {
     * average conditional probability of its bigrams under the corpus's
     * OWN bigram LM — the n-gram language-model filtering signal
     * (CCNet/Gopher-style) that ranks fluent text above token soup.
-    * ONE corpus tokenization (the same native `BigramGen` fan-out as
-    * [[llmNgramLm]]) feeds both the LM aggregation and the per-doc
-    * scoring join; the LM table is VOCABULARY-sized after aggregation,
-    * so at 100 TB the join is a broadcast/shuffle of model weights,
-    * not data. Each p is rounded to 6 decimals and averaged by exact
-    * decimal sum / count, so the score is order-independent and
-    * engine-exact (the established dsum pattern). Single-token docs
-    * have no bigrams and drop out, like every shingle pipeline here. */
+    * Two STREAMING corpus scans (train the LM, then score), zero
+    * corpus shuffles on the scoring side: the trained LM aggregates
+    * down to a VOCABULARY-sized table and BROADCASTS, so scoring is
+    * scan → native `BigramGen` fan-out → broadcast lookup → one
+    * per-doc partial-agg shuffle. (Materializing the corpus-sized
+    * pair stream to "scan once" would cost more than the second
+    * columnar read — two scans is the right trade at 100 TB, where a
+    * production LM table is additionally top-M-pruned.) Each p is
+    * rounded to 6 decimals and averaged by exact decimal sum / count,
+    * so the score is order-independent and engine-exact (the
+    * established dsum pattern). Single-token docs have no bigrams and
+    * drop out, like every shingle pipeline here. */
   val llmLmScore: QFn = (s, d) => {
     val pairs = Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.NgramGen.bigramPairs(words))
@@ -218,7 +222,7 @@ object LlmText {
       .withColumn("n1", sum("n12").over(Window.partitionBy("w1")))
       .select(col("w1"), col("w2"),
         round(col("n12").cast("double") / col("n1").cast("double"), 6).as("p"))
-    pairs.join(lm, Seq("w1", "w2"))
+    pairs.join(broadcast(lm), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("p").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
