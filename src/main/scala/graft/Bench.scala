@@ -47,17 +47,21 @@ object Bench {
             }
           ((System.nanoTime() - t0) / 1e9, ok)
         }
+        // a key with zero successful runs has no meaningful "best":
+        // emit null and keep it out of the headline total (r4 ADVICE —
+        // a fast crash was summed in and understated the metric)
         val good = runs.collect { case (t, true) => t }
-        val best = if (good.nonEmpty) good.min else runs.map(_._1).min
+        val best: Option[Double] = if (good.nonEmpty) Some(good.min) else None
         (name, best, runs.map(_._1))
       }
-    val qs = results.map { case (k, best, _) => s"\"" + k + "\":" + best }
+    val qs = results.map { case (k, best, _) =>
+      s"\"" + k + "\":" + best.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val rs = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"n":$nRuns,"failed":$fs,"sf":"$sfDir"}"""
     println(json)

@@ -15,7 +15,9 @@ object PlanAudit {
   // event-type dim — another O(1)-size build side
   // llm_kmeans broadcasts the k=8-row centroid table — O(1) build side
   val allowCross = Set("join_cross", "join_theta_range", "llm_knn_cosine",
-    "llm_knn_ivf", "agg_pivot", "llm_tfidf", "llm_interleave_sources",
+  // ivf_exact is llm_knn_ivf at nProbe=K — same probe-broadcast shape
+    "llm_knn_ivf", "llm_knn_ivf_exact",
+    "agg_pivot", "llm_tfidf", "llm_interleave_sources",
   // agg_hll_sketch / scan_csv_malformed cross 1-row aggregates —
   // O(1) both sides
   // ts_interpolate shares ts_gapfill's spine × event-type-dim cross;
@@ -29,7 +31,13 @@ object PlanAudit {
   // matter how big the corpus, the same justification as knn probes
   // source_drift crosses the 50-row broadcast top-token list and the
   // 1-row corpus total against the sources dim — O(1) build sides
-    "llm_knn_ivf_pruned", "llm_semantic_decontaminate", "llm_source_drift")
+    "llm_knn_ivf_pruned", "llm_semantic_decontaminate", "llm_source_drift",
+  // the GLOBAL Quantiles.exactQuantiles path: the constant pseudo-group
+  // key folds away, so its broadcast joins (1-row stats, <=nShards
+  // offset rows, <=|qs| position rows) surface as BNLJ — every build
+  // side is O(1) regardless of data size; the grouped form
+  // (agg_percentile_exact) keeps real keys and stays a hash join
+    "agg_approx_quantile", "agg_quantile_twopass", "agg_stats")
 
   /** Execute every non-streaming registered query at `d` and return
     * one "SMELL key: ..." / "ERROR key: ..." line per finding. Empty

@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Multimodal.entries ++
       operators.Extras.entries ++
       operators.Extras2.entries ++
+      operators.Composite.entries ++
       operators.Clustering.entries ++
       operators.TimeSeries.entries ++
       plans.AsOfJoinPlans.entries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.Extras.oracles ++
       operators.Extras2.oracles ++
+      operators.Composite.oracles ++
       operators.Clustering.oracles ++
       operators.TimeSeries.oracles ++
       plans.AsOfJoinPlans.oracles ++

@@ -129,7 +129,14 @@ object Clustering {
           / 1000000.0).as("wssse"))
       .orderBy("cluster")
 
-  val llmKmeans: QFn = (s, d) => kmeans(s, d, iters = 3)._1
+  /** K and Lloyd-round constants of the `llm_kmeans` key. The DuckDB
+    * oracle below is UNROLLED from these same two values (r4 ADVICE:
+    * a hardcoded `LIMIT 8` / asg1..asg3 would silently desynchronize
+    * if the call site changed), so editing them re-derives the oracle. */
+  val KmeansK = 8
+  val KmeansIters = 3
+
+  val llmKmeans: QFn = (s, d) => kmeans(s, d, iters = KmeansIters, K = KmeansK)._1
 
   /** Distributed BPE-style merge training: the `nMerges` most frequent
     * adjacent token pairs, learned greedily — each round counts all
@@ -224,11 +231,21 @@ object Clustering {
         ON p.cluster = m.cluster AND p.pos = m.pos
         GROUP BY p.cluster"""
 
-  /** The full 3-round Lloyd oracle, unrolled: seeds → (assign, update)
-    * ×3 → final assignment → per-cluster (n, WSSSE). Every float step
-    * is either order-pinned list arithmetic or exact integer math, so
-    * the oracle is bit-exact against the distributed run — which is
-    * the point: executor-count-invariant k-means, provable in SQL. */
+  /** The full Lloyd oracle, unrolled from [[KmeansIters]]/[[KmeansK]]
+    * (the SAME constants `llm_kmeans` runs with — the unroll is
+    * string-generated, not hand-written, so the two cannot drift):
+    * seeds → (assign, update) ×iters → final assignment → per-cluster
+    * (n, WSSSE). Every float step is either order-pinned list
+    * arithmetic or exact integer math, so the oracle is bit-exact
+    * against the distributed run — which is the point:
+    * executor-count-invariant k-means, provable in SQL. */
+  private val lloydRounds: String = (1 to KmeansIters).map { i =>
+    val prev = if (i == 1) "seeds" else s"cent${i - 1}"
+    s"""asg$i AS (${assignSql(prev)}),
+          cent$i AS (${updateSql(s"asg$i", prev)})"""
+  }.mkString(",\n          ")
+  private val lastCents = s"cent$KmeansIters"
+
   val oracles: Seq[(String, String)] = Seq(
     "llm_kmeans" ->
       s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
@@ -243,18 +260,13 @@ object Clustering {
           seeds AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-            FROM seed_src ORDER BY vec_id LIMIT 8),
-          asg1 AS (${assignSql("seeds")}),
-          cent1 AS (${updateSql("asg1", "seeds")}),
-          asg2 AS (${assignSql("cent1")}),
-          cent2 AS (${updateSql("asg2", "cent1")}),
-          asg3 AS (${assignSql("cent2")}),
-          cent3 AS (${updateSql("asg3", "cent2")}),
+            FROM seed_src ORDER BY vec_id LIMIT $KmeansK),
+          $lloydRounds,
           final AS (
             SELECT vec_id, cluster, d2 FROM (
               SELECT e.vec_id, c.cluster, $d2Sql AS d2,
                 row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2Sql, c.cluster) AS rk
-              FROM emb e CROSS JOIN cent3 c) WHERE rk = 1)
+              FROM emb e CROSS JOIN $lastCents c) WHERE rk = 1)
           SELECT CAST(cluster AS INT) AS cluster, count(*) AS n_points,
             CAST(sum(CAST(floor(d2 * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS wssse
           FROM final GROUP BY cluster ORDER BY cluster""")

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft._
+import graft.Det._
+
+/** Composite analytics queries (r4 verdict item 7): multi-join +
+  * aggregate + top-k plans in the classic TPC-H Q3/Q10/Q18 shapes,
+  * exercising several registry operators INSIDE one optimizer run —
+  * join reorder, filter pushdown through joins, partial aggregation
+  * under a final top-k — rather than one operator per key.
+  *
+  * Scale notes (the shapes these plans must keep at 100 TB):
+  *  - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key;
+  *    filters are pushed below the join on BOTH sides first.
+  *  - Dim joins (customer, nation) stay broadcast while the filtered
+  *    dim fits (AQE decides from runtime stats; nation is forced —
+  *    25 rows at any scale).
+  *  - Every aggregation is algebraic (exact decimal sums) so partial
+  *    aggregation runs map-side before the one shuffle per agg.
+  *  - Top-k is `TakeOrderedAndProject` — never a global sort.
+  */
+object Composite {
+
+  /** TPC-H Q3 shape — shipping priority: revenue of not-yet-shipped
+    * orders for one market segment, top-10 by revenue. Plan: segment
+    * filter into customer scan, date filters into orders/lineitem
+    * scans, lineitem ⋈ orders on the order key, broadcast customer
+    * dim, one grouped agg, top-10. */
+  val q3ShippingPriority: QFn = (s, d) => {
+    val cutoff = lit("1998-06-01").cast("timestamp_ntz")
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q10 shape — returned-item revenue loss: per-customer
+    * revenue of returned lineitems in one order quarter, with the
+    * nation dim attached, top-20 customers. Nation (25 rows at every
+    * scale factor) is explicitly broadcast. */
+  val q10ReturnedItems: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nat = Tables.nation(s, d).select("n_nationkey", "n_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose lineitem
+    * quantity total exceeds a threshold, joined back to orders +
+    * customer, top-100 by order value. The quantity aggregation and
+    * the orders join share the order-key partitioning, so the HAVING
+    * filter costs no extra shuffle over the agg that produced it. */
+  val q18LargeOrders: QFn = (s, d) => {
+    val big = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(dsum2(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150.0)
+    val ord = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val entries: Seq[(String, QFn)] = Seq(
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q18_large_orders" -> q18LargeOrders)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+            ${sqlSum4("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-06-01'
+            AND l_shipdate > TIMESTAMP '1998-06-01'
+          GROUP BY 1, 2, 3
+          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+            ${sqlSum4("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1997-04-01'
+          GROUP BY 1, 2, 3, 4
+          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q18_large_orders" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+            total_qty
+          FROM (SELECT l_orderkey, ${sqlSum2("l_quantity")} AS total_qty
+                FROM lineitem GROUP BY 1) big
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE total_qty > 150.0
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+}

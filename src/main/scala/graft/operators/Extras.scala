@@ -278,18 +278,40 @@ object Extras {
     * sorts rows by every column, and array cells don't sort. No
     * cross-engine oracle (DuckDB's approx_quantile is a t-digest, a
     * different sketch); ApproxQuantileSpec checks the rank-error
-    * contract against the exact quartiles instead. */
-  val aggApproxQuantile: QFn = (s, d) =>
-    Tables.lineitem(s, d).agg(
+    * contract against the exact quartiles instead.
+    *
+    * The exact twin is [[Quantiles.exactQuantiles]] — the sharded
+    * rank/count two-pass — NOT the built-in `percentile`, whose
+    * whole-table aggregation buffer was the one unbounded-memory plan
+    * left in the bench path (r4 verdict item 2). */
+  val aggApproxQuantile: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val approx = li.agg(
       expr("percentile_approx(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
         .as("approx_a"),
-      expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("exact_a"),
       count(lit(1)).as("n"))
-      .select(posexplode(arrays_zip(col("approx_a"), col("exact_a"))), col("n"))
+      .select(posexplode(col("approx_a")), col("n"))
       .select((lit(0.25) + col("pos") * lit(0.25)).as("q"),
-        col("col.approx_a").as("approx_q"),
-        round(col("col.exact_a"), 6).as("exact_q"),
-        col("n"))
+        col("col").as("approx_q"), col("n"))
+    val exact = Quantiles.exactQuantiles(s,
+      li.select("l_extendedprice"), Nil, "l_extendedprice",
+      Seq(0.25, 0.5, 0.75))
+      .select(col("q"), round(col("exact_q"), 6).as("exact_q"))
+    approx.join(broadcast(exact), "q")
+      .select("q", "approx_q", "exact_q", "n")
+      .orderBy("q")
+  }
+
+  /** The distributed exact-quantile path on its own, ORACLED: the
+    * same (q, exact_q, n) rows DuckDB's `quantile_cont` produces,
+    * proving the sharded rank/count machinery end-to-end — every
+    * shard boundary, offset join, and interpolation — not just its
+    * agreement with another Spark operator. */
+  val aggQuantileTwopass: QFn = (s, d) =>
+    Quantiles.exactQuantiles(s,
+      Tables.lineitem(s, d).select("l_extendedprice"), Nil,
+      "l_extendedprice", Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+      .select(col("q"), round(col("exact_q"), 6).as("exact_q"), col("n"))
       .orderBy("q")
 
   /** CDC changelog apply: compact a change stream (insert / update /
@@ -322,6 +344,7 @@ object Extras {
     "win_funnel" -> winFunnel,
     "etl_incremental_agg" -> etlIncrementalAgg,
     "agg_approx_quantile" -> aggApproxQuantile,
+    "agg_quantile_twopass" -> aggQuantileTwopass,
     "etl_scd2" -> etlScd2,
     "dq_outliers" -> dqOutliers,
     "subquery_family" -> subqueryFamily,
@@ -332,6 +355,16 @@ object Extras {
     "etl_upsert" -> etlUpsert)
 
   val oracles: Seq[(String, String)] = Seq(
+    "agg_quantile_twopass" -> {
+      // quantile_cont shares the (n−1)·q linear-interpolation
+      // definition with the sharded two-pass; round(6) absorbs the
+      // final-interpolation ulp like agg_percentile_exact
+      val rows = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99).map(q =>
+        s"""SELECT CAST($q AS DOUBLE) AS q,
+             round(quantile_cont(l_extendedprice, $q), 6) AS exact_q,
+             count(*) AS n FROM lineitem""")
+      rows.mkString("", "\n UNION ALL\n ", "\n ORDER BY q")
+    },
     "agg_pivot" -> {
       val cols = Segments.map(seg =>
         s"""CAST(sum(CASE WHEN c_mktsegment = '$seg' THEN CAST(c_acctbal AS DECIMAL(30,2)) END) AS DOUBLE) AS "$seg"""")

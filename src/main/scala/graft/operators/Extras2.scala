@@ -49,27 +49,28 @@ object Extras2 {
       .orderBy("o_orderpriority")
   }
 
-  /** Exact interpolated percentiles per group — Spark's `percentile`
-    * and DuckDB's `quantile_cont` share the linear-interpolation
-    * definition, so the quartiles hash-match (rounded to absorb the
-    * final-interpolation ulp). The APPROXIMATE twin at scale is
-    * `agg_approx_distinct`-style sketching (`percentile_approx`),
-    * deliberately not oracled — exact percentile is the semantics
-    * anchor. */
+  /** Exact interpolated percentiles per group — the GROUPED form of
+    * [[Quantiles.exactQuantiles]]'s sharded rank/count two-pass
+    * (r4 verdict item 2: the built-in `percentile` buffers a whole
+    * group's values in one non-spilling aggregation buffer; with 3
+    * return-flag groups over lineitem that was table-scale memory).
+    * Spark's interpolation and DuckDB's `quantile_cont` share the
+    * (n−1)·q linear definition, so the quartiles hash-match (rounded
+    * to absorb the final-interpolation ulp) — the oracle now proves
+    * the DISTRIBUTED path, group by group. */
   val aggPercentileExact: QFn = (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.9D))").as("qs"),
-        count(lit(1)).as("n"))
+    Quantiles.exactQuantiles(s,
+      Tables.lineitem(s, d).select("l_returnflag", "l_quantity"),
+      Seq("l_returnflag"), "l_quantity", Seq(0.25, 0.5, 0.75, 0.9))
       // scalar columns, not the raw array: the oracle hash-compare
       // sorts rows by every column and array cells don't sort
-      .select(col("l_returnflag"),
-        round(element_at(col("qs"), 1), 6).as("q25"),
-        round(element_at(col("qs"), 2), 6).as("q50"),
-        round(element_at(col("qs"), 3), 6).as("q75"),
-        round(element_at(col("qs"), 4), 6).as("q90"),
-        col("n"))
+      .groupBy("l_returnflag")
+      .agg(
+        round(max(when(col("q") === 0.25, col("exact_q"))), 6).as("q25"),
+        round(max(when(col("q") === 0.5, col("exact_q"))), 6).as("q50"),
+        round(max(when(col("q") === 0.75, col("exact_q"))), 6).as("q75"),
+        round(max(when(col("q") === 0.9, col("exact_q"))), 6).as("q90"),
+        max("n").as("n"))
       .orderBy("l_returnflag")
 
   /** EXCEPT / INTERSECT set semantics (DISTINCT forms) over customer
@@ -479,7 +480,10 @@ object Extras2 {
     val buckets = deleteIds.map(id => ((id % nBuckets) + nBuckets) % nBuckets).distinct
     val survivors = s.read.parquet(path)
       .filter(col("bucket").isin(buckets: _*))
-      .filter(!col("user_id").isin(deleteIds: _*))
+      // NULL user_id rows are survivors, not erasure targets: a bare
+      // `!isin` evaluates to NULL for them and would silently erase
+      // bystanders landing in a hit bucket (r4 ADVICE)
+      .filter(col("user_id").isNull || !col("user_id").isin(deleteIds: _*))
       .localCheckpoint()
     buckets.foreach { b =>
       survivors.filter(col("bucket") === b).drop("bucket")

@@ -89,6 +89,15 @@ object LlmSimilarity {
     * and prints the measured scan fraction. */
   val llmKnnIvf: QFn = (s, d) => knnIvfWith(s, d, K = IvfK, nProbe = IvfNProbe, iters = 6)
 
+  /** The IVF machinery in EXACT mode (r4 verdict item 9): nProbe = K
+    * searches every inverted list, so the index must reproduce the
+    * brute-force top-k bit-for-bit — the same quantizer training,
+    * list assignment, probe routing, and scoring path as
+    * [[llmKnnIvf]], one config knob away, but ORACLED against the
+    * all-pairs cosine SQL. The approximate default stays spec-class
+    * (recall@5 gate) legitimately; this key pins the machinery. */
+  val llmKnnIvfExact: QFn = (s, d) => knnIvfWith(s, d, K = IvfK, nProbe = IvfK, iters = 6)
+
   /** Trained coarse quantizer as a broadcastable (cent_id, cent_vec)
     * frame — centroids back to float so the same codegen'd float-array
     * cosine kernel scores vectors and centroids alike. */
@@ -921,6 +930,7 @@ object LlmSimilarity {
   val entries: Seq[(String, QFn)] = Seq(
     "llm_knn_cosine" -> llmKnnCosine,
     "llm_knn_ivf" -> llmKnnIvf,
+    "llm_knn_ivf_exact" -> llmKnnIvfExact,
     "llm_knn_ivf_pruned" -> llmKnnIvfPruned,
     "llm_knn_pq" -> llmKnnPq,
     "llm_hybrid_search" -> llmHybridSearch,
@@ -942,6 +952,26 @@ object LlmSimilarity {
     s"""(list_sum(list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))
         / (sqrt(list_sum(list_transform(range(64), i -> CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE))))
            * sqrt(list_sum(list_transform(range(64), i -> CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))))))"""
+
+  /** All-pairs cosine top-5 per probe, recomputed in DOUBLE (DuckDB's
+    * list_cosine_similarity is float32) with the same sequential fold
+    * Spark's [[graft.functions]] cosine performs — shared by the
+    * brute-force key and the exact-mode (nProbe = K) IVF key, which
+    * must produce the identical result set. */
+  private val bruteForceTopKSql: String =
+    """WITH sims AS (
+           SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+             round(
+               list_sum(list_transform(range(64), i -> CAST(p.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(64), i -> CAST(p.embedding[i+1] AS DOUBLE) * CAST(p.embedding[i+1] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))), 6) AS sim
+           FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
+           WHERE p.vec_id IN (1,2,3,4,5))
+         SELECT probe_id, rk, vec_id, sim FROM (
+           SELECT probe_id, vec_id, sim,
+             CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS INT) AS rk
+           FROM sims)
+         WHERE rk <= 5 ORDER BY probe_id, rk"""
 
   val oracles: Seq[(String, String)] = Seq(
     "llm_hybrid_search" ->
@@ -1064,26 +1094,23 @@ object LlmSimilarity {
           SELECT probe_id, CAST(rk AS BIGINT) AS rk, vec_id,
             round_even(mmr * 1000000.0, 0) / 1000000.0 AS mmr
           FROM sel ORDER BY probe_id, rk""",
-    "llm_knn_cosine" ->
-      // cosine recomputed in DOUBLE (DuckDB's list_cosine_similarity is
-      // float32) with the same sequential fold Spark performs
-      """WITH sims AS (
-           SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
-             round(
-               list_sum(list_transform(range(64), i -> CAST(p.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
-               / (sqrt(list_sum(list_transform(range(64), i -> CAST(p.embedding[i+1] AS DOUBLE) * CAST(p.embedding[i+1] AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))), 6) AS sim
-           FROM embeddings p JOIN embeddings e ON e.vec_id <> p.vec_id
-           WHERE p.vec_id IN (1,2,3,4,5))
-         SELECT probe_id, rk, vec_id, sim FROM (
-           SELECT probe_id, vec_id, sim,
-             CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS INT) AS rk
-           FROM sims)
-         WHERE rk <= 5 ORDER BY probe_id, rk""",
+    "llm_knn_cosine" -> bruteForceTopKSql,
+    // nProbe = K searches every list, so the IVF path must equal the
+    // brute-force oracle exactly — same SQL, zero tolerance
+    "llm_knn_ivf_exact" -> bruteForceTopKSql,
     "llm_near_dedup_exact" ->
       // the engine's emitted pairs are LSH candidates filtered by exact
       // Jaccard; the oracle recomputes the same seed-independent set as
-      // an all-pairs join (affordable for DuckDB at oracle scale)
+      // an all-pairs join (affordable for DuckDB at oracle scale).
+      // RECALL BOUND (r4 ADVICE): candidate generation is 32 bands × 2
+      // rows, so a true pair at Jaccard J is missed with probability
+      // (1−J²)³². At the J=0.5 threshold that is ~1e-4 per pair; the
+      // current corpus' near-dup pairs sit well above threshold
+      // (planted dups J≈1), where the miss probability is ≈0. If this
+      // oracle ever goes red on a REGENERATED corpus, check first for
+      // a borderline pair at J≈0.5 — that is a banding miss, not an
+      // engine bug; the fix is more bands, not a logic change. The
+      // same bound applies to llm_dedup_cluster's edge set below.
       """WITH sh AS (
            SELECT doc_id,
              list_distinct(list_transform(range(len(string_split(text,' '))-1),

@@ -352,23 +352,33 @@ object Relational {
 
   /** Statistical aggregates. Exact decimal power sums make the
     * moment-based stats reproducible; the builtin streaming versions
-    * are rounded to absorb merge-order float noise. */
+    * are rounded to absorb merge-order float noise. The median comes
+    * from [[Quantiles.exactQuantiles]]'s sharded two-pass (not the
+    * built-in `percentile`, whose whole-table aggregation buffer does
+    * not spill — r4 verdict item 2), equi-joined on a constant key so
+    * the 1-row frames combine as a BroadcastHashJoin, not a cross. */
   val aggStats: QFn = (s, d) => {
     val li = Tables.lineitem(s, d)
-    li.agg(
+    val moments = li.agg(
       round(stddev_samp(col("l_extendedprice")), 2).as("std_price"),
       round(var_samp(col("l_extendedprice")), 2).as("var_price"),
       round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
       round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("covar_pq"),
       round(skewness(col("l_extendedprice")), 6).as("skew_price"),
       round(kurtosis(col("l_extendedprice")), 6).as("kurt_price"),
-      round(expr("percentile(l_extendedprice, 0.5)"), 3).as("median_price"),
       dsum2(col("l_extendedprice")).as("s1"),
       // the squared sum (~2e15 with 4 decimals) exceeds double
       // precision — decimal→double rounding differs across engines by
       // 1 ulp at that magnitude, so emit the exact integer part
       floor(sum((col("l_extendedprice") * col("l_extendedprice"))
         .cast(DecimalType(30, 4)))).cast("long").as("s2_int"))
+    val median = Quantiles.exactQuantiles(s, li.select("l_extendedprice"),
+      Nil, "l_extendedprice", Seq(0.5))
+      .select(round(col("exact_q"), 3).as("median_price"))
+    moments.withColumn("_k", lit(0))
+      .join(broadcast(median.withColumn("_k", lit(0))), "_k")
+      .select("std_price", "var_price", "corr_pq", "covar_pq",
+        "skew_price", "kurt_price", "median_price", "s1", "s2_int")
   }
 
   // ---------------------------------------------------------------- §2.6

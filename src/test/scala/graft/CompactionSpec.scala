@@ -7,10 +7,10 @@ class CompactionSpec extends SparkTestBase {
 
   test("compacted layout has at most 4 parquet files") {
     operators.Extras2.etlCompaction(spark, sf).collect()
-    val tight = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_compact_tight")
-    val frag = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_compact_frag")
+    // the SAME app/dataset-suffixed paths the operator writes (a fixed
+    // literal here once passed only via stale /tmp leftovers)
+    val tight = new java.io.File(Tables.sinkPath(spark, sf, "compact_tight"))
+    val frag = new java.io.File(Tables.sinkPath(spark, sf, "compact_frag"))
     def parquets(dir: java.io.File) =
       dir.listFiles().count(f => f.getName.endsWith(".parquet"))
     assert(parquets(frag) == 64, s"expected 64 fragment files, got ${parquets(frag)}")

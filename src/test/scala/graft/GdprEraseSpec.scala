@@ -36,4 +36,24 @@ class GdprEraseSpec extends SparkTestBase {
     assert(back.filter(col("user_id") === 8L).count() == 1)
     assert(back.count() == 2)
   }
+
+  test("NULL user_id rows in a hit bucket survive the erasure") {
+    import spark.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_gdpr_null_${spark.sparkContext.applicationId}"
+    // a NULL-user row physically lands in bucket 5 alongside deleted
+    // user 5: the three-valued `NOT IN` trap would erase it too
+    val rows = Seq(
+      (1L, Some(5L), "a", 1.0), (2L, None, "b", 2.0), (3L, Some(21L), "a", 3.0)
+    ).toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("bucket", coalesce(pmod(col("user_id"), lit(16)), lit(5L)))
+    rows.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+    operators.Extras2.gdprErase(spark, path, Seq(5L))
+
+    val back = spark.read.parquet(path)
+    assert(back.filter(col("user_id") === 5L).count() == 0)
+    assert(back.filter(col("user_id").isNull).count() == 1,
+      "NULL-user bystander row was erased by the NOT IN null trap")
+    assert(back.filter(col("user_id") === 21L).count() == 1)
+  }
 }
