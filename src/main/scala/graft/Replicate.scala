@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Synthetic scale-up replica tool (r4 verdict item 1): materialize an
+  * N× copy of a testdata scale factor into a scratch directory so the
+  * 100 TB "scales by design" judgments can be *measured* instead of
+  * argued from plan shape. `/root/testdata` is read-only, so the
+  * replica lives in tmp; keys are remapped per replica so every
+  * surrogate stays unique and every FK stays valid.
+  *
+  * Replica design — the point is that a 10× run should look like a
+  * BIGGER corpus, not ten stacked copies of the same one:
+  *
+  *  - `region`/`nation` are fixed FK domains (5 / 25 rows): one copy.
+  *  - Fact/entity surrogate keys get `+ r * KEY_STRIDE` (stride far
+  *    above any real key), applied consistently on both sides of every
+  *    FK (orders.o_custkey moves with customer.c_custkey, lineitem
+  *    moves with orders/part/supplier, events.user_id grows the user
+  *    population 10× with its %10 cohort distribution intact).
+  *  - `documents.text` in replica r > 0 is re-serialized as a
+  *    deterministic word shuffle (sort words by xxhash64(word ⊕ r)):
+  *    token/char statistics are preserved, but word-bigram shingles —
+  *    the near-dup/LSH unit — are destroyed across replicas, so each
+  *    replica contributes its own planted dup clusters instead of
+  *    every doc gaining 9 cross-replica twins (which would make
+  *    candidate-pair volume superlinear and measure an artifact, not
+  *    scaling). Within a replica the same permutation is applied to
+  *    near-identical texts, so planted exact/near pairs survive.
+  *  - `embeddings` in replica r > 0 get one dimension nudged by r/1000
+  *    (dimension chosen per vec_id): breaks exact-tie top-k ambiguity
+  *    while keeping the vector distribution essentially unchanged.
+  *  - `events.ts` is kept as raw int64 nanoseconds (the physical shape
+  *    [[Tables.loadEvents]] reads); everything else round-trips
+  *    through the [[Tables.schemas]] contract types unchanged.
+  */
+object Replicate {
+
+  /** Well above every real key in any sf (max observed: 600k). */
+  val KeyStride = 10000000L
+  /** events.user_id domain is 0..1499; stride keeps cohort (%10) mix. */
+  val UserStride = 10000L
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else
+      s"${System.getProperty("java.io.tmpdir")}/graft_sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, factor)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    val t0 = System.nanoTime()
+    // fixed dims: single copy
+    Seq("region", "nation").foreach { t =>
+      Tables.load(spark, src, t).write.mode("overwrite")
+        .parquet(s"$dst/$t.parquet")
+    }
+
+    def shifted(name: String, keys: Seq[String],
+        extra: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
+      val base = Tables.load(spark, src, name)
+      val copies = (0 until factor).map { r =>
+        val k = keys.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(r * KeyStride)))
+        extra(k, r)
+      }
+      copies.reduce(_.unionAll(_)).write.mode("overwrite")
+        .parquet(s"$dst/$name.parquet")
+    }
+
+    shifted("customer", Seq("c_custkey"))
+    shifted("supplier", Seq("s_suppkey"))
+    shifted("part", Seq("p_partkey"))
+    shifted("orders", Seq("o_orderkey", "o_custkey"))
+    shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+
+    // events: raw int64-nanos ts (same physical shape loadEvents reads)
+    val evRaw = StructType(Tables.schemas("events").fields.map(f =>
+      if (f.name == "ts") StructField("ts", LongType) else f))
+    val ev = spark.read.schema(evRaw).parquet(s"$src/events.parquet")
+    (0 until factor).map { r =>
+      ev.withColumn("event_id", col("event_id") + lit(r * KeyStride))
+        .withColumn("user_id", col("user_id") + lit(r * UserStride))
+    }.reduce(_.unionAll(_)).write.mode("overwrite")
+      .parquet(s"$dst/events.parquet")
+
+    shifted("documents", Seq("doc_id"), (df, r) =>
+      if (r == 0) df
+      else df.withColumn("text", array_join(
+        transform(
+          array_sort(transform(split(col("text"), " "),
+            w => struct(xxhash64(w, lit(r)).as("h"), w.as("w")))),
+          s => s.getField("w")),
+        " ")))
+
+    shifted("embeddings", Seq("vec_id"), (df, r) =>
+      if (r == 0) df
+      else df.withColumn("embedding",
+        transform(col("embedding"), (x, j) =>
+          when(j === pmod(col("vec_id"), size(col("embedding"))),
+            (x + lit(r * 0.001)).cast(FloatType)).otherwise(x))))
+
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[replicate] $src -> $dst x$factor in $secs%.1f s")
+    Tables.all.foreach { t =>
+      val n = Tables.load(spark, dst, t).count()
+      println(s"[replicate] $t rows=$n")
+    }
+  }
+}

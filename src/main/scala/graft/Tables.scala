@@ -96,9 +96,16 @@ object Tables {
       StructField("embedding", ArrayType(FloatType)),
       StructField("label", IntegerType))))
 
+  /** Explicit schema, not inference: `spark.read.parquet` with no
+    * schema runs a footer-read job at EVERY query construction — at
+    * 100 TB that is a driver-side file-listing + footer fetch per
+    * query, and locally it is one spurious Spark job per key (caught
+    * by PlanAudit's construction guard). The schema contract above is
+    * the footer contract, so handing it to the reader is free; drift
+    * still fails fast via [[loadChecked]] / the oracle hash gate. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") loadEvents(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
 
   /** `events.ts` is parquet `timestamp[ns]`, which Spark's vectorized
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via
@@ -115,7 +122,11 @@ object Tables {
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
       "events.parquet is timestamp[ns]: set spark.sql.legacy.parquet.nanosAsLong=true at session build")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    // explicit RAW schema (ts is int64 nanos pre-conversion) — same
+    // no-inference-job rationale as [[load]]
+    val raw = StructType(schemas("events").fields.map(f =>
+      if (f.name == "ts") StructField("ts", LongType) else f))
+    spark.read.schema(raw).parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }

@@ -168,6 +168,11 @@ object Streaming {
     * opened). */
   @volatile var lastStateRowsTotal: Long = -1L
 
+  /** Per-micro-batch progress JSON of the LAST [[runStream]] query —
+    * harness profiling diagnostic (where does the fixed per-key cost
+    * go: planning, state commit, sink write). */
+  @volatile var lastProgressJson: Seq[String] = Nil
+
   /** Chunked replay feed (r3 verdict item 5): each addData slice is
     * one micro-batch, so the watermark advances per chunk and the
     * harness's per-call footprint is O(chunk) ≤ 50k rows (a few MB) rather than
@@ -177,11 +182,42 @@ object Streaming {
     * on large data. */
   private def feedChunks(stream: MemoryStream[Ev],
       q: org.apache.spark.sql.streaming.StreamingQuery,
-      rows: Array[Ev]): Unit = {
+      rows: Array[Ev], flush: Boolean): Unit = {
     val chunk = math.min(50000, math.max(1, (rows.length + 1) / 2))
-    rows.grouped(chunk).foreach { slice =>
-      stream.addData(slice.toSeq); q.processAllAvailable()
+    val slices = rows.grouped(chunk).toSeq
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      // sentinel 1 rides WITH the last data chunk (r4 verdict item 4:
+      // every micro-batch is ~8 RocksDB store commits of fixed cost,
+      // so one fewer batch per key is a direct harness-tax cut): the
+      // watermark computed AFTER this batch passes every real window,
+      // so the one remaining sentinel batch seals and emits them all
+      // in a data batch exactly as the two-batch feed did
+      val data: Seq[Ev] =
+        if (flush && i == slices.length - 1)
+          slice.toSeq :+ Ev(-1L, Sentinel1, -1L, "__flush__", 0.0, "")
+        else slice.toSeq
+      stream.addData(data); q.processAllAvailable()
     }
+    if (flush) {
+      stream.addData(Ev(-2L, Sentinel2, -1L, "__flush__", 0.0, ""))
+      q.processAllAvailable()
+    }
+  }
+
+  /** Harness checkpoint dir on tmpfs: the per-batch state commit
+    * fsyncs its changelog files to the checkpoint dir, and at
+    * ~0.4-0.6 s of file-sync per micro-batch that disk round-trip WAS
+    * most of the fixed per-key cost (measured via StreamProf). A
+    * bench-harness checkpoint is throwaway by construction (each run
+    * starts fresh or resumes within the same key invocation), so
+    * RAM-disk durability is exactly right HERE — a production
+    * deployment keeps its checkpoint on durable storage and pays that
+    * fsync as the price of exactly-once. */
+  def scratchCkpt(tag: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    val root = if (shm.isDirectory && shm.canWrite) "/dev/shm"
+      else System.getProperty("java.io.tmpdir")
+    s"$root/graft_ckpt_$tag"
   }
 
   /** Replay events through `build`, return the materialized sink.
@@ -209,28 +245,44 @@ object Streaming {
     val confs = Map(
       "spark.sql.shuffle.partitions" -> "8",
       "spark.sql.streaming.stateStore.providerClass" ->
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      // commit a small changelog per batch instead of a full RocksDB
+      // snapshot zip — the production durability mode for frequent
+      // micro-batches (snapshots still happen, in the background
+      // maintenance thread)
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+      // every batch here is ~0.4 s of task-scheduling + state-store
+      // floor, and watermark advancement after each data batch was
+      // spawning a no-data batch right behind it (6 batches per key
+      // for a 3-addData feed — measured via StreamProf). The sentinel
+      // feed seals every real window inside DATA batches, so the
+      // no-data batches contribute nothing to the sink and eviction
+      // just moves to the next data batch: halve the batch count
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false"
     ) ++ extraConfs
     val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
     confs.foreach { case (k, v) => s.conf.set(k, v) }
+    val ckpt = scratchCkpt(sinkName)
     val q = try {
       build(stream.toDF()).writeStream
-        .format("memory").queryName(sinkName).outputMode(mode).start()
+        .format("memory").queryName(sinkName).outputMode(mode)
+        .option("checkpointLocation", ckpt).start()
     } finally prev.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None)    => s.conf.unset(k)
     }
     try {
-      feedChunks(stream, q, rows)
-      if (flush) {
-        stream.addData(Ev(-1L, Sentinel1, -1L, "__flush__", 0.0, ""))
-        q.processAllAvailable()
-        stream.addData(Ev(-2L, Sentinel2, -1L, "__flush__", 0.0, ""))
-        q.processAllAvailable()
-      }
+      feedChunks(stream, q, rows, flush)
       lastStateRowsTotal = Option(q.lastProgress)
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
-    } finally q.stop()
+      lastProgressJson = q.recentProgress.map(_.json).toSeq
+    } finally {
+      q.stop()
+      // tmpfs is a shared finite resource: reclaim the throwaway
+      // checkpoint as soon as the query is done
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(ckpt)).deleteRecursively()
+    }
     s.table(sinkName)
   }
 
@@ -469,7 +521,10 @@ object Streaming {
     * ingestion. */
   val streamFileSource: QFn = (s, d) => {
     val src = Tables.sinkPath(s, d, "stream_src")
-    val ckpt = Tables.sinkPath(s, d, "stream_ckpt")
+    // staged parquet stays on real disk (it plays the lake directory);
+    // the checkpoint is throwaway harness state → tmpfs (see scratchCkpt)
+    val ckpt = scratchCkpt(
+      s"fsrc_${d.hashCode & 0x7fffffff}_${s.sparkContext.applicationId}")
     // stage the events as files; clear the previous run's checkpoint
     // (per-(dataset, app) paths — isolated from concurrent runs,
     // no tmpdir growth within one app)
@@ -501,7 +556,10 @@ object Streaming {
     * the day's files, ever. */
   val streamIncrementalResume: QFn = (s, d) => {
     val src = Tables.sinkPath(s, d, "incr_src")
-    val ckpt = Tables.sinkPath(s, d, "incr_ckpt")
+    // the resume contract is checkpoint-relative, not medium-relative:
+    // run 2 resumes from the same path either way → tmpfs for the bench
+    val ckpt = scratchCkpt(
+      s"incr_${d.hashCode & 0x7fffffff}_${s.sparkContext.applicationId}")
     import scala.reflect.io.Directory
     new Directory(new java.io.File(src)).deleteRecursively()
     new Directory(new java.io.File(ckpt)).deleteRecursively()
@@ -544,6 +602,7 @@ object Streaming {
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id)))
     val stream = MemoryStream[Ev](s)
+    val ckpt = scratchCkpt(s"fb_${java.util.UUID.randomUUID().toString.replace("-", "")}")
     val q = stream.toDF()
       .groupBy((col("user_id") % 10).as("cohort"))
       .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
@@ -552,8 +611,13 @@ object Streaming {
         batch.write.mode("overwrite").parquet(out)
       }
       .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
       .start()
-    try feedChunks(stream, q, rows) finally q.stop()
+    try feedChunks(stream, q, rows, flush = false) finally {
+      q.stop()
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(ckpt)).deleteRecursively()
+    }
     s.read.parquet(out).orderBy("cohort")
   }
 

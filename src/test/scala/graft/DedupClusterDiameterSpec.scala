@@ -29,6 +29,47 @@ class DedupClusterDiameterSpec extends SparkTestBase {
     assert(rounds >= 3, s"sanity: a 64-path cannot settle in $rounds rounds")
   }
 
+  test("a 1024-node path, a star, and a two-cluster bridge all settle " +
+      "in ≤ 2·log₂(n) rounds (r4 verdict item 6)") {
+    import spark.implicits._
+    val n = 1024
+    val log2n = 10 // log₂(1024)
+
+    // adversarial chain: worst diameter per edge count
+    val pathNodes = (0L until n.toLong).toDF("doc_id")
+    val pathEdges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val (pl, pr) =
+      operators.LlmSimilarity.connectedComponents(spark, pathNodes, pathEdges)
+    assert(pl.collect().forall(_.getLong(1) == 0L),
+      "1024-path must collapse to label 0")
+    assert(pr <= 2 * log2n, s"1024-path took $pr rounds (> ${2 * log2n})")
+
+    // star centered on the MAX id: every leaf must pull the min label
+    // (leaf 0) through the hub, the shape where naive min-push stalls
+    val starNodes = (0L until n.toLong).toDF("doc_id")
+    val hub = n - 1L
+    val starEdges = (0L until hub).map(i => (hub, i)).toDF("a", "b")
+    val (sl, sr) =
+      operators.LlmSimilarity.connectedComponents(spark, starNodes, starEdges)
+    assert(sl.collect().forall(_.getLong(1) == 0L),
+      "star must collapse to label 0 through the hub")
+    assert(sr <= 2 * log2n, s"star took $sr rounds (> ${2 * log2n})")
+
+    // two dense clusters joined by a single bridge edge: the min label
+    // of the left cluster must cross the bridge and flood the right
+    val half = n / 2
+    val bridgeNodes = (0L until n.toLong).toDF("doc_id")
+    val cliqueish = (1 until half).flatMap(i =>
+      Seq((0L, i.toLong), (half.toLong, (half + i).toLong)))
+    val bridgeEdges = (cliqueish :+ ((half - 1).toLong, half.toLong))
+      .toDF("a", "b")
+    val (bl, br) =
+      operators.LlmSimilarity.connectedComponents(spark, bridgeNodes, bridgeEdges)
+    assert(bl.collect().forall(_.getLong(1) == 0L),
+      "bridged clusters must merge to label 0")
+    assert(br <= 2 * log2n, s"bridge took $br rounds (> ${2 * log2n})")
+  }
+
   test("disjoint components keep distinct minimum labels") {
     import spark.implicits._
     // two triangles + one isolated node

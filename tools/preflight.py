@@ -31,8 +31,19 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
-        if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        if os.path.exists(p) or os.path.isdir(p):
+            src = f"'{p}'" if os.path.isfile(p) else f"'{p}/*.parquet'"
+            if t == "events":
+                # original testdata: ts is parquet timestamp[ns] (DuckDB
+                # TIMESTAMP_NS); graft.Replicate scale replicas keep it as
+                # raw int64 nanos — convert to the same µs timestamp Spark's
+                # Tables.loadEvents produces
+                ty = con.sql(f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
+                ts = "make_timestamp(ts // 1000) AS ts" if ty == "BIGINT" else "ts"
+                con.sql(f"CREATE VIEW events AS SELECT event_id, {ts}, "
+                        f"user_id, event_type, value, props FROM {src}")
+            else:
+                con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
