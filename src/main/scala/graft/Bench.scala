@@ -4,9 +4,18 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // knob-matrix passes (r4 verdict item 8): inject session confs via
+    // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — e.g. spark.sql.cbo.enabled=true
+    // or AQE coalesce targets — so A/B bench runs vary ONLY the knobs
+    val extraConf: Seq[(String, String)] =
+      sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+        .flatMap(_.split(";")).filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); (k.trim, v.trim) }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder
       // same tz as Verify: interval/bucket arithmetic on NTZ timestamps
       // must agree with unix-epoch bucketing in any deployment zone
       .config("spark.sql.session.timeZone", "UTC")

@@ -20,15 +20,19 @@ import org.apache.spark.sql.types._
   *    FK (orders.o_custkey moves with customer.c_custkey, lineitem
   *    moves with orders/part/supplier, events.user_id grows the user
   *    population 10× with its %10 cohort distribution intact).
-  *  - `documents.text` in replica r > 0 is re-serialized as a
-  *    deterministic word shuffle (sort words by xxhash64(word ⊕ r)):
-  *    token/char statistics are preserved, but word-bigram shingles —
-  *    the near-dup/LSH unit — are destroyed across replicas, so each
-  *    replica contributes its own planted dup clusters instead of
-  *    every doc gaining 9 cross-replica twins (which would make
+  *  - `documents.text` in replica r > 0 gets every word suffixed with
+  *    the replica tag (`word~r`): a 1:1 word map, so bigram shingles
+  *    map 1:1 and the Jaccard of any two docs WITHIN a replica is
+  *    exactly the original value (planted exact/near-dup clusters
+  *    replicate faithfully), while cross-replica vocabularies are
+  *    disjoint — no doc gains 9 cross-replica twins (which would make
   *    candidate-pair volume superlinear and measure an artifact, not
-  *    scaling). Within a replica the same permutation is applied to
-  *    near-identical texts, so planted exact/near pairs survive.
+  *    scaling). Token counts and word-length statistics shift only by
+  *    the constant 2-char suffix. (A word-shuffle variant was tried
+  *    first and rejected: sorting every doc's words by a shared hash
+  *    puts common vocabulary into one canonical order, manufacturing
+  *    shared bigrams between unrelated docs — intra-replica candidate
+  *    volume inflated superlinearly.)
   *  - `embeddings` in replica r > 0 get one dimension nudged by r/1000
   *    (dimension chosen per vec_id): breaks exact-tie top-k ambiguity
   *    while keeping the vector distribution essentially unchanged.
@@ -97,14 +101,19 @@ object Replicate {
     }.reduce(_.unionAll(_)).write.mode("overwrite")
       .parquet(s"$dst/events.parquet")
 
+    // per-WORD rewrite, not reorder: suffixing every word with the
+    // replica tag maps word-bigram shingles 1:1, so the Jaccard of any
+    // two docs WITHIN a replica is exactly the original value (planted
+    // exact/near-dup clusters replicate faithfully) while cross-replica
+    // overlap is zero. (A word-shuffle variant was tried first and
+    // inflated intra-replica similarity superlinearly: sorting every
+    // doc's words by one hash puts shared vocabulary into one canonical
+    // order, manufacturing shared bigrams between unrelated docs.)
     shifted("documents", Seq("doc_id"), (df, r) =>
       if (r == 0) df
       else df.withColumn("text", array_join(
-        transform(
-          array_sort(transform(split(col("text"), " "),
-            w => struct(xxhash64(w, lit(r)).as("h"), w.as("w")))),
-          s => s.getField("w")),
-        " ")))
+        transform(split(col("text"), " "),
+          w => concat(w, lit(s"~$r"))), " ")))
 
     shifted("embeddings", Seq("vec_id"), (df, r) =>
       if (r == 0) df

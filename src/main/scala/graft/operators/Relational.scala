@@ -189,6 +189,37 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** The same per-brand pair aggregate as [[joinThetaRange]] WITHOUT
+    * enumerating pairs — the 100 TB formulation. The theta join's
+    * within-brand pair count grows quadratically in parts-per-brand
+    * (brand cardinality is fixed while part count scales; measured
+    * 37× wall at the 10× replica purely from pair volume), but the
+    * aggregate over those pairs is an order-statistics sum: group to
+    * (brand, size) counts, order by size, and each size contributes
+    * `cnt·c_lt` pairs and `cnt·(size·c_lt − s_lt)` total gap, where
+    * c_lt/s_lt are the strictly-smaller cumulative count / size-sum.
+    * Work drops from O(pairs) to O(distinct (brand, size)) — the
+    * window input after the groupBy is brand×|size-domain| rows. */
+  val joinThetaPrefix: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val bySize = Tables.part(s, d)
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("p_brand").orderBy("p_size")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bySize
+      .withColumn("c_lt", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("s_lt",
+        coalesce(sum(col("cnt") * col("p_size")).over(w), lit(0L)))
+      .groupBy("p_brand")
+      .agg(sum(col("cnt") * col("c_lt")).as("n_pairs"),
+        (sum(col("cnt") * (col("p_size") * col("c_lt") - col("s_lt")))
+          .cast("double") /
+          sum(col("cnt") * col("c_lt"))).as("avg_gap"))
+      .filter(col("n_pairs") > 0)
+      .orderBy("p_brand")
+  }
+
   /** Cartesian product over the two tiny dims. */
   val joinCross: QFn = (s, d) =>
     Tables.region(s, d).crossJoin(Tables.nation(s, d))
@@ -430,6 +461,7 @@ object Relational {
     "join_left_right_full" -> joinOuter,
     "join_semi_anti" -> joinSemiAnti,
     "join_theta_range" -> joinThetaRange,
+    "join_theta_prefix" -> joinThetaPrefix,
     "join_cross" -> joinCross,
     "join_asof" -> joinAsof,
     "join_asof_forward" -> joinAsofForward,
@@ -516,6 +548,13 @@ object Relational {
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
          ORDER BY jt, c_custkey""",
     "join_theta_range" ->
+      """SELECT a.p_brand AS p_brand, count(*) AS n_pairs,
+           CAST(sum(CAST(b.p_size - a.p_size AS BIGINT)) AS DOUBLE) / count(*) AS avg_gap
+         FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+         GROUP BY a.p_brand ORDER BY a.p_brand""",
+    // deliberately the NAIVE pair enumeration: the oracle verifies the
+    // prefix-sum rewrite against the pair semantics it replaces
+    "join_theta_prefix" ->
       """SELECT a.p_brand AS p_brand, count(*) AS n_pairs,
            CAST(sum(CAST(b.p_size - a.p_size AS BIGINT)) AS DOUBLE) / count(*) AS avg_gap
          FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_size < b.p_size

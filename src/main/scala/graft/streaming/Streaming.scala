@@ -175,15 +175,24 @@ object Streaming {
 
   /** Chunked replay feed (r3 verdict item 5): each addData slice is
     * one micro-batch, so the watermark advances per chunk and the
-    * harness's per-call footprint is O(chunk) ≤ 50k rows (a few MB) rather than
-    * the whole table in one block. The floor of two chunks preserves
-    * multi-batch watermark progression on small data; the cap bounds
-    * micro-batch count (per-batch RocksDB commit overhead) at ~n/50k
-    * on large data. */
+    * harness's per-call footprint stays bounded rather than the whole
+    * table in one block. The floor of two chunks preserves multi-batch
+    * watermark progression on small data.
+    *
+    * Chunk size scales with the table (≥ 50k, ≥ rows/6): a micro-batch
+    * costs a near-fixed ~8 RocksDB store commits regardless of its row
+    * count, so a fixed 50k chunk made batch COUNT — i.e. pure harness
+    * overhead — grow linearly with data (measured at the 10× replica:
+    * 20 batches per key, stream group 6.9× the sf0.1 wall). Batches
+    * should carry more data at scale, not multiply; rows/6 keeps the
+    * batch count flat while each slice stays a view into the one
+    * already-collected array (no extra driver copy). */
   private def feedChunks(stream: MemoryStream[Ev],
       q: org.apache.spark.sql.streaming.StreamingQuery,
       rows: Array[Ev], flush: Boolean): Unit = {
-    val chunk = math.min(50000, math.max(1, (rows.length + 1) / 2))
+    val chunk = math.max(
+      math.min(50000, math.max(1, (rows.length + 1) / 2)),
+      (rows.length + 5) / 6)
     val slices = rows.grouped(chunk).toSeq
     slices.zipWithIndex.foreach { case (slice, i) =>
       // sentinel 1 rides WITH the last data chunk (r4 verdict item 4:
