@@ -72,12 +72,24 @@ def main():
                 detail = []
                 for c in bad[:4]:
                     if np.issubdtype(a[c].dtype, np.number):
-                        d = (a[c].astype(float) - b[c].astype(float)).abs().max()
+                        av = a[c].astype(float)
+                        bv = b[c].astype(float)
+                        d = (av - bv).abs().max()
+                        # PREFLIGHT_REL_TOL: opt-in relative tolerance for
+                        # scale-replica DIAGNOSTICS only (decimal-multiply
+                        # rounding diverges ulp-scale across engines once
+                        # sums reach ~2^34; the driver gate and the default
+                        # here stay exact-compare). Never set for the t2 gate.
+                        rt = float(os.environ.get("PREFLIGHT_REL_TOL", "0"))
+                        if rt and np.allclose(av, bv, rtol=rt, atol=0,
+                                              equal_nan=True):
+                            continue
                         detail.append(f"{c} maxdiff={d}")
                     else:
                         i = (a[c].astype(str) != b[c].astype(str)).idxmax()
                         detail.append(f"{c} first diff row {i}: {a[c][i]!r} vs {b[c][i]!r}")
-                problems.append("values: " + "; ".join(detail))
+                if detail:
+                    problems.append("values: " + "; ".join(detail))
         if problems:
             print(f"FAIL {name}: " + " | ".join(problems))
             n_fail += 1
