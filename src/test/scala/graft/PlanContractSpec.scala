@@ -69,6 +69,19 @@ class PlanContractSpec extends SparkTestBase {
     }
   }
 
+  test("join_range_bucketed: bucket join is a shuffled merge, never a broadcast build") {
+    // r5 knob matrix: the size estimator prices the exploded-distinct
+    // orders side (2×|orders| rows) below the broadcast threshold and
+    // builds a BroadcastHashJoin on it — un-broadcastable at scale.
+    // The explicit merge hint pins the shuffled plan; this contract
+    // keeps it pinned.
+    val p = executed(operators.Extras2.joinRangeBucketed(spark, sf))
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      s"bucket join reverted to a broadcast build side:\n$p")
+    assert(p.contains("SortMergeJoin"),
+      s"expected the hinted shuffled merge join:\n$p")
+  }
+
   test("llm_exact_dedup: one shuffle-exchange total (hash + row_number share it)") {
     val p = executed(operators.LlmText.llmExactDedup(spark, sf))
     val n = "Exchange hashpartitioning".r.findAllIn(p).length
