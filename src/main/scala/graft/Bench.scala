@@ -73,7 +73,6 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"n":$nRuns,"failed":$fs,"sf":"$sfDir"}"""
-    println(json)
     // durable copy: the round-2 driver artifact lost its tail to stdout
     // truncation — persist the full per-key JSON alongside the repo too.
     // Default is cwd-relative so a foreign checkout doesn't crash on a
@@ -81,6 +80,12 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")),
       json.getBytes("UTF-8"))
+    // stop Spark FIRST, print LAST: round 5's artifact captured an
+    // unparseable payload — with executor/streaming threads down,
+    // nothing can interleave with this line and it is the final
+    // program output on stdout
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -36,8 +36,9 @@ import org.apache.spark.sql.types._
   *  - `embeddings` in replica r > 0 get one dimension nudged by r/1000
   *    (dimension chosen per vec_id): breaks exact-tie top-k ambiguity
   *    while keeping the vector distribution essentially unchanged.
-  *  - `events.ts` is kept as raw int64 nanoseconds (the physical shape
-  *    [[Tables.loadEvents]] reads); everything else round-trips
+  *  - `events.ts` is written as TimestampNTZ µs — the same footer
+  *    shape as the driver testdata, so replicas take the identical
+  *    [[Tables.loadEvents]] branch; everything else round-trips
   *    through the [[Tables.schemas]] contract types unchanged.
   */
 object Replicate {
@@ -91,10 +92,13 @@ object Replicate {
     shifted("orders", Seq("o_orderkey", "o_custkey"))
     shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
 
-    // events: raw int64-nanos ts (same physical shape loadEvents reads)
-    val evRaw = StructType(Tables.schemas("events").fields.map(f =>
-      if (f.name == "ts") StructField("ts", LongType) else f))
-    val ev = spark.read.schema(evRaw).parquet(s"$src/events.parquet")
+    // events: load through the unit-adaptive [[Tables.loadEvents]] and
+    // write ts as TimestampNTZ µs — the exact footer shape the driver
+    // testdata carries — so the replica round-trips through the same
+    // loadEvents branch as the original (raw-int64 replicas broke the
+    // moment the testdata's ts unit changed underneath them)
+    val ev = Tables.events(spark, src)
+      .withColumn("ts", col("ts").cast(TimestampNTZType))
     (0 until factor).map { r =>
       ev.withColumn("event_id", col("event_id") + lit(r * KeyStride))
         .withColumn("user_id", col("user_id") + lit(r * UserStride))

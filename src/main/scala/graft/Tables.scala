@@ -107,29 +107,95 @@ object Tables {
     if (name == "events") loadEvents(spark, sfDir)
     else spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet `timestamp[ns]`, which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via
-    * `spark.sql.legacy.parquet.nanosAsLong` and truncate to µs
-    * (`ts div 1000` — floor for the positive epoch values here),
-    * matching what DuckDB produces under `CAST(ts AS TIMESTAMP)` (µs)
-    * so oracle hashes agree.
+  /** `events.ts` has shipped as parquet `timestamp[ns]` (rejected by
+    * Spark's vectorized reader, [PARQUET_TYPE_ILLEGAL]) in some
+    * generations of the testdata and `timestamp[us]` (NTZ) in others —
+    * the round-5 regeneration silently flipped ns → µs and a
+    * hard-coded `ts div 1000` then compressed every timestamp 1000×,
+    * breaking all 28 events-time keys. So the unit is now read from
+    * the parquet FOOTER (one driver-side file-metadata read, memoized
+    * per directory — no Spark job, so the PlanAudit construction guard
+    * stays clean) and each physical shape maps to the same logical
+    * column: µs-precision `TimestampType` rendering identically to
+    * DuckDB's `TIMESTAMP` under the UTC session zone all entry points
+    * set.
     *
-    * The conf must be set AT SESSION CONSTRUCTION (all entry points —
-    * Verify/Bench/Profile/PlanAudit/SparkTestBase — do): it is consulted
-    * again at execution time, so a set-and-restore around this read
-    * would break the scan, and a hidden permanent set here would leak
-    * nanos-as-longs into every later parquet read of the session. */
+    * ns files still need `spark.sql.legacy.parquet.nanosAsLong=true`
+    * AT SESSION CONSTRUCTION (all entry points set it): it is
+    * consulted again at execution time, so a set-and-restore around
+    * this read would break the scan, and a hidden permanent set here
+    * would leak nanos-as-longs into every later parquet read. */
   private def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is timestamp[ns]: set spark.sql.legacy.parquet.nanosAsLong=true at session build")
-    // explicit RAW schema (ts is int64 nanos pre-conversion) — same
-    // no-inference-job rationale as [[load]]
-    val raw = StructType(schemas("events").fields.map(f =>
-      if (f.name == "ts") StructField("ts", LongType) else f))
-    spark.read.schema(raw).parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val path = s"$sfDir/events.parquet"
+    def withTs(t: DataType) = StructType(schemas("events").fields.map(f =>
+      if (f.name == "ts") StructField("ts", t) else f))
+    val ordered = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    eventsTsShape(spark, path) match {
+      case TsShape("NANOS", _) =>
+        require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+          "events.parquet is timestamp[ns]: set spark.sql.legacy.parquet.nanosAsLong=true at session build")
+        spark.read.schema(withTs(LongType)).parquet(path)
+          // truncate nanos → µs (floor for the positive epoch values
+          // here), matching DuckDB's CAST(ts AS TIMESTAMP)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .select(ordered.map(col): _*)
+      case TsShape(_, true) =>
+        // µs/ms, isAdjustedToUTC=true (e.g. Spark-written sinks):
+        // already the contract type, read directly
+        spark.read.schema(schemas("events")).parquet(path)
+      case TsShape("INT64", _) =>
+        // bare int64 (a Replicate output predating its typed-ts fix):
+        // by construction those longs are the µs this loader produced
+        spark.read.schema(withTs(LongType)).parquet(path)
+          .withColumn("ts", expr("timestamp_micros(ts)"))
+          .select(ordered.map(col): _*)
+      case TsShape(_, false) =>
+        // µs/ms NTZ (current driver testdata): wall-clock values ARE
+        // the UTC instants — reinterpret via cast under the UTC zone
+        spark.read.schema(withTs(TimestampNTZType)).parquet(path)
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .select(ordered.map(col): _*)
+    }
   }
+
+  /** Physical shape of the `ts` column: parquet TIMESTAMP unit name
+    * ("NANOS"/"MICROS"/"MILLIS") or "INT64" for an unannotated long,
+    * plus the isAdjustedToUTC flag. */
+  private case class TsShape(unit: String, adjustedToUTC: Boolean)
+
+  private val tsShapes =
+    scala.collection.concurrent.TrieMap.empty[String, TsShape]
+
+  /** Footer probe for [[loadEvents]]: reads ONE file's parquet footer
+    * through the Hadoop API on the driver (no Spark job, no listing of
+    * the whole directory beyond one `listStatus`). At 100 TB this is
+    * the same O(1) metadata read a catalog would serve; memoized per
+    * path so repeated query construction never re-reads it. */
+  private def eventsTsShape(spark: SparkSession, path: String): TsShape =
+    tsShapes.getOrElseUpdate(path, {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(path)
+      val fs = root.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+        else root
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val ts = schema.getType(schema.getFieldIndex("ts"))
+        ts.asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation =>
+            TsShape(t.getUnit.toString, t.isAdjustedToUTC)
+          case _ => TsShape("INT64", adjustedToUTC = false)
+        }
+      } finally reader.close()
+    })
 
   /** Load with schema validation: fails fast if the parquet footer has
     * drifted from the contract (names + types, ignoring nullability). */

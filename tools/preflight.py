@@ -34,12 +34,12 @@ def main():
         if os.path.exists(p) or os.path.isdir(p):
             src = f"'{p}'" if os.path.isfile(p) else f"'{p}/*.parquet'"
             if t == "events":
-                # original testdata: ts is parquet timestamp[ns] (DuckDB
-                # TIMESTAMP_NS); graft.Replicate scale replicas keep it as
-                # raw int64 nanos — convert to the same µs timestamp Spark's
-                # Tables.loadEvents produces
+                # ts unit varies by testdata generation: timestamp[ns]
+                # (DuckDB TIMESTAMP_NS), timestamp[us], or a bare int64 of
+                # µs from a pre-fix graft.Replicate output — normalize all
+                # to the µs timestamp Spark's Tables.loadEvents produces
                 ty = con.sql(f"SELECT typeof(ts) FROM {src} LIMIT 1").fetchone()[0]
-                ts = "make_timestamp(ts // 1000) AS ts" if ty == "BIGINT" else "ts"
+                ts = "make_timestamp(ts) AS ts" if ty == "BIGINT" else "ts"
                 con.sql(f"CREATE VIEW events AS SELECT event_id, {ts}, "
                         f"user_id, event_type, value, props FROM {src}")
             else:
