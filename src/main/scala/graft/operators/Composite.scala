@@ -95,10 +95,50 @@ object Composite {
       .limit(100)
   }
 
+  /** TPC-H Q5 shape — local supplier volume: revenue from lineitems
+    * where the ordering customer and the supplier sit in the SAME
+    * nation, for one region and one order year, grouped per nation.
+    * The deepest join pipeline in the registry (6 tables): the one
+    * fact-fact shuffle is lineitem ⋈ orders on the order key;
+    * supplier (|S| ≪ |L| at every scale), nation and region are
+    * broadcast; the same-nation constraint rides the supplier join as
+    * an extra equi-key (c_nationkey = s_nationkey) rather than a
+    * post-join filter, so it prunes DURING the probe. Customer joins
+    * on c_custkey against the already-shuffled fact side — AQE picks
+    * broadcast while the filtered dim fits, plain shuffle join beyond
+    * that; nothing in the plan pins a build side that could not be
+    * built at 100 TB. */
+  val q5LocalSupplierVolume: QFn = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(s, d)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val reg = Tables.region(s, d)
+      .filter(col("r_name") === "ASIA").select("r_regionkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "q3_shipping_priority" -> q3ShippingPriority,
     "q10_returned_items" -> q10ReturnedItems,
-    "q18_large_orders" -> q18LargeOrders)
+    "q18_large_orders" -> q18LargeOrders,
+    "q5_local_supplier_volume" -> q5LocalSupplierVolume)
 
   val oracles: Seq[(String, String)] = Seq(
     "q3_shipping_priority" ->
@@ -132,5 +172,20 @@ object Composite {
           JOIN orders ON l_orderkey = o_orderkey
           JOIN customer ON o_custkey = c_custkey
           WHERE total_qty > 150.0
-          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q5_local_supplier_volume" ->
+      s"""SELECT n_name,
+            ${sqlSum4("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+            AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1
+          ORDER BY revenue DESC, n_name""")
 }
