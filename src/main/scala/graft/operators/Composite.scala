@@ -134,11 +134,51 @@ object Composite {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q7 shape — volume shipping: yearly revenue flowing in BOTH
+    * directions between two nations (supplier in one, customer in the
+    * other). The nation-pair constraint is an OR of two conjunctions
+    * over two DIFFERENT broadcast copies of the nation dim — the plan
+    * shape that catches an optimizer treating dim aliases as one
+    * relation. Both nation joins broadcast (25 rows at any scale);
+    * the OR pair filter evaluates after both names are attached, on
+    * rows already cut to the two nations by per-side IN filters that
+    * DO push into the joins. Year comes off the shipdate inside the
+    * aggregation — no pre-join projection is lost. */
+  val q7VolumeShipping: QFn = (s, d) => {
+    val pair = Seq("NATION_3", "NATION_7")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n1 = Tables.nation(s, d)
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d)
+      .filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "q3_shipping_priority" -> q3ShippingPriority,
     "q10_returned_items" -> q10ReturnedItems,
     "q18_large_orders" -> q18LargeOrders,
-    "q5_local_supplier_volume" -> q5LocalSupplierVolume)
+    "q5_local_supplier_volume" -> q5LocalSupplierVolume,
+    "q7_volume_shipping" -> q7VolumeShipping)
 
   val oracles: Seq[(String, String)] = Seq(
     "q3_shipping_priority" ->
@@ -187,5 +227,22 @@ object Composite {
             AND o_orderdate >= TIMESTAMP '1997-01-01'
             AND o_orderdate < TIMESTAMP '1998-01-01'
           GROUP BY 1
-          ORDER BY revenue DESC, n_name""")
+          ORDER BY revenue DESC, n_name""",
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+            CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+            ${sqlSum4("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          WHERE n1.n_name IN ('NATION_3', 'NATION_7')
+            AND n2.n_name IN ('NATION_3', 'NATION_7')
+            AND n1.n_name <> n2.n_name
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1, 2, 3
+          ORDER BY 1, 2, 3""")
 }
