@@ -30,6 +30,50 @@ object LlmText {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
 
+  /** Span-level exact dedup (the C4/RefinedWeb step BETWEEN doc-level
+    * exact dedup and MinHash near-dup, ExactSubstr-lite): each doc is
+    * cut into fixed 16-word spans, every span keeps only its GLOBAL
+    * first occurrence (first by (doc_id, span_id) — deterministic
+    * total order), and docs are reassembled from their surviving
+    * spans. A doc duplicated wholesale loses every span; a doc that
+    * merely quotes a boilerplate block loses just that block.
+    *
+    * Scale shape: posexplode → one wide shuffle partitioned BY THE
+    * SPAN TEXT for the first-occurrence window (high-cardinality key,
+    * shards evenly; the window per span is a few rows), then one
+    * groupBy(doc_id) to reassemble — O(spans) end to end, no
+    * collect, both shuffles on keys that grow with the data. */
+  val llmSpanDedup: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val SpanW = 16
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(SpanW))))
+      .withColumnRenamed("pos", "span_id")
+      .withColumn("span_text",
+        array_join(slice(col("toks"), col("col") + 1, lit(SpanW)), " "))
+      .filter(col("span_text") =!= "")
+      .select("doc_id", "span_id", "span_text")
+    val w = Window.partitionBy("span_text").orderBy("doc_id", "span_id")
+    spans
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("rn") === 1,
+            struct(col("span_id"), col("span_text"))))),
+          x => x.getField("span_text")), " ").as("joined"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        count(when(col("rn") > 1, 1)).as("n_dropped"))
+      .select(col("doc_id"),
+        when(col("n_kept") === 0, lit(null).cast("string"))
+          .otherwise(col("joined")).as("clean_text"),
+        col("n_kept"), col("n_dropped"))
+      .orderBy("doc_id")
+  }
+
   /** Token counting: whitespace tokens, regex word-ish tokens (a
     * BPE-ish `[a-z]+|[0-9]+|punct` split), chars, and the chars/4
     * LLM-token heuristic. */
@@ -538,6 +582,7 @@ object LlmText {
     "llm_pack_sequences" -> llmPackSequences,
     "llm_interleave_sources" -> llmInterleaveSources,
     "llm_exact_dedup" -> llmExactDedup,
+    "llm_span_dedup" -> llmSpanDedup,
     "llm_token_count" -> llmTokenCount,
     "llm_text_stats" -> llmTextStats,
     "llm_tfidf" -> llmTfidf,
@@ -652,6 +697,26 @@ object LlmText {
                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank_in_source
              FROM documents))
          WHERE position <= 200 ORDER BY position""",
+    "llm_span_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         sp AS (
+           SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 16)) AS start
+           FROM t),
+         spans AS (
+           SELECT doc_id, CAST(start // 16 AS INT) AS span_id,
+             array_to_string(toks[start + 1 : start + 16], ' ') AS span_text
+           FROM sp
+           WHERE array_to_string(toks[start + 1 : start + 16], ' ') <> ''),
+         r AS (
+           SELECT doc_id, span_id, span_text,
+             row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_id) AS rn
+           FROM spans)
+         SELECT doc_id,
+           string_agg(span_text, ' ' ORDER BY span_id) FILTER (WHERE rn = 1) AS clean_text,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           count(*) FILTER (WHERE rn > 1) AS n_dropped
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
     "llm_exact_dedup" ->
       """SELECT sha256(lower(trim(text))) AS h,
            min(doc_id) AS keep_id, count(*) AS n_copies
