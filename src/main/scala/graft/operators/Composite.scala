@@ -173,12 +173,58 @@ object Composite {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q8 shape — national market share: of all PROMO-part revenue
+    * sold into one customer region per order year, the fraction
+    * supplied from one nation. The widest join in the registry
+    * (7 tables, lineitem ⋈ orders the only fact-fact shuffle; part
+    * filtered-then-broadcast, supplier/nation×2/region broadcast) and
+    * the conditional-share aggregation on top: numerator and
+    * denominator are both exact decimal sums over the SAME rows
+    * (sum(CASE nation THEN volume END) / sum(volume)), so the share
+    * needs no second pass and no join of two aggregates — one grouped
+    * aggregation, map-side partials, then a single IEEE division that
+    * both engines compute identically. */
+  val q8MarketShare: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val prt = Tables.part(s, d)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val cnat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val reg = Tables.region(s, d)
+      .filter(col("r_name") === "EUROPE").select("r_regionkey")
+    val snat = Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cnat), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(snat), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        (dsum4(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0.0))) /
+          dsum4(vol)).as("mkt_share"),
+        dsum4(vol).as("total_volume"))
+      .orderBy("o_year")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "q3_shipping_priority" -> q3ShippingPriority,
     "q10_returned_items" -> q10ReturnedItems,
     "q18_large_orders" -> q18LargeOrders,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
-    "q7_volume_shipping" -> q7VolumeShipping)
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q8_market_share" -> q8MarketShare)
 
   val oracles: Seq[(String, String)] = Seq(
     "q3_shipping_priority" ->
@@ -244,5 +290,24 @@ object Composite {
             AND l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate < TIMESTAMP '1998-01-01'
           GROUP BY 1, 2, 3
-          ORDER BY 1, 2, 3""")
+          ORDER BY 1, 2, 3""",
+    "q8_market_share" ->
+      s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+            ${sqlSum4("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+              / ${sqlSum4("l_extendedprice * (1 - l_discount)")} AS mkt_share,
+            ${sqlSum4("l_extendedprice * (1 - l_discount)")} AS total_volume
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE p_type = 'PROMO'
+            AND r_name = 'EUROPE'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1
+          ORDER BY 1""")
 }
