@@ -19,7 +19,10 @@ object Bench {
       // same tz as Verify: interval/bucket arithmetic on NTZ timestamps
       // must agree with unix-epoch bucketing in any deployment zone
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet timestamp[ns] — see Tables.loadEvents
+      // Tables.loadEvents probes the footer for the ts unit; this conf
+      // only matters when that probe finds timestamp[ns] (it must be
+      // set at session build — see the loadEvents scaladoc) and is a
+      // no-op for the µs/ms shapes current testdata ships
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // managed tables (bucketed-join keys) live in tmp, not the repo
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
@@ -36,14 +39,36 @@ object Bench {
     val only: Option[Set[String]] =
       args.headOption.orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
         .map(_.split(",").toSet)
+    // Per-run telemetry (r6 verdict #1): three of six rounds ended in
+    // a perf dispute over an official artifact that could not defend
+    // itself against ambient machine load. Each run now records its
+    // epoch timestamp, the 1-min loadavg before/after, and the JVM GC
+    // ms delta — enough for anyone reading the artifact to adjudicate
+    // "code regression" vs "co-running load" without a re-run: a noisy
+    // neighbor shows up as loadavg ≫ allocated cores with flat GC; a
+    // real regression reproduces at loadavg ≈ cores.
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
+    case class Run(sec: Double, ok: Boolean, epoch: Long,
+                   load0: Double, load1: Double, gcDeltaMs: Long)
+    val benchStart = System.currentTimeMillis()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        // (seconds, succeeded) per run: a failed run's wall time must
-        // not win the best-of-n (a fast crash would otherwise report
-        // a nonsense "best" for a key that is also listed in failed)
+        // a failed run's wall time must not win the best-of-n (a fast
+        // crash would otherwise report a nonsense "best" for a key
+        // that is also listed in failed)
         val runs = (1 to nRuns).map { _ =>
+          val epoch = System.currentTimeMillis()
+          val l0 = loadAvg(); val g0 = gcMs()
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
@@ -54,25 +79,32 @@ object Bench {
               }
               false
             }
-          ((System.nanoTime() - t0) / 1e9, ok)
+          Run((System.nanoTime() - t0) / 1e9, ok, epoch, l0, loadAvg(), gcMs() - g0)
         }
         // a key with zero successful runs has no meaningful "best":
         // emit null and keep it out of the headline total (r4 ADVICE —
         // a fast crash was summed in and understated the metric)
-        val good = runs.collect { case (t, true) => t }
-        val best: Option[Double] = if (good.nonEmpty) Some(good.min) else None
-        (name, best, runs.map(_._1))
+        val good = runs.collect { case r if r.ok => r.sec }.sorted
+        val best: Option[Double] = good.headOption
+        val median: Option[Double] =
+          if (good.isEmpty) None else Some(good(good.size / 2))
+        (name, best, median, runs)
       }
-    val qs = results.map { case (k, best, _) =>
-      s"\"" + k + "\":" + best.fold("null")(_.toString) }
-      .mkString("{", ",", "}")
-    val rs = results.map { case (k, _, ts) =>
-      s"\"" + k + "\":" + ts.mkString("[", ",", "]") }
-      .mkString("{", ",", "}")
+    def keyed(f: ((String, Option[Double], Option[Double], Seq[Run])) => String) =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    val qs = keyed(_._2.fold("null")(_.toString))
+    val ms = keyed(_._3.fold("null")(_.toString))
+    val rs = keyed(_._4.map(_.sec).mkString("[", ",", "]"))
+    val tele = keyed(_._4.map(r =>
+      s"""{"epoch_ms":${r.epoch},"load_before":${r.load0},"load_after":${r.load1},"gc_delta_ms":${r.gcDeltaMs}}""")
+      .mkString("[", ",", "]"))
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+    val totalMedian = results.flatMap(_._3).sum
+    val env =
+      s"""{"cpus":"$cpus","start_epoch_ms":$benchStart,"end_epoch_ms":${System.currentTimeMillis()},"load_end":${loadAvg()},"gc_total_ms":${gcMs()}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"n":$nRuns,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"queries":$qs,"medians":$ms,"runs":$rs,"telemetry":$tele,"env":$env,"n":$nRuns,"failed":$fs,"sf":"$sfDir"}"""
     // durable copy: the round-2 driver artifact lost its tail to stdout
     // truncation — persist the full per-key JSON alongside the repo too.
     // Default is cwd-relative so a foreign checkout doesn't crash on a

@@ -143,11 +143,21 @@ object Tables {
         // µs/ms, isAdjustedToUTC=true (e.g. Spark-written sinks):
         // already the contract type, read directly
         spark.read.schema(schemas("events")).parquet(path)
-      case TsShape("INT64", _) =>
-        // bare int64 (a Replicate output predating its typed-ts fix):
-        // by construction those longs are the µs this loader produced
+      case TsShape("INT64_US", _) =>
+        // bare int64 in the epoch-µs magnitude range (a Replicate
+        // output predating its typed-ts fix). Bare INT64 is ambiguous
+        // by annotation, so the probe classified it from the footer's
+        // column statistics — see eventsTsShape (r6 ADVICE: an ns-era
+        // raw-long replica read as µs would be 1000× inflated while
+        // the oracle stayed green).
         spark.read.schema(withTs(LongType)).parquet(path)
           .withColumn("ts", expr("timestamp_micros(ts)"))
+          .select(ordered.map(col): _*)
+      case TsShape("INT64_NS", _) =>
+        // bare int64 in the epoch-ns magnitude range (ns-era raw-long
+        // replica): truncate to µs like the annotated-NANOS branch
+        spark.read.schema(withTs(LongType)).parquet(path)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           .select(ordered.map(col): _*)
       case TsShape(_, false) =>
         // µs/ms NTZ (current driver testdata): wall-clock values ARE
@@ -159,43 +169,79 @@ object Tables {
   }
 
   /** Physical shape of the `ts` column: parquet TIMESTAMP unit name
-    * ("NANOS"/"MICROS"/"MILLIS") or "INT64" for an unannotated long,
-    * plus the isAdjustedToUTC flag. */
+    * ("NANOS"/"MICROS"/"MILLIS"), or "INT64_US"/"INT64_NS" for an
+    * unannotated long classified by magnitude (below), plus the
+    * isAdjustedToUTC flag. */
   private case class TsShape(unit: String, adjustedToUTC: Boolean)
 
   private val tsShapes =
-    scala.collection.concurrent.TrieMap.empty[String, TsShape]
+    scala.collection.concurrent.TrieMap.empty[(String, Long, Long), TsShape]
 
   /** Footer probe for [[loadEvents]]: reads ONE file's parquet footer
     * through the Hadoop API on the driver (no Spark job, no listing of
     * the whole directory beyond one `listStatus`). At 100 TB this is
-    * the same O(1) metadata read a catalog would serve; memoized per
-    * path so repeated query construction never re-reads it. */
-  private def eventsTsShape(spark: SparkSession, path: String): TsShape =
-    tsShapes.getOrElseUpdate(path, {
-      import org.apache.hadoop.fs.Path
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-      val conf = spark.sessionState.newHadoopConf()
-      val root = new Path(path)
-      val fs = root.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
-        else root
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    * the same O(1) metadata read a catalog would serve. Memoized per
+    * (file path, mtime, length) — NOT per directory — so a long-lived
+    * JVM that spans a testdata regeneration flipping the unit re-probes
+    * instead of silently reusing a stale shape (r6 ADVICE; the listing
+    * itself is re-done every call, it is one driver-side RPC).
+    *
+    * Bare INT64 (no timestamp annotation — a pre-fix Replicate output)
+    * is ambiguous by annotation, so it is classified from the footer's
+    * ts column statistics: epoch-2024 values are ~1.7e15 in µs and
+    * ~1.7e18 in ns — three orders of magnitude apart, unmistakable.
+    * Anything outside both windows fails fast and asks for replica
+    * regeneration rather than guessing (r6 ADVICE: a silent wrong
+    * guess keeps the oracle green while time semantics degenerate). */
+  private def eventsTsShape(spark: SparkSession, path: String): TsShape = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val status = {
+      val rootStatus = fs.getFileStatus(root)
+      if (rootStatus.isDirectory) {
+        val parts = fs.listStatus(root)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        require(parts.nonEmpty,
+          s"no parquet files under $path — partial/failed write? regenerate the dataset")
+        parts.minBy(_.getPath.getName)
+      } else rootStatus
+    }
+    val key = (status.getPath.toString, status.getModificationTime, status.getLen)
+    tsShapes.getOrElseUpdate(key, {
+      val reader =
+        ParquetFileReader.open(HadoopInputFile.fromPath(status.getPath, conf))
       try {
-        val schema = reader.getFooter.getFileMetaData.getSchema
+        val footer = reader.getFooter
+        val schema = footer.getFileMetaData.getSchema
         val ts = schema.getType(schema.getFieldIndex("ts"))
         ts.asPrimitiveType().getLogicalTypeAnnotation match {
           case t: TimestampLogicalTypeAnnotation =>
             TsShape(t.getUnit.toString, t.isAdjustedToUTC)
-          case _ => TsShape("INT64", adjustedToUTC = false)
+          case _ =>
+            val maxTs: Long = footer.getBlocks.asScala.headOption
+              .flatMap(_.getColumns.asScala.find(_.getPath.toDotString == "ts"))
+              .map(_.getStatistics.genericGetMax match {
+                case l: java.lang.Long => l.longValue()
+                case other => sys.error(s"unexpected ts stats type: $other")
+              })
+              .getOrElse(sys.error(s"no ts column statistics in $path footer"))
+            // epoch seconds ~1.7e9, ms ~1.7e12, µs ~1.7e15, ns ~1.7e18:
+            // accept the µs and ns windows, reject everything else
+            if (maxTs > 1e17.toLong) TsShape("INT64_NS", adjustedToUTC = false)
+            else if (maxTs > 1e14.toLong) TsShape("INT64_US", adjustedToUTC = false)
+            else sys.error(
+              s"bare-int64 events ts in $path has max=$maxTs — neither epoch-µs " +
+              "nor epoch-ns magnitude; regenerate the replica with a typed ts")
         }
       } finally reader.close()
     })
+  }
 
   /** Load with schema validation: fails fast if the parquet footer has
     * drifted from the contract (names + types, ignoring nullability). */

@@ -99,15 +99,15 @@ object Composite {
     * where the ordering customer and the supplier sit in the SAME
     * nation, for one region and one order year, grouped per nation.
     * The deepest join pipeline in the registry (6 tables): the one
-    * fact-fact shuffle is lineitem ⋈ orders on the order key;
-    * supplier (|S| ≪ |L| at every scale), nation and region are
-    * broadcast; the same-nation constraint rides the supplier join as
-    * an extra equi-key (c_nationkey = s_nationkey) rather than a
-    * post-join filter, so it prunes DURING the probe. Customer joins
-    * on c_custkey against the already-shuffled fact side — AQE picks
-    * broadcast while the filtered dim fits, plain shuffle join beyond
-    * that; nothing in the plan pins a build side that could not be
-    * built at 100 TB. */
+    * fact-fact shuffle is lineitem ⋈ orders on the order key; nation
+    * and region are broadcast (25 / 5 rows at ANY scale); the
+    * same-nation constraint rides the supplier join as an extra
+    * equi-key (c_nationkey = s_nationkey) rather than a post-join
+    * filter, so it prunes DURING the probe. Supplier and customer are
+    * SF-proportional, so neither carries a broadcast hint — AQE picks
+    * broadcast while the dim fits under the threshold, plain shuffle
+    * join beyond that; nothing in the plan pins a build side that
+    * could not be built at 100 TB. */
   val q5LocalSupplierVolume: QFn = (s, d) => {
     val ord = Tables.orders(s, d)
       .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
@@ -123,7 +123,7 @@ object Composite {
       .filter(col("r_name") === "ASIA").select("r_regionkey")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
@@ -140,6 +140,7 @@ object Composite {
     * over two DIFFERENT broadcast copies of the nation dim — the plan
     * shape that catches an optimizer treating dim aliases as one
     * relation. Both nation joins broadcast (25 rows at any scale);
+    * supplier is SF-proportional so it is left unhinted for AQE;
     * the OR pair filter evaluates after both names are attached, on
     * rows already cut to the two nations by per-side IN filters that
     * DO push into the joins. Year comes off the shipdate inside the
@@ -162,7 +163,7 @@ object Composite {
       .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
       .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
       .filter(col("supp_nation") =!= col("cust_nation"))
@@ -177,7 +178,8 @@ object Composite {
     * sold into one customer region per order year, the fraction
     * supplied from one nation. The widest join in the registry
     * (7 tables, lineitem ⋈ orders the only fact-fact shuffle; part
-    * filtered-then-broadcast, supplier/nation×2/region broadcast) and
+    * filtered-then-broadcast, nation×2/region broadcast, supplier
+    * unhinted for AQE — it is SF-proportional) and
     * the conditional-share aggregation on top: numerator and
     * denominator are both exact decimal sums over the SAME rows
     * (sum(CASE nation THEN volume END) / sum(volume)), so the share
@@ -208,7 +210,7 @@ object Composite {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(cnat), col("c_nationkey") === col("cn_key"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(snat), col("s_nationkey") === col("sn_key"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(

@@ -28,7 +28,9 @@ class SpanDedupSpec extends SparkTestBase {
       StructField("n_chars", LongType)))
     val rows = docs.map { case (id, t) =>
       Row(id, t, "en", "spec", t.length.toLong) }
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_span_spec"
+    // appId-suffixed via sinkPath so two concurrent JVMs running the
+    // suite never interleave overwrite-writes into one directory
+    val dir = Tables.sinkPath(spark, "span_spec_docs", "span_spec")
     spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 2), schema)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
