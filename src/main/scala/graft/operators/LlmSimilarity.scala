@@ -187,24 +187,24 @@ object LlmSimilarity {
     * This is exactly how a 100 TB IVF index deploys on a data lake:
     * list = partition, probe = partition-pruned scan. */
   /** Written-layout memo: the cluster-partitioned parquet layout is a
-    * deterministic function of (dataset, quantizer), and the quantizer
-    * is itself memoized — so write it once per (session, dataset) and
-    * re-probe the same files after, exactly like a deployed IVF index
-    * (built offline, probed many times). */
-  private val ivfLayoutDone =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
-
+    * deterministic function of (dataset CONTENT, quantizer), and the
+    * quantizer is itself content-memoized — so the layout is written
+    * once PER MACHINE ([[IndexStore.cachedDir]]: built into a tmp dir,
+    * atomically renamed into place, keyed by the embeddings table's
+    * content fingerprint) and every later session re-probes the same
+    * files, exactly like a deployed IVF index (built offline, probed
+    * many times). r6 verdict #2: the previous (session, dataset) key
+    * rebuilt the layout every fresh session. */
   val llmKnnIvfPruned: QFn = (s, d) => {
     val (kk, nProbe, iters) = (IvfK, IvfNProbe, 6)
     val emb = Tables.embeddings(s, d)
     val cents = ivfQuantizer(s, d, kk, iters)
-    val path = ivfLayoutDone.computeIfAbsent((s.sparkContext.applicationId, d), _ => {
-      val p = Tables.sinkPath(s, d, "ivf_layout")
+    val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
+    val path = graft.IndexStore.cachedDir(s"ivf_layout_v1_${fp}_${kk}_$iters") { tmp =>
       ivfNearest(cents, emb, "embedding", "vec_id", 1)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
-        .write.mode("overwrite").partitionBy("cluster").parquet(p)
-      p
-    })
+        .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    }
     val probes = ivfProbes(cents, emb, nProbe)
     // the probe batch's list set: ≤ 5 probes × nProbe ids of driver
     // state — the only thing that leaves the cluster
@@ -261,47 +261,57 @@ object LlmSimilarity {
     // same math (7.2 s → ~2.5 s at sf0.1); exact integer means keep
     // the result executor-count-invariant like Clustering.kmeansOn.
     val subvAll = subvectors(emb, "vec_id")
-    // seeds: the same deterministic arithmetic subsample, sliced
-    // same empty-subsample fallback as Clustering.kmeansOn: a corpus
-    // smaller than the stride must still seed the codebook
-    val seedVecs = {
-      val sub = emb.filter(pmod(col("vec_id"), lit(17)) === 3)
-        .orderBy("vec_id").limit(codes).select("embedding").collect()
-      if (sub.nonEmpty) sub
-      else emb.orderBy("vec_id").limit(codes).select("embedding").collect()
-    }
-    require(seedVecs.nonEmpty, "PQ: empty corpus — cannot seed codebooks")
-    var cents: Array[(Int, Int, Array[Double])] = seedVecs
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      .zipWithIndex.flatMap { case (v, code) =>
-        (0 until m).map(sub => (sub, code, v.slice(sub * dsub, (sub + 1) * dsub)))
-      }
     val wAsg = Window.partitionBy("vec_id", "sub").orderBy("d2", "code")
-    def assign(): DataFrame =
-      subvAll.join(broadcast(cents.toSeq.toDF("sub", "code", "cvec")), Seq("sub"))
+    def assignWith(books: Array[(Int, Int, Array[Double])]): DataFrame =
+      subvAll.join(broadcast(books.toSeq.toDF("sub", "code", "cvec")), Seq("sub"))
         .withColumn("d2", graft.functions.SqEuclidFD(col("sv"), col("cvec")))
         .withColumn("rk", row_number().over(wAsg)).filter(col("rk") === 1)
-    (0 until 3).foreach { _ =>
-      val next = cents.map { case (s0, c0, v) => ((s0, c0), v.clone) }.toMap
-      assign()
-        .select(col("sub"), col("code"), posexplode(col("sv")))
-        .select(col("sub"), col("code"), col("pos"),
-          floor(col("col").cast("double") * 1000000.0).cast("long").as("q"))
-        .groupBy("sub", "code", "pos")
-        .agg(sum("q").as("sq"), count(lit(1)).as("n"))
-        .collect().foreach { r =>
-          val key = (r.getInt(0), r.getInt(1)); val p = r.getInt(2)
-          val sq = r.getLong(3); val n = r.getLong(4)
-          val half = if (sq >= 0) n / 2 else -(n / 2)
-          next(key)(p) = ((sq + half) / n).toDouble / 1000000.0
+    // codebooks are content-keyed and persisted (r6 verdict #2): a
+    // fresh session reads the trained books instead of re-running the
+    // 3-round joint training — the offline-index production shape.
+    // Rows flatten as [sub, code, v...]; IEEE bits round-trip exactly.
+    val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
+    val flat = graft.IndexStore.cached(s"pq_books_v1_${fp}_${m}_$codes") {
+      // seeds: the same deterministic arithmetic subsample, sliced;
+      // same empty-subsample fallback as Clustering.kmeansOn: a corpus
+      // smaller than the stride must still seed the codebook
+      val seedVecs = {
+        val sub = emb.filter(pmod(col("vec_id"), lit(17)) === 3)
+          .orderBy("vec_id").limit(codes).select("embedding").collect()
+        if (sub.nonEmpty) sub
+        else emb.orderBy("vec_id").limit(codes).select("embedding").collect()
+      }
+      require(seedVecs.nonEmpty, "PQ: empty corpus — cannot seed codebooks")
+      var cents: Array[(Int, Int, Array[Double])] = seedVecs
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .zipWithIndex.flatMap { case (v, code) =>
+          (0 until m).map(sub => (sub, code, v.slice(sub * dsub, (sub + 1) * dsub)))
         }
-      cents = next.toArray.map { case ((s0, c0), v) => (s0, c0, v) }
-        .sortBy(t => (t._1, t._2))
+      (0 until 3).foreach { _ =>
+        val next = cents.map { case (s0, c0, v) => ((s0, c0), v.clone) }.toMap
+        assignWith(cents)
+          .select(col("sub"), col("code"), posexplode(col("sv")))
+          .select(col("sub"), col("code"), col("pos"),
+            floor(col("col").cast("double") * 1000000.0).cast("long").as("q"))
+          .groupBy("sub", "code", "pos")
+          .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+          .collect().foreach { r =>
+            val key = (r.getInt(0), r.getInt(1)); val p = r.getInt(2)
+            val sq = r.getLong(3); val n = r.getLong(4)
+            val half = if (sq >= 0) n / 2 else -(n / 2)
+            next(key)(p) = ((sq + half) / n).toDouble / 1000000.0
+          }
+        cents = next.toArray.map { case ((s0, c0), v) => (s0, c0, v) }
+          .sortBy(t => (t._1, t._2))
+      }
+      cents.map { case (s0, c0, v) => s0.toDouble +: (c0.toDouble +: v) }
     }
+    val cents: Array[(Int, Int, Array[Double])] =
+      flat.map(r => (r(0).toInt, r(1).toInt, r.drop(2)))
     val bookDf = broadcast(cents.toSeq.toDF("sub", "code", "cvec"))
     // encode: argmin codeword per (vector, subspace) — the final
     // assignment pass against the trained books
-    val encoded = assign().select("vec_id", "sub", "code")
+    val encoded = assignWith(cents).select("vec_id", "sub", "code")
     // per-probe ADC lookup tables: m × 16 distances each
     val luts = subvectors(
       emb.filter(col("vec_id").isin(ProbeIds: _*))
@@ -569,15 +579,19 @@ object LlmSimilarity {
     * No oracle (pairs are LSH-derived); spec checks closure. */
   /** Seed-free exact near-dup pair memo: the 32-band LSH + exact-
     * Jaccard pass is the expensive half of both `llm_near_dedup_exact`
-    * and `llm_dedup_cluster`; like the trained-quantizer memo it is
-    * deterministic per dataset, so pay it once per (session, sfDir).
-    * Materialized (localCheckpoint) so reuse never replans the LSH
-    * lineage. */
-  private val exactPairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-  private def exactPairs(s: SparkSession, d: String): DataFrame =
-    exactPairsMemo.computeIfAbsent((s.sparkContext.applicationId, d), _ =>
-      llmNearDedupExact(s, d).select("a", "b").localCheckpoint())
+    * and `llm_dedup_cluster`; it is deterministic per dataset CONTENT,
+    * so it is computed once per machine and persisted as a small
+    * parquet ([[IndexStore.cachedDir]], content-fingerprint-keyed like
+    * the quantizer/layout artifacts — r6 verdict #2): a fresh session
+    * reads the pair set instead of re-running the LSH join. */
+  private def exactPairs(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
+    val path = graft.IndexStore.cachedDir(s"neardup_pairs_v1_$fp") { tmp =>
+      llmNearDedupExact(s, d).select("a", "b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    s.read.schema("a BIGINT, b BIGINT").parquet(path)
+  }
 
   val llmDedupCluster: QFn = (s, d) => {
     // cluster over the SEED-FREE pair set (32-band exact twin): the
