@@ -56,8 +56,20 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime.max(0L)).sum
     }
+    // own-process CPU: the discriminator loadavg can't provide (the
+    // bench itself drives loadavg, so "load was high" is ambiguous) —
+    // a run whose WALL inflated while its OWN CPU stayed flat was
+    // starved by something outside this JVM; a run whose CPU grew with
+    // wall was doing real work
+    def procCpuMs(): Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case x: com.sun.management.OperatingSystemMXBean =>
+          x.getProcessCpuTime / 1000000L
+        case _ => -1L
+      }
     case class Run(sec: Double, ok: Boolean, epoch: Long,
-                   load0: Double, load1: Double, gcDeltaMs: Long)
+                   load0: Double, load1: Double, gcDeltaMs: Long,
+                   cpuDeltaMs: Long)
     val benchStart = System.currentTimeMillis()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -68,7 +80,7 @@ object Bench {
         // that is also listed in failed)
         val runs = (1 to nRuns).map { _ =>
           val epoch = System.currentTimeMillis()
-          val l0 = loadAvg(); val g0 = gcMs()
+          val l0 = loadAvg(); val g0 = gcMs(); val c0 = procCpuMs()
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
@@ -79,7 +91,8 @@ object Bench {
               }
               false
             }
-          Run((System.nanoTime() - t0) / 1e9, ok, epoch, l0, loadAvg(), gcMs() - g0)
+          Run((System.nanoTime() - t0) / 1e9, ok, epoch, l0, loadAvg(),
+            gcMs() - g0, procCpuMs() - c0)
         }
         // a key with zero successful runs has no meaningful "best":
         // emit null and keep it out of the headline total (r4 ADVICE —
@@ -96,7 +109,7 @@ object Bench {
     val ms = keyed(_._3.fold("null")(_.toString))
     val rs = keyed(_._4.map(_.sec).mkString("[", ",", "]"))
     val tele = keyed(_._4.map(r =>
-      s"""{"epoch_ms":${r.epoch},"load_before":${r.load0},"load_after":${r.load1},"gc_delta_ms":${r.gcDeltaMs}}""")
+      s"""{"epoch_ms":${r.epoch},"load_before":${r.load0},"load_after":${r.load1},"gc_delta_ms":${r.gcDeltaMs},"cpu_delta_ms":${r.cpuDeltaMs}}""")
       .mkString("[", ",", "]"))
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum

@@ -142,12 +142,19 @@ object Streaming {
     }
   }
 
-  /** Replay-row memo: nine streaming keys each replay the same events
-    * table through MemoryStream, and the driver-side collect+sort is
-    * ~1 s per key at sf0.1 — pay it once per (session, sfDir). Harness
-    * state only (the feed), never query state. */
+  /** Replay-row memo: the ts-ordered collect+sort that SEEDS the
+    * staged feed (it only runs when the feed directory doesn't exist
+    * yet on this machine). Harness state only, never query state. */
   private val replayRows =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Ev]]()
+
+  private def replayRowsOf(s: SparkSession, d: String): Array[Ev] = {
+    import s.implicits._
+    replayRows.computeIfAbsent((s.sparkContext.applicationId, d), _ =>
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id)))
+  }
 
   /** Watermark-flush sentinels: two far-future events fed after the
     * real data. The first advances the watermark past every real
@@ -168,48 +175,84 @@ object Streaming {
     * opened). */
   @volatile var lastStateRowsTotal: Long = -1L
 
+  /** Accurate state-row totals cost RocksDB a read-before-write per
+    * update (`trackTotalNumberOfRows`). Only the bounded-state specs
+    * consume them ([[lastStateRowsTotal]]), so tracking is off on the
+    * bench path and the specs flip it on around their assertions —
+    * the same diagnostics-are-opt-in shape as
+    * `collectIvfDiagnostics`. */
+  @volatile var trackStateRows: Boolean = false
+
   /** Per-micro-batch progress JSON of the LAST [[runStream]] query —
     * harness profiling diagnostic (where does the fixed per-key cost
     * go: planning, state commit, sink write). */
   @volatile var lastProgressJson: Seq[String] = Nil
 
-  /** Chunked replay feed (r3 verdict item 5): each addData slice is
-    * one micro-batch, so the watermark advances per chunk and the
-    * harness's per-call footprint stays bounded rather than the whole
-    * table in one block. The floor of two chunks preserves multi-batch
-    * watermark progression on small data.
+  /** Chunking rule shared by the staged feed (below) and the
+    * MemoryStream fallback: each chunk is one micro-batch, so the
+    * watermark advances per chunk and multi-batch progression is
+    * preserved (floor of two chunks on small data). Chunk size scales
+    * with the table (≥ 50k, ≥ rows/6): a micro-batch costs a
+    * near-fixed ~8 RocksDB store commits regardless of its row count,
+    * so a fixed 50k chunk made batch COUNT — pure harness overhead —
+    * grow linearly with data (measured at the 10× replica: 20 batches
+    * per key, stream group 6.9× the sf0.1 wall). Batches carry more
+    * data at scale instead of multiplying. */
+  private def chunkSizeFor(n: Int): Int = math.max(
+    math.min(50000, math.max(1, (n + 1) / 2)), (n + 5) / 6)
+
+  /** STAGED FILE FEED (r6 verdict #3 — the one untried harness shape):
+    * the ts-ordered replay is written ONCE PER MACHINE as a directory
+    * of parquet files — one file per chunk, modification times spaced
+    * so the file source's oldest-first ordering IS the chunk order —
+    * keyed by the events table's content fingerprint
+    * ([[graft.IndexStore.cachedDir]], atomic publish). Every streaming
+    * key then reads it through `readStream.parquet` with
+    * `maxFilesPerTrigger = 1` + `Trigger.AvailableNow`: batch
+    * boundaries, watermark progression, and results are identical to
+    * the MemoryStream feed (file k ≡ addData slice k), but the rows
+    * reach executors as a parallel parquet scan instead of
+    * driver-block serialization, and the per-batch
+    * addData/processAllAvailable driver round-trips disappear — this
+    * is also the production ingest shape (a lake directory), so the
+    * harness now measures the operator, not a test-only feed.
     *
-    * Chunk size scales with the table (≥ 50k, ≥ rows/6): a micro-batch
-    * costs a near-fixed ~8 RocksDB store commits regardless of its row
-    * count, so a fixed 50k chunk made batch COUNT — i.e. pure harness
-    * overhead — grow linearly with data (measured at the 10× replica:
-    * 20 batches per key, stream group 6.9× the sf0.1 wall). Batches
-    * should carry more data at scale, not multiply; rows/6 keeps the
-    * batch count flat while each slice stays a view into the one
-    * already-collected array (no extra driver copy). */
-  private def feedChunks(stream: MemoryStream[Ev],
-      q: org.apache.spark.sql.streaming.StreamingQuery,
-      rows: Array[Ev], flush: Boolean): Unit = {
-    val chunk = math.max(
-      math.min(50000, math.max(1, (rows.length + 1) / 2)),
-      (rows.length + 5) / 6)
-    val slices = rows.grouped(chunk).toSeq
-    slices.zipWithIndex.foreach { case (slice, i) =>
-      // sentinel 1 rides WITH the last data chunk (r4 verdict item 4:
-      // every micro-batch is ~8 RocksDB store commits of fixed cost,
-      // so one fewer batch per key is a direct harness-tax cut): the
-      // watermark computed AFTER this batch passes every real window,
-      // so the one remaining sentinel batch seals and emits them all
-      // in a data batch exactly as the two-batch feed did
-      val data: Seq[Ev] =
+    * Sentinel placement matches the old feed exactly: sentinel 1
+    * rides WITH the last data chunk (one fewer batch — r4 item 4),
+    * sentinel 2 is its own trailing file so every real window is
+    * sealed and emitted in a DATA batch. `flush = false` keys get a
+    * sentinel-free twin directory. */
+  private def stagedFeed(s: SparkSession, d: String, flush: Boolean): String = {
+    val fp = graft.IndexStore.fingerprint(s"$d/events.parquet")
+    val tag = if (flush) "flush" else "plain"
+    graft.IndexStore.cachedDir(s"stream_feed_${tag}_v1_$fp") { tmp =>
+      import s.implicits._
+      val rows = replayRowsOf(s, d)
+      val slices = rows.grouped(chunkSizeFor(rows.length)).toSeq
+      val chunks: Seq[Seq[Ev]] = slices.zipWithIndex.map { case (slice, i) =>
         if (flush && i == slices.length - 1)
           slice.toSeq :+ Ev(-1L, Sentinel1, -1L, "__flush__", 0.0, "")
         else slice.toSeq
-      stream.addData(data); q.processAllAvailable()
-    }
-    if (flush) {
-      stream.addData(Ev(-2L, Sentinel2, -1L, "__flush__", 0.0, ""))
-      q.processAllAvailable()
+      } ++ (if (flush) Seq(Seq(Ev(-2L, Sentinel2, -1L, "__flush__", 0.0, "")))
+            else Nil)
+      val dir = java.nio.file.Paths.get(tmp)
+      java.nio.file.Files.createDirectories(dir)
+      chunks.zipWithIndex.foreach { case (data, i) =>
+        val stage = s"$tmp/_stage$i"
+        s.createDataset(data).toDF()
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        val target = dir.resolve(f"feed_$i%03d.parquet")
+        java.nio.file.Files.move(part, target)
+        // explicit 2 s mtime spacing: FileStreamSource orders by
+        // modification time, and same-millisecond writes would make
+        // the chunk order nondeterministic
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 2000L))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+      }
     }
   }
 
@@ -239,12 +282,7 @@ object Streaming {
       mode: OutputMode, name: String,
       extraConfs: Map[String, String] = Map.empty,
       flush: Boolean = false)(build: DataFrame => DataFrame): DataFrame = {
-    import s.implicits._
-    val rows = replayRows.computeIfAbsent((s.sparkContext.applicationId, d), _ =>
-      Tables.events(s, d)
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id)))
-    val stream = MemoryStream[Ev](s)
+    val feed = stagedFeed(s, d, flush)
     val sinkName = s"${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // fewer state partitions: each stateful operator commits one state
     // store per shuffle partition per micro-batch; at this volume the
@@ -252,7 +290,8 @@ object Streaming {
     // query start (state partitioning is fixed for the query's life);
     // previous values restored immediately after start.
     val confs = Map(
-      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.shuffle.partitions" ->
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"),
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
       // commit a small changelog per batch instead of a full RocksDB
@@ -260,6 +299,8 @@ object Streaming {
       // micro-batches (snapshots still happen, in the background
       // maintenance thread)
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true",
+      "spark.sql.streaming.stateStore.rocksdb.trackTotalNumberOfRows" ->
+        trackStateRows.toString,
       // every batch here is ~0.4 s of task-scheduling + state-store
       // floor, and watermark advancement after each data batch was
       // spawning a no-data batch right behind it (6 batches per key
@@ -273,15 +314,21 @@ object Streaming {
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     val ckpt = scratchCkpt(sinkName)
     val q = try {
-      build(stream.toDF()).writeStream
+      val src = s.readStream.schema(Encoders.product[Ev].schema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      build(src).writeStream
         .format("memory").queryName(sinkName).outputMode(mode)
-        .option("checkpointLocation", ckpt).start()
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
     } finally prev.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None)    => s.conf.unset(k)
     }
     try {
-      feedChunks(stream, q, rows, flush)
+      // AvailableNow drains the staged files (one batch per file, the
+      // same boundaries the addData feed produced) and stops itself
+      q.awaitTermination()
       lastStateRowsTotal = Option(q.lastProgress)
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
       lastProgressJson = q.recentProgress.map(_.json).toSeq
@@ -604,15 +651,11 @@ object Streaming {
     * the user a full batch DataFrame + epoch id for exactly-once
     * bookkeeping. */
   val streamForeachBatch: QFn = (s, d) => {
-    import s.implicits._
     val out = Tables.sinkPath(s, d, "fb_sink")
-    val rows = replayRows.computeIfAbsent((s.sparkContext.applicationId, d), _ =>
-      Tables.events(s, d)
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id)))
-    val stream = MemoryStream[Ev](s)
+    val feed = stagedFeed(s, d, flush = false)
     val ckpt = scratchCkpt(s"fb_${java.util.UUID.randomUUID().toString.replace("-", "")}")
-    val q = stream.toDF()
+    val q = s.readStream.schema(Encoders.product[Ev].schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
       .groupBy((col("user_id") % 10).as("cohort"))
       .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
       .writeStream
@@ -621,8 +664,9 @@ object Streaming {
       }
       .outputMode(OutputMode.Complete())
       .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try feedChunks(stream, q, rows, flush = false) finally {
+    try q.awaitTermination() finally {
       q.stop()
       import scala.reflect.io.Directory
       new Directory(new java.io.File(ckpt)).deleteRecursively()

@@ -93,6 +93,10 @@ class StreamingSpec extends SparkTestBase {
   }
 
   test("windowed append keys equal batch twins with BOUNDED state") {
+    // accurate state-row totals are opt-in (read-before-write cost);
+    // this is the spec that needs them
+    streaming.Streaming.trackStateRows = true
+    try {
     // tumbling: batch-equivalence (the oracle's contract) …
     val tumbled = streaming.Streaming.streamTumbling(spark, sf).collect()
     val batch = Tables.events(spark, sf)
@@ -118,6 +122,7 @@ class StreamingSpec extends SparkTestBase {
     val sessionState = streaming.Streaming.lastStateRowsTotal
     assert(sessionState >= 0 && sessionState <= 4,
       s"session state not bounded: $sessionState rows vs $sessioned sessions")
+    } finally streaming.Streaming.trackStateRows = false
   }
 
   test("streaming keys equal their batch twins (dedup + stateful)") {
