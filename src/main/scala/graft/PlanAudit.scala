@@ -80,7 +80,10 @@ object PlanAudit {
     "etl_dynamic_partition_overwrite" ->
       "overwrites hit partitions of a staged layout",
     "etl_gdpr_delete" -> "rewrites the hit buckets of the staged layout",
-    "mm_decode_features" -> "stages the binary-asset table it decodes")
+    "mm_decode_features" -> "stages the binary-asset table it decodes",
+    "etl_snapshot_read" ->
+      "builds the two-version manifest table it then snapshot-reads",
+    "etl_time_travel" -> "same staged manifest table, older version")
 
   /** Execute every non-streaming registered query at `d` and return
     * one "SMELL key: ..." / "ERROR key: ..." line per finding. Empty

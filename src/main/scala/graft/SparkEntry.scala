@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Extras.entries ++
       operators.Extras2.entries ++
       operators.Composite.entries ++
+      operators.SnapshotTable.entries ++
       operators.Clustering.entries ++
       operators.TimeSeries.entries ++
       plans.AsOfJoinPlans.entries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       operators.Extras.oracles ++
       operators.Extras2.oracles ++
       operators.Composite.oracles ++
+      operators.SnapshotTable.oracles ++
       operators.Clustering.oracles ++
       operators.TimeSeries.oracles ++
       plans.AsOfJoinPlans.oracles ++
