@@ -85,11 +85,68 @@ object PlanAudit {
       "builds the two-version manifest table it then snapshot-reads",
     "etl_time_travel" -> "same staged manifest table, older version")
 
+  /** Count the shuffles (Exchange operators) the executed plan
+    * actually ran, walking through AQE wrappers and query stages and
+    * into subqueries. ReusedExchange is NOT counted — it reads a
+    * sibling's shuffle output instead of shuffling again, which is
+    * the thing a budget should reward. */
+  def countShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    var n = 0
+    def walk(x: SparkPlan): Unit = {
+      x match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan); return
+        case q: QueryStageExec => walk(q.plan); return
+        case _: ReusedExchangeExec => return
+        case s: ShuffleExchangeLike => n += 1
+        case _ =>
+      }
+      x.children.foreach(walk)
+      x.subqueries.foreach(walk)
+    }
+    walk(p)
+    n
+  }
+
+  /** Keys whose entire REASON TO EXIST is proving scan pushdown —
+    * their plans must carry non-empty PushedFilters on a parquet scan
+    * (r6 verdict #7; asserted structurally on scan metadata, not on a
+    * possibly-truncated plan string). */
+  val mustPushFilters = Set("scan_filter_pushdown", "join_dpp")
+
+  /** True iff some parquet scan in the plan pushed at least one
+    * filter into the reader. */
+  def hasPushedFilters(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    var found = false
+    def walk(x: SparkPlan): Unit = {
+      x match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan); return
+        case q: QueryStageExec => walk(q.plan); return
+        case f: FileSourceScanExec =>
+          if (f.metadata.get("PushedFilters").exists(v => v != "[]")) found = true
+        case _ =>
+      }
+      x.children.foreach(walk)
+      x.subqueries.foreach(walk)
+    }
+    walk(p)
+    found
+  }
+
   /** Execute every non-streaming registered query at `d` and return
     * one "SMELL key: ..." / "ERROR key: ..." line per finding. Empty
     * result = audit clean. Construction-time Spark jobs (any job
     * started by `fn` itself, before the audit's own collect) are a
-    * smell unless the key is in [[allowConstructionJobs]]. */
+    * smell unless the key is in [[allowConstructionJobs]]. Each key's
+    * executed shuffle count is checked against [[ShuffleBudgets.map]]
+    * — over budget is a smell, and so is a missing budget entry, so
+    * every new operator must declare its shuffle budget when it
+    * lands (r6 verdict #7: "minimal shuffle" as a failing test, not
+    * prose). */
   def audit(spark: SparkSession, d: String): Seq[String] =
     SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       if (name.startsWith("stream_")) Nil
@@ -111,12 +168,20 @@ object PlanAudit {
         val constructionJobs = jobs.get()
         df.collect()
         val p = df.queryExecution.executedPlan.toString
+        val nShuf = countShuffles(df.queryExecution.executedPlan)
+        val budget = ShuffleBudgets.map.get(name)
         val smells = Seq(
           "CartesianProduct" -> p.contains("CartesianProduct"),
           "BroadcastNestedLoopJoin" -> p.contains("BroadcastNestedLoopJoin"),
           "codegen-absent" -> (!p.contains("*(") && !name.startsWith("mm_")),
           s"driver-action-in-construction ($constructionJobs jobs)" ->
-            (constructionJobs > 0 && !allowConstructionJobs.contains(name)))
+            (constructionJobs > 0 && !allowConstructionJobs.contains(name)),
+          s"shuffles $nShuf over budget ${budget.getOrElse(-1)}" ->
+            budget.exists(nShuf > _),
+          "no shuffle budget declared" -> budget.isEmpty,
+          "pushdown-absent" ->
+            (mustPushFilters.contains(name) &&
+              !hasPushedFilters(df.queryExecution.executedPlan)))
           .collect { case (s, true) => s }
         val crossOk = allowCross.contains(name)
         val bad = smells.filterNot(s =>
@@ -135,8 +200,187 @@ object PlanAudit {
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    audit(spark, "/root/testdata/sf0.001").foreach(println)
+    if (args.contains("counts")) {
+      // budget (re)generation mode: print the measured shuffle count
+      // per key as ready-to-paste map entries (same execution path the
+      // audit gate uses, so the numbers can't diverge from it)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (!name.startsWith("stream_")) {
+          try {
+            val df = fn(spark, "/root/testdata/sf0.001")
+            df.collect()
+            println(s"""    "$name" -> ${countShuffles(df.queryExecution.executedPlan)},""")
+          } catch { case e: Throwable =>
+            println(s"// ERROR $name: ${String.valueOf(e.getMessage).take(80)}")
+          }
+        }
+      }
+    } else audit(spark, "/root/testdata/sf0.001").foreach(println)
     println("AUDIT DONE")
     spark.stop()
   }
+}
+
+/** Committed per-key shuffle budgets at the audit scale (sf0.001,
+  * local[8], AQE on — the PlanContractSpec environment). Measured by
+  * `runMain graft.PlanAudit counts` and pasted here verbatim; the
+  * audit fails any key that EXCEEDS its number (a new shuffle slipped
+  * into the plan) or that has NO entry (new operators must declare
+  * their budget). Running UNDER budget is fine — tighten when seen.
+  * These are plan-shape regression gates, not performance numbers:
+  * a budget of 3 means "this operator's 100 TB story tolerates three
+  * data-sized repartitions and no more". */
+object ShuffleBudgets {
+  val map: Map[String, Int] = Map(
+    "agg_approx_distinct" -> 3,
+    "agg_approx_quantile" -> 8,
+    "agg_distinct" -> 3,
+    "agg_heavy_hitters" -> 2,
+    "agg_hll_sketch" -> 4,
+    "agg_modern_fillins" -> 2,
+    "agg_percentile_exact" -> 9,
+    "agg_pivot" -> 3,
+    "agg_pricing_summary" -> 2,
+    "agg_quantile_twopass" -> 8,
+    "agg_retention_cohort" -> 5,
+    "agg_rollup_cube_sets" -> 2,
+    "agg_salted_skew" -> 3,
+    "agg_sessionize" -> 2,
+    "agg_stats" -> 8,
+    "agg_string_agg" -> 2,
+    "agg_udaf_wmid" -> 2,
+    "dq_checks" -> 7,
+    "dq_outliers" -> 2,
+    "etl_cdc_apply" -> 2,
+    "etl_compaction" -> 2,
+    "etl_dynamic_partition_overwrite" -> 2,
+    "etl_gdpr_delete" -> 3,
+    "etl_incremental_agg" -> 4,
+    "etl_scd2" -> 2,
+    "etl_snapshot_read" -> 1,
+    "etl_time_travel" -> 1,
+    "etl_upsert" -> 3,
+    "etl_zorder" -> 2,
+    "expr_custom" -> 1,
+    "filter_conj" -> 1,
+    "filter_null_semantics" -> 1,
+    "fn_array" -> 1,
+    "fn_bitwise_hash" -> 1,
+    "fn_collation" -> 1,
+    "fn_cond" -> 1,
+    "fn_date" -> 1,
+    "fn_json" -> 1,
+    "fn_map" -> 1,
+    "fn_mask" -> 1,
+    "fn_math" -> 1,
+    "fn_string" -> 1,
+    "fn_struct" -> 1,
+    "fn_try_safe" -> 1,
+    "fn_ts_arith" -> 1,
+    "fn_variant" -> 1,
+    "fn_xml" -> 1,
+    "join_asof" -> 2,
+    "join_asof_forward" -> 2,
+    "join_asof_native" -> 3,
+    "join_asof_nearest" -> 2,
+    "join_asof_tolerance" -> 2,
+    "join_bloom_prefilter" -> 2,
+    "join_broadcast" -> 2,
+    "join_bucketed_colocated" -> 2,
+    "join_cross" -> 1,
+    "join_dpp" -> 3,
+    "join_inner_equi" -> 2,
+    "join_interval" -> 2,
+    "join_left_right_full" -> 4,
+    "join_multiway" -> 3,
+    "join_null_safe" -> 2,
+    "join_range_bucketed" -> 5,
+    "join_semi_anti" -> 1,
+    "join_shuffle_hash" -> 4,
+    "join_skew_aqe" -> 3,
+    "join_theta_prefix" -> 3,
+    "join_theta_range" -> 2,
+    "limit_topk" -> 0,
+    "llm_bpe_train" -> 1,
+    "llm_chunk_docs" -> 1,
+    "llm_containment" -> 3,
+    "llm_corpus_pipeline" -> 6,
+    "llm_decontaminate" -> 3,
+    "llm_dedup_cluster" -> 2,
+    "llm_embed_centroid" -> 2,
+    "llm_embed_neardup" -> 3,
+    "llm_embed_normalize" -> 2,
+    "llm_exact_dedup" -> 2,
+    "llm_feature_hash" -> 2,
+    "llm_fingerprint" -> 1,
+    "llm_hybrid_search" -> 12,
+    "llm_interleave_sources" -> 2,
+    "llm_kmeans" -> 3,
+    "llm_knn_cosine" -> 2,
+    "llm_knn_ivf" -> 4,
+    "llm_knn_ivf_exact" -> 4,
+    "llm_knn_ivf_pruned" -> 3,
+    "llm_knn_pq" -> 4,
+    "llm_lang_id" -> 1,
+    "llm_lm_score" -> 4,
+    "llm_multimodal_join" -> 1,
+    "llm_near_dedup" -> 2,
+    "llm_near_dedup_exact" -> 2,
+    "llm_ngram_jaccard" -> 3,
+    "llm_ngram_lm" -> 2,
+    "llm_ngram_windows" -> 1,
+    "llm_pack_sequences" -> 5,
+    "llm_quality_score" -> 1,
+    "llm_repetition" -> 5,
+    "llm_rerank_mmr" -> 3,
+    "llm_sample_stratified" -> 2,
+    "llm_semantic_decontaminate" -> 2,
+    "llm_simhash" -> 2,
+    "llm_source_drift" -> 4,
+    "llm_span_dedup" -> 3,
+    "llm_text_stats" -> 3,
+    "llm_tfidf" -> 7,
+    "llm_token_count" -> 1,
+    "mm_decode_features" -> 1,
+    "mm_frame_sample" -> 1,
+    "mm_modality_dispatch" -> 1,
+    "project_arith" -> 1,
+    "q10_returned_items" -> 1,
+    "q18_large_orders" -> 1,
+    "q3_shipping_priority" -> 1,
+    "q5_local_supplier_volume" -> 1,
+    "q7_volume_shipping" -> 2,
+    "q8_market_share" -> 2,
+    "scan_csv_malformed" -> 2,
+    "scan_filter_pushdown" -> 2,
+    "scan_parquet" -> 1,
+    "scan_pruned" -> 1,
+    "scan_schema_evolution" -> 2,
+    "set_except_intersect" -> 3,
+    "set_union_all" -> 4,
+    "sink_partitioned_scan" -> 2,
+    "sort_multi" -> 1,
+    "source_csv_roundtrip" -> 2,
+    "source_json_roundtrip" -> 2,
+    "source_orc_roundtrip" -> 2,
+    "source_text_roundtrip" -> 1,
+    "subquery_family" -> 2,
+    "ts_corr_types" -> 3,
+    "ts_drawdown" -> 2,
+    "ts_gapfill" -> 4,
+    "ts_interpolate" -> 4,
+    "ts_linreg_trend" -> 2,
+    "ts_ohlc_bars" -> 2,
+    "ts_realized_vol" -> 2,
+    "ts_twap" -> 2,
+    "ts_vwap" -> 2,
+    "udf_scalar" -> 1,
+    "unpivot_melt" -> 1,
+    "win_analytic" -> 2,
+    "win_frame_range" -> 2,
+    "win_frame_rows" -> 2,
+    "win_funnel" -> 7,
+    "win_percentiles" -> 2,
+    "win_rank" -> 2,
+    "win_topk" -> 2)
 }
