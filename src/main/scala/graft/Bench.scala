@@ -67,9 +67,44 @@ object Bench {
           x.getProcessCpuTime / 1000000L
         case _ => -1L
       }
+    // resource telemetry (r6 verdict #4): per-run shuffle-spill and
+    // shuffle-write byte totals, the max per-task execution memory,
+    // and the max streaming state-store footprint — so the 30× scale
+    // proof (and any reader of the artifact) sees MEMORY behavior
+    // next to wall time: a key whose wall scales 1.2× while spill
+    // stays 0 is healthy; one that starts spilling at scale is the
+    // thing a wall-only artifact would hide.
+    import java.util.concurrent.atomic.AtomicLong
+    val spillMem = new AtomicLong(0); val spillDisk = new AtomicLong(0)
+    val shufWrite = new AtomicLong(0); val peakExecMem = new AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            spillMem.addAndGet(m.memoryBytesSpilled)
+            spillDisk.addAndGet(m.diskBytesSpilled)
+            shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            peakExecMem.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+          }
+        }
+      })
+    val stateBytes = new AtomicLong(0)
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = {}
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {}
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val b = e.progress.stateOperators.map(_.memoryUsedBytes).sum
+          stateBytes.accumulateAndGet(b, Math.max(_, _))
+        }
+      })
     case class Run(sec: Double, ok: Boolean, epoch: Long,
                    load0: Double, load1: Double, gcDeltaMs: Long,
-                   cpuDeltaMs: Long)
+                   cpuDeltaMs: Long, spillMemB: Long, spillDiskB: Long,
+                   shufWriteB: Long, peakExecMemB: Long, stateB: Long)
     val benchStart = System.currentTimeMillis()
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -81,6 +116,12 @@ object Bench {
         val runs = (1 to nRuns).map { _ =>
           val epoch = System.currentTimeMillis()
           val l0 = loadAvg(); val g0 = gcMs(); val c0 = procCpuMs()
+          // counters are cumulative; peaks are per-run (reset) — the
+          // listener bus is drained before reading so deltas belong
+          // to THIS run, not a neighbor
+          val sm0 = spillMem.get(); val sd0 = spillDisk.get()
+          val sw0 = shufWrite.get()
+          peakExecMem.set(0); stateBytes.set(0)
           val t0 = System.nanoTime()
           val ok =
             try { fn(spark, sfDir).count(); true }
@@ -91,8 +132,12 @@ object Bench {
               }
               false
             }
-          Run((System.nanoTime() - t0) / 1e9, ok, epoch, l0, loadAvg(),
-            gcMs() - g0, procCpuMs() - c0)
+          val wall = (System.nanoTime() - t0) / 1e9
+          org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+          Run(wall, ok, epoch, l0, loadAvg(),
+            gcMs() - g0, procCpuMs() - c0,
+            spillMem.get() - sm0, spillDisk.get() - sd0,
+            shufWrite.get() - sw0, peakExecMem.get(), stateBytes.get())
         }
         // a key with zero successful runs has no meaningful "best":
         // emit null and keep it out of the headline total (r4 ADVICE —
@@ -109,7 +154,7 @@ object Bench {
     val ms = keyed(_._3.fold("null")(_.toString))
     val rs = keyed(_._4.map(_.sec).mkString("[", ",", "]"))
     val tele = keyed(_._4.map(r =>
-      s"""{"epoch_ms":${r.epoch},"load_before":${r.load0},"load_after":${r.load1},"gc_delta_ms":${r.gcDeltaMs},"cpu_delta_ms":${r.cpuDeltaMs}}""")
+      s"""{"epoch_ms":${r.epoch},"load_before":${r.load0},"load_after":${r.load1},"gc_delta_ms":${r.gcDeltaMs},"cpu_delta_ms":${r.cpuDeltaMs},"spill_mem_b":${r.spillMemB},"spill_disk_b":${r.spillDiskB},"shuf_write_b":${r.shufWriteB},"peak_exec_mem_b":${r.peakExecMemB},"state_b":${r.stateB}}""")
       .mkString("[", ",", "]"))
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum

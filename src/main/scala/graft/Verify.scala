@@ -15,7 +15,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.ts is parquet timestamp[ns] — see Tables.loadEvents
+      // Tables.loadEvents probes the footer for the ts unit; this conf
+      // only matters if the probe finds timestamp[ns] (must be set at
+      // session build) and is a no-op for the µs/ms shapes current
+      // testdata ships
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // managed tables (bucketed-join keys) live in tmp, not the repo
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
