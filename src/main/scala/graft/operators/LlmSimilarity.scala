@@ -195,16 +195,28 @@ object LlmSimilarity {
     * files, exactly like a deployed IVF index (built offline, probed
     * many times). r6 verdict #2: the previous (session, dataset) key
     * rebuilt the layout every fresh session. */
-  val llmKnnIvfPruned: QFn = (s, d) => {
-    val (kk, nProbe, iters) = (IvfK, IvfNProbe, 6)
+  /** Published location of the cluster-partitioned IVF layout for a
+    * dataset — the content-keyed [[IndexStore]] name; building it if
+    * absent. Exposed so diagnostics (ScaleRecallSpec's list-skew
+    * readout) inspect the SAME layout the pruned key probes instead
+    * of guessing a path. */
+  def ivfLayoutPath(s: SparkSession, d: String): String = {
+    val (kk, iters) = (IvfK, 6)
     val emb = Tables.embeddings(s, d)
     val cents = ivfQuantizer(s, d, kk, iters)
     val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
-    val path = graft.IndexStore.cachedDir(s"ivf_layout_v1_${fp}_${kk}_$iters") { tmp =>
+    graft.IndexStore.cachedDir(s"ivf_layout_v1_${fp}_${kk}_$iters") { tmp =>
       ivfNearest(cents, emb, "embedding", "vec_id", 1)
         .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
         .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
     }
+  }
+
+  val llmKnnIvfPruned: QFn = (s, d) => {
+    val (kk, nProbe, iters) = (IvfK, IvfNProbe, 6)
+    val emb = Tables.embeddings(s, d)
+    val cents = ivfQuantizer(s, d, kk, iters)
+    val path = ivfLayoutPath(s, d)
     val probes = ivfProbes(cents, emb, nProbe)
     // the probe batch's list set: ≤ 5 probes × nProbe ids of driver
     // state — the only thing that leaves the cluster

@@ -18,7 +18,7 @@ class ScaleRecallSpec extends SparkTestBase {
     sys.env.get("SPARK_GRAFT_SCALE_DIR")
       .filter(d => new java.io.File(d).isDirectory)
 
-  test("llm_knn_ivf recall@5 >= 0.95 at <= 35% nominal scan on the 10x corpus") {
+  test("llm_knn_ivf recall@5 >= 0.95 at <= 35% nominal scan on the scale corpus") {
     scaleDir match {
       case None =>
         info("SPARK_GRAFT_SCALE_DIR unset/absent — skipping scale recall")
@@ -38,11 +38,11 @@ class ScaleRecallSpec extends SparkTestBase {
         finally operators.LlmSimilarity.collectIvfDiagnostics = false
         val (cand, denom) = operators.LlmSimilarity.lastIvfScanRows
         val layout = spark.read
-          .parquet(Tables.sinkPath(spark, d, "ivf_layout"))
+          .parquet(operators.LlmSimilarity.ivfLayoutPath(spark, d))
           .groupBy("cluster").count().select("count")
           .collect().map(_.getLong(0))
         val (mx, avg) = (layout.max, layout.sum.toDouble / layout.length)
-        info(f"10x corpus: recall@5 = $recall%.3f at nominal ${nominal * 100}%.0f%% scan")
+        info(f"scale corpus: recall@5 = $recall%.3f at nominal ${nominal * 100}%.0f%% scan")
         info(f"measured row-scan fraction = ${cand.toDouble / denom}%.3f; " +
           f"list skew: ${layout.length} non-empty lists, max/avg = ${mx / avg}%.2f " +
           f"(max $mx, avg $avg%.0f)")
@@ -53,7 +53,7 @@ class ScaleRecallSpec extends SparkTestBase {
     }
   }
 
-  test("llm_knn_pq recall@5 >= 0.85 on the 10x corpus") {
+  test("llm_knn_pq recall@5 >= 0.85 on the scale corpus") {
     scaleDir match {
       case None =>
         info("SPARK_GRAFT_SCALE_DIR unset/absent — skipping scale recall")
@@ -74,7 +74,7 @@ class ScaleRecallSpec extends SparkTestBase {
           .select("probe_id", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         val recall = (truth & pq).size.toDouble / truth.size
-        info(f"10x corpus: PQ ADC recall@5 = $recall%.3f (100-candidate re-rank)")
+        info(f"scale corpus: PQ ADC recall@5 = $recall%.3f (100-candidate re-rank)")
         assert(recall >= 0.85, s"scale PQ recall below the r4 gate: $recall")
     }
   }
