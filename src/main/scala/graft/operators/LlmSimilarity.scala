@@ -834,6 +834,16 @@ object LlmSimilarity {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         col("x.source").as("source"))
       .distinct()
+    // exact verify on the full gram ARRAYS. A/B measured at the 30×
+    // replica (2026-08-14) against a postings-count verify (count
+    // shared grams on narrow (source, doc, gram) rows instead of
+    // carrying both arrays per candidate): the narrow form expands to
+    // Σ_cand |A| join rows and measured 133 s / 7.6 GB spill vs this
+    // form's 14.6 s / 4.9 GB — array duplication per candidate is
+    // cheaper than candidate-expanded postings re-joins at every
+    // scale tried (6.5 s vs 2.8 s at sf0.1 too). The spill is
+    // absorbed (telemetry in BASELINE.md); rejected like the r6
+    // stream-harness A/Bs, kept here as the measured reason.
     cand
       .join(g.select(col("doc_id").as("a"), col("hg").as("hga")), "a")
       .join(g.select(col("doc_id").as("b"), col("hg").as("hgb")), "b")
