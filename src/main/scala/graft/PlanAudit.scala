@@ -83,7 +83,8 @@ object PlanAudit {
     "mm_decode_features" -> "stages the binary-asset table it decodes",
     "etl_snapshot_read" ->
       "builds the two-version manifest table it then snapshot-reads",
-    "etl_time_travel" -> "same staged manifest table, older version")
+    "etl_time_travel" -> "same staged manifest table, older version",
+    "etl_snapshot_diff" -> "same staged manifest table, unit-diff read")
 
   /** Count the shuffles (Exchange operators) the executed plan
     * actually ran, walking through AQE wrappers and query stages and
@@ -257,6 +258,7 @@ object ShuffleBudgets {
     "etl_gdpr_delete" -> 3,
     "etl_incremental_agg" -> 4,
     "etl_scd2" -> 2,
+    "etl_snapshot_diff" -> 3,
     "etl_snapshot_read" -> 1,
     "etl_time_travel" -> 1,
     "etl_upsert" -> 3,

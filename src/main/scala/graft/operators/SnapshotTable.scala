@@ -112,11 +112,8 @@ object SnapshotTable {
   /** Reconstruct snapshot `version`: resolve the manifest to its unit
     * list (driver-side metadata read), scan those units in parallel. */
   def readSnapshot(s: SparkSession, root: String, version: Int): DataFrame = {
-    val mf = Paths.get(root, "_manifests", s"v$version.json")
-    require(Files.exists(mf), s"snapshot table $root has no version $version")
-    val units = "\"(data/[^\"]+)\"".r
-      .findAllMatchIn(Files.readString(mf)).map(_.group(1)).toSeq
-    require(units.nonEmpty, s"manifest $mf lists no data units")
+    val units = unitsOf(root, version)
+    require(units.nonEmpty, s"manifest v$version at $root lists no data units")
     s.read.parquet(units.map(u => s"$root/$u"): _*)
   }
 
@@ -150,9 +147,51 @@ object SnapshotTable {
       .select("custkey", "name", "acctbal").orderBy("custkey")
   }
 
+  /** Unit list of a committed manifest (driver-side metadata). */
+  private def unitsOf(root: String, version: Int): Seq[String] = {
+    val mf = Paths.get(root, "_manifests", s"v$version.json")
+    require(Files.exists(mf), s"snapshot table $root has no version $version")
+    "\"(data/[^\"]+)\"".r
+      .findAllMatchIn(Files.readString(mf)).map(_.group(1)).toSeq
+  }
+
+  /** Change data feed v0 → v1 from the MANIFEST DIFF: only units that
+    * appear in exactly one of the two manifests are read — carried-by-
+    * reference units are provably unchanged and never scanned, which
+    * is the Delta-CDF-without-CDF-files trick and the reason a COW
+    * upsert's change feed costs O(touched units), not O(table). A
+    * keyed full-outer join over the differing units classifies each
+    * key as insert (new side only), update (both, payload differs), or
+    * delete (old side only); identical rows in a rewritten unit are
+    * carry-over noise and drop out. */
+  val etlSnapshotDiff: QFn = (s, d) => {
+    val root = ensure(s, d)
+    val (u0, u1) = (unitsOf(root, 0), unitsOf(root, 1))
+    val removed = u0.filterNot(u1.contains)
+    val added = u1.filterNot(u0.contains)
+    def readUnits(us: Seq[String]): DataFrame =
+      s.read.parquet(us.map(u => s"$root/$u"): _*)
+        .select("custkey", "name", "acctbal")
+    val old = readUnits(removed).withColumnRenamed("name", "o_name")
+      .withColumnRenamed("acctbal", "o_acctbal")
+    val nw = readUnits(added).withColumnRenamed("name", "n_name")
+      .withColumnRenamed("acctbal", "n_acctbal")
+    old.join(nw, Seq("custkey"), "full_outer")
+      .withColumn("change",
+        when(col("o_name").isNull, "insert")
+          .when(col("n_name").isNull, "delete")
+          .when(col("o_name") =!= col("n_name") ||
+            col("o_acctbal") =!= col("n_acctbal"), "update"))
+      .filter(col("change").isNotNull)
+      .select(col("custkey"), col("change"),
+        col("n_name").as("name"), col("n_acctbal").as("acctbal"))
+      .orderBy("custkey")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "etl_snapshot_read" -> etlSnapshotRead,
-    "etl_time_travel" -> etlTimeTravel)
+    "etl_time_travel" -> etlTimeTravel,
+    "etl_snapshot_diff" -> etlSnapshotDiff)
 
   val oracles: Seq[(String, String)] = Seq(
     // recompute snapshot v1 from the base table: bucket-0-localized
@@ -172,5 +211,17 @@ object SnapshotTable {
     // snapshot v0 is the untouched base projection
     "etl_time_travel" ->
       """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
-         FROM customer ORDER BY custkey""")
+         FROM customer ORDER BY custkey""",
+    // the v0->v1 change feed recomputed from the base table: the
+    // bucket-0-localized updates plus the appended inserts (the COW
+    // fixture produces no deletes)
+    "etl_snapshot_diff" ->
+      """WITH w AS (SELECT max(c_custkey) // 4 + 1 AS wd FROM customer)
+         SELECT c_custkey AS custkey, 'update' AS change,
+                c_name || '_v2' AS name, c_acctbal + 100.0 AS acctbal
+         FROM customer, w WHERE c_custkey % 5 = 0 AND c_custkey < wd
+         UNION ALL
+         SELECT c_custkey + 10000000, 'insert', 'new_customer', 0.0
+         FROM customer WHERE c_custkey % 7 = 0
+         ORDER BY custkey""")
 }

@@ -48,6 +48,31 @@ class SnapshotTableSpec extends SparkTestBase {
       col("custkey") >= width).count() == 0)
   }
 
+  test("change feed reads only the differing units and classifies rows") {
+    import operators.SnapshotTable
+    val diff = SnapshotTable.etlSnapshotDiff(spark, sf)
+    val root = Tables.sinkPath(spark, sf, "snaptbl")
+    // manifest-level pruning: only the rewritten unit, its v0
+    // predecessor, and the inserts unit are ever scanned — carried
+    // units are provably unchanged and must not appear in the scan
+    val files = diff.inputFiles.toSeq
+    assert(files.nonEmpty)
+    assert(files.forall(f => f.contains("/data/v1_b0") ||
+      f.contains("/data/v0_b0") || f.contains("/data/v1_inserts")),
+      s"diff scanned a carried unit:\n${files.mkString("\n")}")
+    val base = Tables.customer(spark, sf)
+    val width = base.agg(max("c_custkey")).first().getLong(0) /
+      SnapshotTable.NBuckets + 1
+    val byChange = diff.groupBy("change").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange.getOrElse("insert", 0L) ==
+      base.filter(col("c_custkey") % 7 === 0).count())
+    assert(byChange.getOrElse("update", 0L) ==
+      base.filter(col("c_custkey") % 5 === 0 &&
+        col("c_custkey") < width).count())
+    assert(!byChange.contains("delete"), "COW fixture produces no deletes")
+  }
+
   test("unknown version fails fast with a diagnosable error") {
     import operators.SnapshotTable
     SnapshotTable.etlSnapshotRead(spark, sf).count()
