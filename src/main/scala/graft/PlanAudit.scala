@@ -349,6 +349,7 @@ object ShuffleBudgets {
     "project_arith" -> 1,
     "q10_returned_items" -> 1,
     "q18_large_orders" -> 1,
+    "q21_suppliers_waiting" -> 4,
     "q3_shipping_priority" -> 1,
     "q5_local_supplier_volume" -> 1,
     "q7_volume_shipping" -> 2,

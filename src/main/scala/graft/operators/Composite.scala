@@ -220,7 +220,45 @@ object Composite {
       .orderBy("o_year")
   }
 
+  /** TPC-H Q21 shape — suppliers who kept orders waiting: late
+    * lineitems (shipped > 60 days after the order date, standing in
+    * for the commit/receipt lateness of the full schema) of finished
+    * multi-supplier orders where that supplier was the ONLY late one.
+    * The classic correlated EXISTS / NOT-EXISTS pair is re-expressed
+    * as ONE grouped aggregation per order key (distinct suppliers,
+    * distinct LATE suppliers; the l1 row qualifies iff n_supp ≥ 2 and
+    * n_late_supp = 1 — equivalence is exact because a late l1 makes
+    * its own supplier the unique late one), so the plan runs a single
+    * fact-fact shuffle on the order key instead of two correlated
+    * lineitem re-scans, and the late-row join back to qualifying
+    * orders reuses that same partitioning. Supplier is
+    * SF-proportional: no broadcast hint, AQE decides. */
+  val q21SuppliersWaiting: QFn = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val qual = li.groupBy("o_orderkey")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .select(col("o_orderkey").as("q_orderkey"))
+    val waits = li.filter(col("late"))
+      .join(qual, col("o_orderkey") === col("q_orderkey"))
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+    waits.join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_name", "numwait")
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "q21_suppliers_waiting" -> q21SuppliersWaiting,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q10_returned_items" -> q10ReturnedItems,
     "q18_large_orders" -> q18LargeOrders,
@@ -229,6 +267,23 @@ object Composite {
     "q8_market_share" -> q8MarketShare)
 
   val oracles: Seq[(String, String)] = Seq(
+    // the oracle keeps the textbook correlated EXISTS / NOT-EXISTS
+    // form — proving the one-pass grouped rewrite equivalent to the
+    // subquery semantics, not just to itself
+    "q21_suppliers_waiting" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
     "q3_shipping_priority" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
             ${sqlSum4("l_extendedprice * (1 - l_discount)")} AS revenue
