@@ -97,16 +97,39 @@ object SnapshotTable {
 
   /** Atomic commit: manifest written complete under a tmp name, then
     * renamed — the rename IS the commit (IndexStore publication
-    * pattern; a reader either sees v<N>.json fully or not at all). */
-  private def commit(root: String, version: Int, units: Seq[String]): Unit = {
+    * pattern; a reader either sees v<N>.json fully or not at all).
+    * `replace` allows an idempotent RE-commit of the same version
+    * (a retried streaming epoch rewrites identical content). */
+  private def commit(root: String, version: Int, units: Seq[String],
+      replace: Boolean = false): Unit = {
     val dir = Paths.get(root, "_manifests")
     Files.createDirectories(dir)
     val json = units.map("\"" + _ + "\"")
       .mkString(s"""{"version":$version,"files":[""", ",", "]}")
     val tmp = dir.resolve(s"v$version.json.tmp")
     Files.writeString(tmp, json)
-    Files.move(tmp, dir.resolve(s"v$version.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    val flags: Seq[StandardCopyOption] =
+      if (replace) Seq(StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      else Seq(StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dir.resolve(s"v$version.json"), flags: _*)
+  }
+
+  /** APPEND-mode streaming commit — the lakehouse streaming-sink
+    * shape: the micro-batch becomes one immutable epoch-named unit,
+    * and manifest version = epoch commits every previously committed
+    * unit plus it. Exactly-once under epoch retries: the unit write
+    * is an idempotent overwrite of the SAME name, the unit list is
+    * deduplicated, and re-committing the epoch's manifest replaces it
+    * with identical content — a crash between unit write and manifest
+    * rename leaves the table at the previous version (readers never
+    * see the orphan unit). */
+  def commitAppend(df: DataFrame, root: String, epoch: Long): Unit = {
+    val unit = s"data/epoch_$epoch"
+    df.coalesce(1).write.mode("overwrite").parquet(s"$root/$unit")
+    val prev = latestVersionOpt(root)
+      .map(v => unitsOf(root, v)).getOrElse(Nil)
+    commit(root, epoch.toInt, (prev :+ unit).distinct, replace = true)
   }
 
   /** Reconstruct snapshot `version`: resolve the manifest to its unit
@@ -117,19 +140,25 @@ object SnapshotTable {
     s.read.parquet(units.map(u => s"$root/$u"): _*)
   }
 
-  /** Latest committed version = max manifest number (the tail of the
-    * commit log, as a Delta/Iceberg client resolves "current"). */
-  def latestVersion(root: String): Int = {
+  /** Latest committed version if any manifest exists. */
+  def latestVersionOpt(root: String): Option[Int] = {
     val dir = Paths.get(root, "_manifests")
+    if (!Files.isDirectory(dir)) return None
     val vs = { val l = Files.list(dir)
       try l.iterator().asScala
         .flatMap(p => "^v(\\d+)\\.json$".r
           .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
         .toSeq
       finally l.close() }
-    require(vs.nonEmpty, s"snapshot table $root has no committed version")
-    vs.max
+    if (vs.isEmpty) None else Some(vs.max)
   }
+
+  /** Latest committed version = max manifest number (the tail of the
+    * commit log, as a Delta/Iceberg client resolves "current"). */
+  def latestVersion(root: String): Int =
+    latestVersionOpt(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot table $root has no committed version"))
 
   /** Current snapshot via the manifest chain (version 1 here). */
   val etlSnapshotRead: QFn = (s, d) => {

@@ -674,7 +674,54 @@ object Streaming {
     s.read.parquet(out).orderBy("cohort")
   }
 
+  /** Streaming commit log into the manifest snapshot table
+    * ([[graft.operators.SnapshotTable]]) — the lakehouse streaming
+    * sink: every micro-batch appends one immutable unit and
+    * ATOMICALLY commits a new manifest version (epoch = version), so
+    * concurrent readers get snapshot isolation while the stream runs
+    * and time travel across epochs after it. foreachBatch's
+    * (batch, epoch) pair is the exactly-once bookkeeping handle: a
+    * retried epoch overwrites its own unit and re-commits an
+    * identical manifest instead of double-appending, and a crash
+    * between unit write and manifest rename leaves readers at the
+    * previous version. The key returns the per-type aggregate of the
+    * LATEST snapshot read back through the manifest chain —
+    * batch-equivalent to aggregating the events table directly (the
+    * oracle); StreamingSpec asserts the commit history (one version
+    * per batch, one unit added per version, monotone row counts). */
+  val streamSnapshotSink: QFn = (s, d) => {
+    val root = Tables.sinkPath(s, d, "snapsink")
+    val feed = stagedFeed(s, d, flush = false)
+    val ckpt = scratchCkpt(
+      s"snap_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    import scala.reflect.io.Directory
+    // fresh table per run: the run IS the commit history under test
+    new Directory(new java.io.File(root)).deleteRecursively()
+    val q = s.readStream.schema(Encoders.product[Ev].schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         epoch: Long) =>
+          graft.operators.SnapshotTable.commitAppend(batch.toDF(), root, epoch)
+      }
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally {
+      q.stop()
+      new Directory(new java.io.File(ckpt)).deleteRecursively()
+    }
+    import graft.operators.SnapshotTable
+    SnapshotTable.readSnapshot(s, root, SnapshotTable.latestVersion(root))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "stream_snapshot_sink" -> streamSnapshotSink,
     "stream_join" -> streamJoin,
     "stream_file_source" -> streamFileSource,
     "stream_incremental_resume" -> streamIncrementalResume,
@@ -746,6 +793,12 @@ object Streaming {
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_file_source" ->
+      """SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // the latest committed snapshot holds exactly the replayed events,
+    // so its aggregate equals the batch aggregate over the table
+    "stream_snapshot_sink" ->
       """SELECT event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",

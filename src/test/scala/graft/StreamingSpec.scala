@@ -148,4 +148,24 @@ class StreamingSpec extends SparkTestBase {
       }
     }
   }
+
+  test("snapshot sink commits one version per micro-batch with snapshot isolation") {
+    import operators.SnapshotTable
+    val agg = streaming.Streaming.streamSnapshotSink(spark, sf).collect()
+    assert(agg.nonEmpty)
+    val root = Tables.sinkPath(spark, sf, "snapsink")
+    val last = SnapshotTable.latestVersion(root)
+    assert(last >= 1, "AvailableNow replay must commit >= 2 epochs")
+    // one unit added per version; row counts strictly monotone; the
+    // final snapshot holds exactly the full replay
+    val counts = (0 to last).map { v =>
+      val snap = SnapshotTable.readSnapshot(spark, root, v)
+      assert(snap.inputFiles.length == v + 1,
+        s"version $v must list exactly ${v + 1} units")
+      snap.count()
+    }
+    assert(counts.zip(counts.tail).forall { case (a, b) => a < b },
+      s"snapshot row counts must grow per commit: $counts")
+    assert(counts.last == Tables.events(spark, sf).count())
+  }
 }
