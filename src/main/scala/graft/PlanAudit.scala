@@ -84,7 +84,9 @@ object PlanAudit {
     "etl_snapshot_read" ->
       "builds the two-version manifest table it then snapshot-reads",
     "etl_time_travel" -> "same staged manifest table, older version",
-    "etl_snapshot_diff" -> "same staged manifest table, unit-diff read")
+    "etl_snapshot_diff" -> "same staged manifest table, unit-diff read",
+    "etl_snapshot_compact" ->
+      "rewrites the staged units into one and commits the new version")
 
   /** Count the shuffles (Exchange operators) the executed plan
     * actually ran, walking through AQE wrappers and query stages and
@@ -258,6 +260,7 @@ object ShuffleBudgets {
     "etl_gdpr_delete" -> 3,
     "etl_incremental_agg" -> 4,
     "etl_scd2" -> 2,
+    "etl_snapshot_compact" -> 1,
     "etl_snapshot_diff" -> 3,
     "etl_snapshot_read" -> 1,
     "etl_time_travel" -> 1,

@@ -160,7 +160,10 @@ object SnapshotTable {
       throw new IllegalArgumentException(
         s"snapshot table $root has no committed version"))
 
-  /** Current snapshot via the manifest chain (version 1 here). */
+  /** Current snapshot via the manifest chain — whatever version is
+    * the log tail (1 after construction, 2 once the compaction key
+    * has committed; both reconstruct identical rows, which is the
+    * compaction contract and why one oracle covers both states). */
   val etlSnapshotRead: QFn = (s, d) => {
     val root = ensure(s, d)
     readSnapshot(s, root, latestVersion(root))
@@ -217,15 +220,53 @@ object SnapshotTable {
       .orderBy("custkey")
   }
 
+  /** Compaction (the OPTIMIZE shape): rewrite version 1's five small
+    * units into ONE compacted unit and commit it as version 2 — a
+    * change that is pure METADATA to readers (bit-identical rows, so
+    * this key shares `etl_snapshot_read`'s oracle: reading the
+    * compacted snapshot must equal reading the fragmented one), while
+    * the physical file count drops 5 → 1. Time travel still works
+    * BACKWARDS through the log: v0/v1 manifests keep referencing the
+    * original units, which compaction never deletes (vacuum would,
+    * after a retention window — the part that needs nothing beyond
+    * `rm`). Idempotent: the compacted unit overwrites its own name
+    * and the v2 manifest re-commit replaces identical content. */
+  val etlSnapshotCompact: QFn = (s, d) => {
+    val root = ensure(s, d)
+    if (latestVersionOpt(root).exists(_ < 2)) {
+      val unit = "data/compact_v1"
+      readSnapshot(s, root, 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/$unit")
+      commit(root, 2, Seq(unit), replace = true)
+    }
+    readSnapshot(s, root, 2)
+      .select("custkey", "name", "acctbal").orderBy("custkey")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "etl_snapshot_read" -> etlSnapshotRead,
     "etl_time_travel" -> etlTimeTravel,
-    "etl_snapshot_diff" -> etlSnapshotDiff)
+    "etl_snapshot_diff" -> etlSnapshotDiff,
+    "etl_snapshot_compact" -> etlSnapshotCompact)
 
   val oracles: Seq[(String, String)] = Seq(
     // recompute snapshot v1 from the base table: bucket-0-localized
     // updates (same integer width arithmetic) + appended inserts
     "etl_snapshot_read" ->
+      """WITH w AS (SELECT max(c_custkey) // 4 + 1 AS wd FROM customer)
+         SELECT c_custkey AS custkey,
+           CASE WHEN c_custkey % 5 = 0 AND c_custkey < wd
+                THEN c_name || '_v2' ELSE c_name END AS name,
+           CASE WHEN c_custkey % 5 = 0 AND c_custkey < wd
+                THEN c_acctbal + 100.0 ELSE c_acctbal END AS acctbal
+         FROM customer, w
+         UNION ALL
+         SELECT c_custkey + 10000000, 'new_customer', 0.0
+         FROM customer WHERE c_custkey % 7 = 0
+         ORDER BY custkey""",
+    // compaction is metadata-only to readers: same rows as the
+    // pre-compaction snapshot, same oracle
+    "etl_snapshot_compact" ->
       """WITH w AS (SELECT max(c_custkey) // 4 + 1 AS wd FROM customer)
          SELECT c_custkey AS custkey,
            CASE WHEN c_custkey % 5 = 0 AND c_custkey < wd

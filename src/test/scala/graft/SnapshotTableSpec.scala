@@ -73,6 +73,21 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(!byChange.contains("delete"), "COW fixture produces no deletes")
   }
 
+  test("compaction is metadata-only: one unit, same rows, history intact") {
+    import operators.SnapshotTable
+    val compacted = SnapshotTable.etlSnapshotCompact(spark, sf)
+    assert(compacted.inputFiles.length == 1, "v2 must be one compacted unit")
+    val root = Tables.sinkPath(spark, sf, "snaptbl")
+    val v1 = SnapshotTable.readSnapshot(spark, root, 1)
+      .select("custkey", "name", "acctbal")
+    assert(compacted.exceptAll(v1).isEmpty && v1.exceptAll(compacted).isEmpty,
+      "compaction changed row content")
+    // older versions remain readable: compaction never deletes units
+    assert(SnapshotTable.readSnapshot(spark, root, 0).count() ==
+      Tables.customer(spark, sf).count())
+    assert(SnapshotTable.latestVersion(root) == 2)
+  }
+
   test("unknown version fails fast with a diagnosable error") {
     import operators.SnapshotTable
     SnapshotTable.etlSnapshotRead(spark, sf).count()
