@@ -549,9 +549,13 @@ object LlmSimilarity {
       .select(col("doc_id"), graft.functions.HashedBigrams(col("text")).as("grams"))
     est.join(grams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
       .join(grams.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
+      // |A∪B| = |A| + |B| − |A∩B| on these distinct gram sets: one
+      // IntersectCount replaces BOTH derived-array allocations
+      .withColumn("shared", graft.functions.IntersectCount(col("ga"), col("gb")))
       .select(col("a"), col("b"), round(col("est_jaccard"), 4).as("est_jaccard"),
-        round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))), 6).as("exact_jaccard"))
+        round(col("shared").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("shared")), 6)
+          .as("exact_jaccard"))
       .orderBy("a", "b")
   }
 
@@ -572,8 +576,9 @@ object LlmSimilarity {
     cands
       .join(grams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
       .join(grams.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
-      .withColumn("j", size(array_intersect(col("ga"), col("gb"))).cast("double") /
-        size(array_union(col("ga"), col("gb"))))
+      .withColumn("shared", graft.functions.IntersectCount(col("ga"), col("gb")))
+      .withColumn("j", col("shared").cast("double") /
+        (size(col("ga")) + size(col("gb")) - col("shared")))
       .filter(col("j") >= 0.5)
       .select(col("a"), col("b"), round(col("j"), 6).as("exact_jaccard"))
       .orderBy("a", "b")
@@ -796,7 +801,8 @@ object LlmSimilarity {
     cand
       .join(g.select(col("doc_id").as("a"), col("hg").as("hga")), "a")
       .join(g.select(col("doc_id").as("b"), col("hg").as("hgb")), "b")
-      .withColumn("shared", size(array_intersect(col("hga"), col("hgb"))))
+      .withColumn("shared",
+        graft.functions.IntersectCount(col("hga"), col("hgb")))
       .select(col("a"), col("b"), col("source"),
         (col("shared") / (size(col("hga")) + size(col("hgb")) - col("shared")))
           .as("jaccard"))
@@ -848,8 +854,8 @@ object LlmSimilarity {
       .join(g.select(col("doc_id").as("a"), col("hg").as("hga")), "a")
       .join(g.select(col("doc_id").as("b"), col("hg").as("hgb")), "b")
       .select(col("a"), col("b"), col("source"),
-        (size(array_intersect(col("hga"), col("hgb"))) / size(col("hga")))
-          .as("containment"))
+        (graft.functions.IntersectCount(col("hga"), col("hgb"))
+          / size(col("hga"))).as("containment"))
       .filter(col("containment") >= tau)
       .orderBy("a", "b")
   }

@@ -217,4 +217,20 @@ class PropertySpec extends SparkTestBase {
       assert(got == truth, s"n=$n edges=$edges\ngot=$got\ntruth=$truth")
     }
   }
+
+  test("IntersectCount equals size(array_intersect) on arbitrary long arrays") {
+    // generator stresses the helper's edge cases: duplicates on both
+    // sides (distinct counting), literal 0 values (the empty-slot
+    // sentinel), empty arrays, and asymmetric sizes (small-side swap)
+    val arr = Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.choose(-5L, 5L), Gen.choose(Long.MinValue, Long.MaxValue))))
+    forAll(Gen.zip(arr, arr), n = 40) { case (as, bs) =>
+      import spark.implicits._
+      val df = Seq((as, bs)).toDF("a", "b")
+        .select(graft.functions.IntersectCount(col("a"), col("b")).as("got"),
+          size(array_intersect(col("a"), col("b"))).as("want"))
+      val r = df.collect()(0)
+      assert(r.getInt(0) == r.getInt(1), s"a=$as b=$bs")
+    }
+  }
 }
