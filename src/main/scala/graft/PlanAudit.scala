@@ -37,7 +37,11 @@ object PlanAudit {
   // offset rows, <=|qs| position rows) surface as BNLJ — every build
   // side is O(1) regardless of data size; the grouped form
   // (agg_percentile_exact) keeps real keys and stays a hash join
-    "agg_approx_quantile", "agg_quantile_twopass", "agg_stats")
+    "agg_approx_quantile", "agg_quantile_twopass", "agg_stats",
+  // graph_pagerank joins the broadcast 1-row node count N into each
+  // iteration (no driver collect); graph_triangles meets its three
+  // single-row aggregates in 1-row broadcast crosses
+    "graph_pagerank", "graph_triangles")
 
   /** Keys whose CONSTRUCTION legitimately runs Spark jobs before the
     * driver's own action (r4 verdict item 3): every entry is a
@@ -86,7 +90,11 @@ object PlanAudit {
     "etl_time_travel" -> "same staged manifest table, older version",
     "etl_snapshot_diff" -> "same staged manifest table, unit-diff read",
     "etl_snapshot_compact" ->
-      "rewrites the staged units into one and commits the new version")
+      "rewrites the staged units into one and commits the new version",
+    "etl_snapshot_merge" -> ("builds its own staged table, discovers the " +
+      "touched buckets (<=NBuckets ints collected), rewrites them COW"),
+    "etl_snapshot_vacuum" ->
+      "builds the staged table it then vacuums and reads")
 
   /** Count the shuffles (Exchange operators) the executed plan
     * actually ran, walking through AQE wrappers and query stages and
@@ -237,6 +245,7 @@ object ShuffleBudgets {
   val map: Map[String, Int] = Map(
     "agg_approx_distinct" -> 3,
     "agg_approx_quantile" -> 8,
+    "agg_cms" -> 3,
     "agg_distinct" -> 3,
     "agg_heavy_hitters" -> 2,
     "agg_hll_sketch" -> 4,
@@ -262,7 +271,9 @@ object ShuffleBudgets {
     "etl_scd2" -> 2,
     "etl_snapshot_compact" -> 1,
     "etl_snapshot_diff" -> 3,
+    "etl_snapshot_merge" -> 1,
     "etl_snapshot_read" -> 1,
+    "etl_snapshot_vacuum" -> 1,
     "etl_time_travel" -> 1,
     "etl_upsert" -> 3,
     "etl_zorder" -> 2,
@@ -284,6 +295,9 @@ object ShuffleBudgets {
     "fn_ts_arith" -> 1,
     "fn_variant" -> 1,
     "fn_xml" -> 1,
+    "graph_degree" -> 4,
+    "graph_pagerank" -> 8,
+    "graph_triangles" -> 5,
     "join_asof" -> 2,
     "join_asof_forward" -> 2,
     "join_asof_native" -> 3,

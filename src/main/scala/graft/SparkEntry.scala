@@ -28,6 +28,8 @@ object SparkEntry {
       operators.Composite.entries ++
       operators.SnapshotTable.entries ++
       operators.Clustering.entries ++
+      operators.Graph.entries ++
+      operators.Sketches.entries ++
       operators.TimeSeries.entries ++
       plans.AsOfJoinPlans.entries ++
       streaming.Streaming.entries
@@ -45,6 +47,8 @@ object SparkEntry {
       operators.Composite.oracles ++
       operators.SnapshotTable.oracles ++
       operators.Clustering.oracles ++
+      operators.Graph.oracles ++
+      operators.Sketches.oracles ++
       operators.TimeSeries.oracles ++
       plans.AsOfJoinPlans.oracles ++
       streaming.Streaming.oracles

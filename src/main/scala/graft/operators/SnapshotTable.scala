@@ -65,10 +65,13 @@ object SnapshotTable {
       col("c_name").as("name"),
       col("c_acctbal").as("acctbal"))
 
-  private def build(s: SparkSession, d: String, root: String): Unit = {
+  /** v0 construction shared by every snapshot-table fixture: full
+    * snapshot, one immutable unit per key-range quartile. Returns the
+    * bucket width and the committed unit names. */
+  private def writeV0(s: SparkSession, d: String,
+      root: String): (Long, Seq[String]) = {
     val cust = base(s, d)
     val width = cust.agg(max("custkey")).first().getLong(0) / NBuckets + 1
-    // v0: full snapshot, one immutable unit per key-range quartile
     val units0 = (0 until NBuckets).map { b =>
       val unit = s"data/v0_b$b"
       cust.filter(col("custkey") >= b * width && col("custkey") < (b + 1) * width)
@@ -76,6 +79,11 @@ object SnapshotTable {
       unit
     }
     commit(root, 0, units0)
+    (width, units0)
+  }
+
+  private def build(s: SparkSession, d: String, root: String): Unit = {
+    val (width, units0) = writeV0(s, d, root)
     // v1: copy-on-write upsert — the update predicate only touches
     // bucket 0, so exactly one unit is rewritten (read back from the
     // committed v0 unit, as a real COW engine does), buckets 1..3 are
@@ -243,11 +251,117 @@ object SnapshotTable {
       .select("custkey", "name", "acctbal").orderBy("custkey")
   }
 
+  // ---------------------------------------------------------------
+  // MERGE INTO (three-clause) on its own table root
+  // ---------------------------------------------------------------
+
+  private val builtMerge = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureMerge(s: SparkSession, d: String): String = {
+    val root = Tables.sinkPath(s, d, "snapmerge")
+    builtMerge.computeIfAbsent(root, _ => { buildMerge(s, d, root); root })
+  }
+
+  /** The full MERGE INTO shape on the snapshot table: one source
+    * change-set with WHEN MATCHED AND op='D' THEN DELETE, WHEN
+    * MATCHED THEN UPDATE, WHEN NOT MATCHED THEN INSERT — applied
+    * copy-on-write. The units to rewrite are DISCOVERED from the
+    * matched keys' bucket range (the file-pruning a real MERGE gets
+    * from unit-level min/max stats): matched rows here live under
+    * 2·width, so exactly buckets 0–1 rewrite and buckets 2–3 carry by
+    * reference — write amplification stays O(touched key range).
+    * The bucket list collect is ≤ NBuckets ints: driver metadata. */
+  private def buildMerge(s: SparkSession, d: String, root: String): Unit = {
+    val (width, units0) = writeV0(s, d, root)
+    val cust = base(s, d)
+    val matched = cust
+      .filter((col("custkey") % 10 === 3 || col("custkey") % 10 === 6) &&
+        col("custkey") < 2 * width)
+      .select(col("custkey"),
+        when(col("custkey") % 10 === 6, "D").otherwise("U").as("op"),
+        concat(col("name"), lit("_m")).as("new_name"),
+        (col("acctbal") + 50.0).as("new_acctbal"))
+    val touched = matched
+      .select((col("custkey") / width).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val rewritten = touched.map { b =>
+      val unit = s"data/v1_merge_b$b"
+      s.read.parquet(s"$root/${units0(b)}")
+        .join(matched, Seq("custkey"), "left_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("custkey"),
+          when(col("op") === "U", col("new_name"))
+            .otherwise(col("name")).as("name"),
+          when(col("op") === "U", col("new_acctbal"))
+            .otherwise(col("acctbal")).as("acctbal"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/$unit")
+      unit
+    }
+    cust.filter(col("custkey") % 11 === 0)
+      .select((col("custkey") + 20000000L).as("custkey"),
+        lit("merged_customer").as("name"), lit(1.0).as("acctbal"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/data/v1_merge_ins")
+    val carried = units0.indices.filterNot(touched.contains).map(units0)
+    commit(root, 1, rewritten ++ carried ++ Seq("data/v1_merge_ins"))
+  }
+
+  val etlSnapshotMerge: QFn = (s, d) => {
+    val root = ensureMerge(s, d)
+    readSnapshot(s, root, 1)
+      .select("custkey", "name", "acctbal").orderBy("custkey")
+  }
+
+  // ---------------------------------------------------------------
+  // VACUUM on its own table root
+  // ---------------------------------------------------------------
+
+  private val builtVac = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureVacuum(s: SparkSession, d: String): String = {
+    val root = Tables.sinkPath(s, d, "snapvac")
+    builtVac.computeIfAbsent(root, _ => { build(s, d, root); vacuum(root); root })
+  }
+
+  /** VACUUM with retention = latest-only: delete every data unit not
+    * referenced by the latest manifest, then the superseded manifests
+    * themselves. After vacuum, time travel to pruned versions fails
+    * fast (manifest gone — never a half-readable snapshot), while the
+    * latest snapshot reconstructs bit-identically; that pair of facts
+    * is the vacuum contract and is what SnapshotTableSpec pins. The
+    * walk is O(units + manifests): driver-side metadata, no data scan
+    * — deletion needs nothing beyond file removal. */
+  def vacuum(root: String): Unit = {
+    val latest = latestVersion(root)
+    val keep = unitsOf(root, latest).toSet
+    val dataDir = Paths.get(root, "data")
+    val units = { val l = Files.list(dataDir)
+      try l.iterator().asScala.map(_.getFileName.toString).toSeq
+      finally l.close() }
+    units.filterNot(u => keep.contains(s"data/$u")).foreach { u =>
+      val dir = Paths.get(root, "data", u)
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.delete(p))
+      finally walk.close()
+    }
+    (0 until latest).foreach { v =>
+      Files.deleteIfExists(Paths.get(root, "_manifests", s"v$v.json"))
+    }
+  }
+
+  val etlSnapshotVacuum: QFn = (s, d) => {
+    val root = ensureVacuum(s, d)
+    readSnapshot(s, root, latestVersion(root))
+      .select("custkey", "name", "acctbal").orderBy("custkey")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "etl_snapshot_read" -> etlSnapshotRead,
     "etl_time_travel" -> etlTimeTravel,
     "etl_snapshot_diff" -> etlSnapshotDiff,
-    "etl_snapshot_compact" -> etlSnapshotCompact)
+    "etl_snapshot_compact" -> etlSnapshotCompact,
+    "etl_snapshot_merge" -> etlSnapshotMerge,
+    "etl_snapshot_vacuum" -> etlSnapshotVacuum)
 
   val oracles: Seq[(String, String)] = Seq(
     // recompute snapshot v1 from the base table: bucket-0-localized
@@ -267,6 +381,37 @@ object SnapshotTable {
     // compaction is metadata-only to readers: same rows as the
     // pre-compaction snapshot, same oracle
     "etl_snapshot_compact" ->
+      """WITH w AS (SELECT max(c_custkey) // 4 + 1 AS wd FROM customer)
+         SELECT c_custkey AS custkey,
+           CASE WHEN c_custkey % 5 = 0 AND c_custkey < wd
+                THEN c_name || '_v2' ELSE c_name END AS name,
+           CASE WHEN c_custkey % 5 = 0 AND c_custkey < wd
+                THEN c_acctbal + 100.0 ELSE c_acctbal END AS acctbal
+         FROM customer, w
+         UNION ALL
+         SELECT c_custkey + 10000000, 'new_customer', 0.0
+         FROM customer WHERE c_custkey % 7 = 0
+         ORDER BY custkey""",
+    // the three-clause MERGE recomputed from the base table: deletes
+    // drop, updates rewrite, inserts append — matched rows localized
+    // below 2·width by construction
+    "etl_snapshot_merge" ->
+      """WITH w AS (SELECT max(c_custkey) // 4 + 1 AS wd FROM customer)
+         SELECT c_custkey AS custkey,
+           CASE WHEN c_custkey % 10 = 3 AND c_custkey < 2 * wd
+                THEN c_name || '_m' ELSE c_name END AS name,
+           CASE WHEN c_custkey % 10 = 3 AND c_custkey < 2 * wd
+                THEN c_acctbal + 50.0 ELSE c_acctbal END AS acctbal
+         FROM customer, w
+         WHERE NOT (c_custkey % 10 = 6 AND c_custkey < 2 * wd)
+         UNION ALL
+         SELECT c_custkey + 20000000, 'merged_customer', 1.0
+         FROM customer WHERE c_custkey % 11 = 0
+         ORDER BY custkey""",
+    // vacuum is invisible to the latest snapshot: same rows as the
+    // post-upsert read — the deletion of unreferenced units is pinned
+    // structurally by SnapshotTableSpec
+    "etl_snapshot_vacuum" ->
       """WITH w AS (SELECT max(c_custkey) // 4 + 1 AS wd FROM customer)
          SELECT c_custkey AS custkey,
            CASE WHEN c_custkey % 5 = 0 AND c_custkey < wd

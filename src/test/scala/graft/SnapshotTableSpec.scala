@@ -88,6 +88,56 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.latestVersion(root) == 2)
   }
 
+  test("merge: COW touches exactly the matched buckets; clauses apply") {
+    import operators.SnapshotTable
+    val merged = SnapshotTable.etlSnapshotMerge(spark, sf)
+    val root = Tables.sinkPath(spark, sf, "snapmerge")
+    def units(v: Int): Seq[String] = {
+      val mf = java.nio.file.Paths.get(root, "_manifests", s"v$v.json")
+      "\"(data/[^\"]+)\"".r
+        .findAllMatchIn(java.nio.file.Files.readString(mf))
+        .map(_.group(1)).toSeq
+    }
+    val (u0, u1) = (units(0), units(1))
+    // matched keys live under 2*width -> buckets 0,1 rewritten, 2,3 carried
+    assert(u1.count(_.startsWith("data/v1_merge_b")) == 2,
+      s"expected 2 rewritten buckets: $u1")
+    assert(u0.drop(2).forall(u1.contains), "buckets 2-3 must carry by reference")
+    val base = Tables.customer(spark, sf)
+    val width = base.agg(max("c_custkey")).first().getLong(0) /
+      SnapshotTable.NBuckets + 1
+    val nDel = base.filter(col("c_custkey") % 10 === 6 &&
+      col("c_custkey") < 2 * width).count()
+    val nIns = base.filter(col("c_custkey") % 11 === 0).count()
+    assert(merged.count() == base.count() - nDel + nIns)
+    // WHEN MATCHED DELETE really removed the rows
+    assert(merged.filter(col("custkey") % 10 === 6 &&
+      col("custkey") < 2 * width).count() == 0)
+    // WHEN MATCHED UPDATE applied to every surviving matched row
+    assert(merged.filter(col("name").endsWith("_m")).count() ==
+      base.filter(col("c_custkey") % 10 === 3 &&
+        col("c_custkey") < 2 * width).count())
+  }
+
+  test("vacuum deletes unreferenced units; latest snapshot intact") {
+    import operators.SnapshotTable
+    val after = SnapshotTable.etlSnapshotVacuum(spark, sf)
+    val root = Tables.sinkPath(spark, sf, "snapvac")
+    // the v0-only unit (the one the upsert rewrote) is physically gone
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "data", "v0_b0")),
+      "vacuum must delete the unreferenced v0 unit")
+    // superseded manifest gone -> time travel to v0 fails fast
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.readSnapshot(spark, root, 0)
+    }
+    assert(e.getMessage.contains("no version 0"))
+    // carried units survive and the latest snapshot still reconstructs
+    val main = SnapshotTable.etlSnapshotRead(spark, sf)
+    assert(after.exceptAll(main).isEmpty && main.exceptAll(after).isEmpty,
+      "vacuum changed the latest snapshot's rows")
+  }
+
   test("unknown version fails fast with a diagnosable error") {
     import operators.SnapshotTable
     SnapshotTable.etlSnapshotRead(spark, sf).count()
