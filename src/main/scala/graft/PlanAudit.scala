@@ -94,7 +94,11 @@ object PlanAudit {
     "etl_snapshot_merge" -> ("builds its own staged table, discovers the " +
       "touched buckets (<=NBuckets ints collected), rewrites them COW"),
     "etl_snapshot_vacuum" ->
-      "builds the staged table it then vacuums and reads")
+      "builds the staged table it then vacuums and reads",
+    "etl_snapshot_prune" -> ("writes the stats-annotated units, computing " +
+      "per-unit min/max as a writer does at file close"),
+    "etl_snapshot_add_column" ->
+      "stages the two-schema-generation table it then reconciles")
 
   /** Count the shuffles (Exchange operators) the executed plan
     * actually ran, walking through AQE wrappers and query stages and
@@ -271,7 +275,9 @@ object ShuffleBudgets {
     "etl_scd2" -> 2,
     "etl_snapshot_compact" -> 1,
     "etl_snapshot_diff" -> 3,
+    "etl_snapshot_add_column" -> 1,
     "etl_snapshot_merge" -> 1,
+    "etl_snapshot_prune" -> 1,
     "etl_snapshot_read" -> 1,
     "etl_snapshot_vacuum" -> 1,
     "etl_time_travel" -> 1,

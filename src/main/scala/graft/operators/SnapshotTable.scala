@@ -107,13 +107,19 @@ object SnapshotTable {
     * renamed — the rename IS the commit (IndexStore publication
     * pattern; a reader either sees v<N>.json fully or not at all).
     * `replace` allows an idempotent RE-commit of the same version
-    * (a retried streaming epoch rewrites identical content). */
+    * (a retried streaming epoch rewrites identical content).
+    * `stats`, when given, is one [min, max] key pair per unit in file
+    * order — the per-file column statistics a real manifest carries,
+    * and what the stats-pruned read key skips units by. */
   private def commit(root: String, version: Int, units: Seq[String],
-      replace: Boolean = false): Unit = {
+      replace: Boolean = false, stats: Seq[(Long, Long)] = Nil): Unit = {
     val dir = Paths.get(root, "_manifests")
     Files.createDirectories(dir)
+    val statsJson = if (stats.isEmpty) ""
+      else stats.map { case (lo, hi) => s"[$lo,$hi]" }
+        .mkString(""","stats":[""", ",", "]")
     val json = units.map("\"" + _ + "\"")
-      .mkString(s"""{"version":$version,"files":[""", ",", "]}")
+      .mkString(s"""{"version":$version,"files":[""", ",", s"]$statsJson}")
     val tmp = dir.resolve(s"v$version.json.tmp")
     Files.writeString(tmp, json)
     val flags: Seq[StandardCopyOption] =
@@ -355,13 +361,107 @@ object SnapshotTable {
       .select("custkey", "name", "acctbal").orderBy("custkey")
   }
 
+  // ---------------------------------------------------------------
+  // Stats-based unit pruning (file skipping) on its own table root
+  // ---------------------------------------------------------------
+
+  private val builtPrune = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensurePrune(s: SparkSession, d: String): String = {
+    val root = Tables.sinkPath(s, d, "snapprune")
+    builtPrune.computeIfAbsent(root, _ => {
+      val cust = base(s, d)
+      val width = cust.agg(max("custkey")).first().getLong(0) / NBuckets + 1
+      val unitStats = (0 until NBuckets).map { b =>
+        val unit = s"data/v0_b$b"
+        val slice = cust.filter(
+          col("custkey") >= b * width && col("custkey") < (b + 1) * width)
+        slice.coalesce(1).write.mode("overwrite").parquet(s"$root/$unit")
+        // the per-unit min/max a writer computes as it closes the file
+        val mm = slice.agg(min("custkey"), max("custkey")).first()
+        (unit, (mm.getLong(0), mm.getLong(1)))
+      }
+      commit(root, 0, unitStats.map(_._1), stats = unitStats.map(_._2))
+      root
+    })
+  }
+
+  /** Stats from a committed manifest: [min, max] per unit, file order. */
+  private def statsOf(root: String, version: Int): Seq[(Long, Long)] = {
+    val mf = Paths.get(root, "_manifests", s"v$version.json")
+    "\\[(\\d+),(\\d+)\\]".r.findAllMatchIn(Files.readString(mf))
+      .map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+  }
+
+  /** Iceberg-style FILE SKIPPING at the table-format layer: the
+    * manifest carries per-unit [min, max] key stats, and a predicate
+    * read consults ONLY the manifest to drop units whose range cannot
+    * match — the data files of pruned units are never opened (the
+    * spec pins this via inputFiles). The predicate (custkey below
+    * half the first bucket) prunes 3 of 4 units; the surviving unit
+    * still applies the exact predicate as a residual, pushed into the
+    * parquet scan as on any read. At 100 TB this is what turns a
+    * full-table scan into an O(matching-units) scan BEFORE Spark ever
+    * lists a file. */
+  val etlSnapshotPrune: QFn = (s, d) => {
+    val root = ensurePrune(s, d)
+    val units = unitsOf(root, 0)
+    val st = statsOf(root, 0)
+    require(st.size == units.size, s"manifest v0 at $root lacks unit stats")
+    val width = st.map(_._2).max / NBuckets + 1
+    val bound = width / 2
+    val survivors = units.zip(st)
+      .collect { case (u, (lo, _)) if lo < bound => u }
+    s.read.parquet(survivors.map(u => s"$root/$u"): _*)
+      .filter(col("custkey") < bound)
+      .select("custkey", "name", "acctbal").orderBy("custkey")
+  }
+
+  // ---------------------------------------------------------------
+  // Schema evolution (ADD COLUMN) on its own table root
+  // ---------------------------------------------------------------
+
+  private val builtEvo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureEvo(s: SparkSession, d: String): String = {
+    val root = Tables.sinkPath(s, d, "snapevo")
+    builtEvo.computeIfAbsent(root, _ => {
+      val (_, units0) = writeV0(s, d, root)
+      // v1 = ADD COLUMN segment + an appended unit that carries it;
+      // the old units are untouched (no rewrite on ADD COLUMN — the
+      // nullable-fill happens at read time, the lakehouse contract)
+      Tables.customer(s, d).filter(col("c_custkey") % 9 === 0)
+        .select((col("c_custkey") + 30000000L).as("custkey"),
+          col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("segment"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/data/v1_widecol")
+      commit(root, 1, units0 :+ "data/v1_widecol")
+      root
+    })
+  }
+
+  /** ADD COLUMN as a metadata-only commit: version 1 appends a unit
+    * carrying the new `segment` column; the four v0 units are carried
+    * by reference WITHOUT rewrite, and the read reconciles the two
+    * physical schemas (null-filling the old units) — Delta/Iceberg's
+    * schema-evolution contract. Rows written before the evolution
+    * read back with segment NULL; new rows carry their value. */
+  val etlSnapshotAddColumn: QFn = (s, d) => {
+    val root = ensureEvo(s, d)
+    s.read.option("mergeSchema", "true")
+      .parquet(unitsOf(root, 1).map(u => s"$root/$u"): _*)
+      .select("custkey", "name", "acctbal", "segment").orderBy("custkey")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "etl_snapshot_read" -> etlSnapshotRead,
     "etl_time_travel" -> etlTimeTravel,
     "etl_snapshot_diff" -> etlSnapshotDiff,
     "etl_snapshot_compact" -> etlSnapshotCompact,
     "etl_snapshot_merge" -> etlSnapshotMerge,
-    "etl_snapshot_vacuum" -> etlSnapshotVacuum)
+    "etl_snapshot_vacuum" -> etlSnapshotVacuum,
+    "etl_snapshot_prune" -> etlSnapshotPrune,
+    "etl_snapshot_add_column" -> etlSnapshotAddColumn)
 
   val oracles: Seq[(String, String)] = Seq(
     // recompute snapshot v1 from the base table: bucket-0-localized
@@ -422,6 +522,24 @@ object SnapshotTable {
          UNION ALL
          SELECT c_custkey + 10000000, 'new_customer', 0.0
          FROM customer WHERE c_custkey % 7 = 0
+         ORDER BY custkey""",
+    // the stats-pruned read is just the predicate applied to the base
+    // — pruning must be invisible to results (it only skips units the
+    // predicate could never match; the structural claim is spec-pinned)
+    "etl_snapshot_prune" ->
+      """WITH w AS (SELECT max(c_custkey) // 4 + 1 AS wd FROM customer)
+         SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+         FROM customer, w WHERE c_custkey < wd // 2
+         ORDER BY custkey""",
+    // ADD COLUMN: pre-evolution rows read back with segment NULL, the
+    // appended unit carries its values
+    "etl_snapshot_add_column" ->
+      """SELECT c_custkey AS custkey, c_name AS name,
+           c_acctbal AS acctbal, CAST(NULL AS VARCHAR) AS segment
+         FROM customer
+         UNION ALL
+         SELECT c_custkey + 30000000, c_name, c_acctbal, c_mktsegment
+         FROM customer WHERE c_custkey % 9 = 0
          ORDER BY custkey""",
     // snapshot v0 is the untouched base projection
     "etl_time_travel" ->

@@ -138,6 +138,39 @@ class SnapshotTableSpec extends SparkTestBase {
       "vacuum changed the latest snapshot's rows")
   }
 
+  test("stats pruning never opens a unit the predicate cannot match") {
+    import operators.SnapshotTable
+    val pruned = SnapshotTable.etlSnapshotPrune(spark, sf)
+    val files = pruned.inputFiles.toSeq
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("/data/v0_b0")),
+      s"pruned read opened a non-matching unit:\n${files.mkString("\n")}")
+    // and the result is exactly the predicate applied to the base
+    val base = Tables.customer(spark, sf)
+    val width = base.agg(max("c_custkey")).first().getLong(0) /
+      SnapshotTable.NBuckets + 1
+    assert(pruned.count() ==
+      base.filter(col("c_custkey") < width / 2).count())
+  }
+
+  test("add column: old units null-fill, appended unit carries values") {
+    import operators.SnapshotTable
+    val evolved = SnapshotTable.etlSnapshotAddColumn(spark, sf)
+    val base = Tables.customer(spark, sf)
+    val nNew = base.filter(col("c_custkey") % 9 === 0).count()
+    assert(evolved.count() == base.count() + nNew)
+    assert(evolved.filter(col("segment").isNull).count() == base.count(),
+      "every pre-evolution row must read back with segment NULL")
+    assert(evolved.filter(col("segment").isNotNull).count() == nNew)
+    // ADD COLUMN rewrote nothing: the appended unit is the only new file
+    val root = Tables.sinkPath(spark, sf, "snapevo")
+    val mf = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_manifests", "v1.json"))
+    assert((0 until SnapshotTable.NBuckets)
+      .forall(b => mf.contains(s"data/v0_b$b")),
+      "v0 units must carry by reference through the schema change")
+  }
+
   test("unknown version fails fast with a diagnosable error") {
     import operators.SnapshotTable
     SnapshotTable.etlSnapshotRead(spark, sf).count()
