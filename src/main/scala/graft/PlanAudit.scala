@@ -299,6 +299,7 @@ object ShuffleBudgets {
     "fn_struct" -> 1,
     "fn_try_safe" -> 1,
     "fn_ts_arith" -> 1,
+    "fn_url" -> 1,
     "fn_variant" -> 1,
     "fn_xml" -> 1,
     "graph_degree" -> 4,

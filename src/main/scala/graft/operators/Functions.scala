@@ -230,7 +230,34 @@ object Functions {
       try_add(col("l_orderkey"), lit(Long.MaxValue)).as("add_ovf"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** URL scalar family: synthesize one well-formed URL per part row
+    * (varying host, percent-encoded path segment — `p_brand` carries
+    * a literal '#', so encoding is load-bearing — query params and a
+    * fragment), then take it apart with Spark's native
+    * `parse_url`/`url_decode`. The oracle reconstructs every expected
+    * component from the same source columns WITHOUT a URL parser, so
+    * the two engines agree only if Spark's parser extracts exactly
+    * the components the URL was built from. */
+  val fnUrl: QFn = (s, d) => {
+    Tables.part(s, d)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .withColumn("u", concat(
+        lit("https://h"), pmod(col("p_partkey"), lit(50)),
+        lit(".example.com:8443/catalog/"), expr("url_encode(p_brand)"),
+        lit("/item?partkey="), col("p_partkey"),
+        lit("&size="), col("p_size"), lit("#frag")))
+      .select(col("p_partkey"),
+        expr("parse_url(u, 'HOST')").as("host"),
+        expr("parse_url(u, 'PATH')").as("path"),
+        expr("parse_url(u, 'QUERY')").as("query"),
+        expr("parse_url(u, 'QUERY', 'size')").as("size_param"),
+        expr("parse_url(u, 'REF')").as("frag"),
+        expr("url_decode(parse_url(u, 'QUERY', 'partkey'))").as("key_param"))
+      .orderBy("p_partkey")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "fn_url" -> fnUrl,
     "fn_xml" -> fnXml,
     "fn_mask" -> fnMask,
     "fn_try_safe" -> fnTrySafe,
@@ -245,6 +272,18 @@ object Functions {
     "fn_json" -> fnJson)
 
   val oracles: Seq[(String, String)] = Seq(
+    // expected URL components reconstructed from the source columns,
+    // no parser involved: host drops the port, the path keeps the
+    // percent-encoded brand ('#' -> %23), the param round-trips
+    "fn_url" ->
+      """SELECT p_partkey,
+           'h' || (p_partkey % 50) || '.example.com' AS host,
+           '/catalog/' || replace(p_brand, '#', '%23') || '/item' AS path,
+           'partkey=' || p_partkey || '&size=' || p_size AS query,
+           p_size::VARCHAR AS size_param,
+           'frag' AS frag,
+           p_partkey::VARCHAR AS key_param
+         FROM part ORDER BY p_partkey""",
     "fn_try_safe" ->
       """SELECT l_orderkey, l_linenumber,
            CAST(NULL AS DOUBLE) AS div0,

@@ -110,8 +110,19 @@ object SnapshotTable {
     * (a retried streaming epoch rewrites identical content).
     * `stats`, when given, is one [min, max] key pair per unit in file
     * order — the per-file column statistics a real manifest carries,
-    * and what the stats-pruned read key skips units by. */
-  private def commit(root: String, version: Int, units: Seq[String],
+    * and what the stats-pruned read key skips units by.
+    *
+    * Without `replace` the publication is also the format's whole
+    * OPTIMISTIC CONCURRENCY CONTROL: two writers racing to commit the
+    * same version both stage their tmp manifest, but the target name
+    * is claimed with an atomic CREATE-LINK, which admits exactly one
+    * — POSIX rename() would silently overwrite the winner, link()
+    * fails with EEXIST. The loser gets FileAlreadyExistsException,
+    * learns the log tail moved, and must rebase on the winner's
+    * snapshot and retry at version N+1 (Delta's commit protocol,
+    * reduced to a filesystem primitive). SnapshotTableSpec pins both
+    * the losing path and the winner's manifest integrity. */
+  private[graft] def commit(root: String, version: Int, units: Seq[String],
       replace: Boolean = false, stats: Seq[(Long, Long)] = Nil): Unit = {
     val dir = Paths.get(root, "_manifests")
     Files.createDirectories(dir)
@@ -122,11 +133,13 @@ object SnapshotTable {
       .mkString(s"""{"version":$version,"files":[""", ",", s"]$statsJson}")
     val tmp = dir.resolve(s"v$version.json.tmp")
     Files.writeString(tmp, json)
-    val flags: Seq[StandardCopyOption] =
-      if (replace) Seq(StandardCopyOption.ATOMIC_MOVE,
+    val target = dir.resolve(s"v$version.json")
+    if (replace)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      else Seq(StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dir.resolve(s"v$version.json"), flags: _*)
+    else
+      try Files.createLink(target, tmp) // atomic claim: EEXIST = lost race
+      finally Files.deleteIfExists(tmp)
   }
 
   /** APPEND-mode streaming commit — the lakehouse streaming-sink

@@ -171,6 +171,26 @@ class SnapshotTableSpec extends SparkTestBase {
       "v0 units must carry by reference through the schema change")
   }
 
+  test("racing commits of one version admit exactly one writer") {
+    import operators.SnapshotTable
+    val root = Tables.sinkPath(spark, sf, "snapcc")
+    SnapshotTable.commit(root, 0, Seq("data/writer_a"))
+    // writer B staged its own manifest for v0 concurrently; the
+    // atomic no-replace rename must reject it — optimistic
+    // concurrency at the filesystem layer
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      SnapshotTable.commit(root, 0, Seq("data/writer_b"))
+    }
+    // the winner's manifest is intact, not half-overwritten
+    val mf = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_manifests", "v0.json"))
+    assert(mf.contains("writer_a") && !mf.contains("writer_b"))
+    // and the loser's correct move is a RE-BASED commit at v1, which
+    // succeeds against the advanced log tail
+    SnapshotTable.commit(root, 1, Seq("data/writer_a", "data/writer_b"))
+    assert(SnapshotTable.latestVersion(root) == 1)
+  }
+
   test("unknown version fails fast with a diagnosable error") {
     import operators.SnapshotTable
     SnapshotTable.etlSnapshotRead(spark, sf).count()
