@@ -565,6 +565,36 @@ object Streaming {
     }.select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
       .orderBy("purchase_id", "click_id")
 
+  /** LEFT OUTER stream-stream join — the semantics inner joins can't
+    * show: an unmatched purchase may only emit (with a null click)
+    * once the watermark proves no matching click can still arrive, so
+    * null rows surface on WATERMARK ADVANCEMENT, not on data arrival.
+    * The flush feed makes this fully oracle-able: the sentinels push
+    * both sides' watermarks past every real timestamp, sealing and
+    * emitting ALL outer state, so the result equals the batch left
+    * join exactly — no tail-horizon carve-out needed. Watermarks are
+    * applied BEFORE the type filters (sentinels carry their own
+    * event_type, and a filtered-first stream would never see them);
+    * sentinel rows ride user_id −1 and drop out at the end. */
+  val streamJoinOuter: QFn = (s, d) =>
+    runStream(s, d, OutputMode.Append(), "sjoino", flush = true) { df =>
+      val clicks = df.filter(col("event_type").isin("click", "__flush__"))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val purchases = df.filter(col("event_type").isin("purchase", "__flush__"))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+    }.filter(col("p_user") =!= -1)
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+      .orderBy("purchase_id", "click_id")
+
   /** FILE-SOURCE stream — the production ingest shape (a lake
     * directory that accumulates files), distinct from the MemoryStream
     * harness every other key uses: events are staged as parquet files,
@@ -723,6 +753,7 @@ object Streaming {
   val entries: Seq[(String, QFn)] = Seq(
     "stream_snapshot_sink" -> streamSnapshotSink,
     "stream_join" -> streamJoin,
+    "stream_join_outer" -> streamJoinOuter,
     "stream_file_source" -> streamFileSource,
     "stream_incremental_resume" -> streamIncrementalResume,
     "stream_foreach_batch" -> streamForeachBatch,
@@ -738,6 +769,20 @@ object Streaming {
     "stream_stateful_list" -> streamStatefulList)
 
   val oracles: Seq[(String, String)] = Seq(
+    // the flushed outer join equals the batch LEFT join exactly —
+    // the sentinels sealed every pending right-side window
+    "stream_join_outer" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click')
+         SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS user_id
+         FROM p LEFT JOIN c
+           ON c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR
+          AND c.ts <= p.ts
+         ORDER BY purchase_id, click_id""",
     "stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
          FROM events p JOIN events c

@@ -149,6 +149,30 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("outer stream join actually exercises the null-emission path") {
+    // equivalence with the batch left join is the oracle gate's job;
+    // this guards the semantics from silently degrading to INNER
+    // (which would also pass rows>0): there must be purchases whose
+    // click slot is null, and exactly as many as the batch side says
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("stream_join_outer")(spark, sf).cache()
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+    val matched = p.join(c, Seq("user_id"))
+      .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select("purchase_id").distinct()
+    val expectedNulls = p.select("purchase_id").distinct().count() - matched.count()
+    val gotNulls = r.filter(col("click_id").isNull).count()
+    assert(expectedNulls > 0, "fixture has no unmatched purchases — test is vacuous")
+    assert(gotNulls == expectedNulls,
+      s"null-click rows $gotNulls != batch unmatched purchases $expectedNulls")
+    r.unpersist()
+  }
+
   test("snapshot sink commits one version per micro-batch with snapshot isolation") {
     import operators.SnapshotTable
     val agg = streaming.Streaming.streamSnapshotSink(spark, sf).collect()
