@@ -98,7 +98,11 @@ object PlanAudit {
     "etl_snapshot_prune" -> ("writes the stats-annotated units, computing " +
       "per-unit min/max as a writer does at file close"),
     "etl_snapshot_add_column" ->
-      "stages the two-schema-generation table it then reconciles")
+      "stages the two-schema-generation table it then reconciles",
+    "etl_snapshot_clone" ->
+      "ensures the source table it then shallow-clones by reference",
+    "etl_snapshot_restore" ->
+      "builds the staged table whose log tail it then rolls back")
 
   /** Count the shuffles (Exchange operators) the executed plan
     * actually ran, walking through AQE wrappers and query stages and
@@ -276,7 +280,9 @@ object ShuffleBudgets {
     "etl_snapshot_compact" -> 1,
     "etl_snapshot_diff" -> 3,
     "etl_snapshot_add_column" -> 1,
+    "etl_snapshot_clone" -> 1,
     "etl_snapshot_merge" -> 1,
+    "etl_snapshot_restore" -> 1,
     "etl_snapshot_prune" -> 1,
     "etl_snapshot_read" -> 1,
     "etl_snapshot_vacuum" -> 1,

@@ -206,11 +206,14 @@ object SnapshotTable {
       .select("custkey", "name", "acctbal").orderBy("custkey")
   }
 
-  /** Unit list of a committed manifest (driver-side metadata). */
+  /** Unit list of a committed manifest (driver-side metadata). Units
+    * are normally `data/...` relative to the table root; a shallow
+    * CLONE's manifest references another table's units as `../...`
+    * relative paths — by-location sharing, never a copy. */
   private def unitsOf(root: String, version: Int): Seq[String] = {
     val mf = Paths.get(root, "_manifests", s"v$version.json")
     require(Files.exists(mf), s"snapshot table $root has no version $version")
-    "\"(data/[^\"]+)\"".r
+    "\"((?:\\.\\./|data/)[^\"]+)\"".r
       .findAllMatchIn(Files.readString(mf)).map(_.group(1)).toSeq
   }
 
@@ -466,7 +469,52 @@ object SnapshotTable {
       .select("custkey", "name", "acctbal", "segment").orderBy("custkey")
   }
 
+  // ---------------------------------------------------------------
+  // Shallow CLONE and RESTORE — both metadata-only commits
+  // ---------------------------------------------------------------
+
+  private val builtClone = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Zero-copy SHALLOW CLONE (Delta's shallow clone): a new table
+    * whose first manifest references the SOURCE table's current units
+    * by relative location — commit cost is O(manifest), no data file
+    * is copied or rewritten, and the clone then evolves its own
+    * commit log independently. The spec pins storage sharing via
+    * inputFiles and the empty clone-side data directory. */
+  val etlSnapshotClone: QFn = (s, d) => {
+    val src = ensure(s, d)
+    val root = builtClone.computeIfAbsent(
+      Tables.sinkPath(s, d, "snapclone"), { r =>
+        val srcName = Paths.get(src).getFileName.toString
+        val shared = unitsOf(src, latestVersion(src))
+          .map(u => s"../$srcName/$u")
+        commit(r, 0, shared)
+        r
+      })
+    readSnapshot(s, root, 0)
+      .select("custkey", "name", "acctbal").orderBy("custkey")
+  }
+
+  private val builtRestore = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** RESTORE table TO VERSION 0 as a NEW commit (Delta RESTORE): the
+    * rollback re-references the old units in a fresh manifest at the
+    * log tail — history stays intact (the rolled-back version remains
+    * time-travelable), and nothing is rewritten. */
+  val etlSnapshotRestore: QFn = (s, d) => {
+    val root = builtRestore.computeIfAbsent(
+      Tables.sinkPath(s, d, "snaprest"), { r =>
+        build(s, d, r) // v0 + the upsert's v1
+        commit(r, 2, unitsOf(r, 0)) // the restore commit
+        r
+      })
+    readSnapshot(s, root, latestVersion(root))
+      .select("custkey", "name", "acctbal").orderBy("custkey")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "etl_snapshot_clone" -> etlSnapshotClone,
+    "etl_snapshot_restore" -> etlSnapshotRestore,
     "etl_snapshot_read" -> etlSnapshotRead,
     "etl_time_travel" -> etlTimeTravel,
     "etl_snapshot_diff" -> etlSnapshotDiff,
@@ -536,6 +584,26 @@ object SnapshotTable {
          SELECT c_custkey + 10000000, 'new_customer', 0.0
          FROM customer WHERE c_custkey % 7 = 0
          ORDER BY custkey""",
+    // the shallow clone reads the source table's CURRENT snapshot
+    // through shared storage — same rows as etl_snapshot_read
+    // (compaction, if it committed first, is metadata-only)
+    "etl_snapshot_clone" ->
+      """WITH w AS (SELECT max(c_custkey) // 4 + 1 AS wd FROM customer)
+         SELECT c_custkey AS custkey,
+           CASE WHEN c_custkey % 5 = 0 AND c_custkey < wd
+                THEN c_name || '_v2' ELSE c_name END AS name,
+           CASE WHEN c_custkey % 5 = 0 AND c_custkey < wd
+                THEN c_acctbal + 100.0 ELSE c_acctbal END AS acctbal
+         FROM customer, w
+         UNION ALL
+         SELECT c_custkey + 10000000, 'new_customer', 0.0
+         FROM customer WHERE c_custkey % 7 = 0
+         ORDER BY custkey""",
+    // RESTORE rolled the log tail back to the v0 snapshot: the
+    // untouched base projection, same as time travel to v0
+    "etl_snapshot_restore" ->
+      """SELECT c_custkey AS custkey, c_name AS name, c_acctbal AS acctbal
+         FROM customer ORDER BY custkey""",
     // the stats-pruned read is just the predicate applied to the base
     // — pruning must be invisible to results (it only skips units the
     // predicate could never match; the structural claim is spec-pinned)

@@ -171,6 +171,44 @@ class SnapshotTableSpec extends SparkTestBase {
       "v0 units must carry by reference through the schema change")
   }
 
+  test("shallow clone shares storage: no data copied, rows identical") {
+    import operators.SnapshotTable
+    val clone = SnapshotTable.etlSnapshotClone(spark, sf)
+    val cloneRoot = Tables.sinkPath(spark, sf, "snapclone")
+    val srcRoot = Tables.sinkPath(spark, sf, "snaptbl")
+    // every scanned file lives under the SOURCE table's directory
+    val files = clone.inputFiles.toSeq
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains(
+      java.nio.file.Paths.get(srcRoot).getFileName.toString)),
+      s"clone scanned a non-source file:\n${files.mkString("\n")}")
+    // the clone root holds a manifest and NO data files of its own
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(cloneRoot, "data")),
+      "shallow clone must not materialize data files")
+    // and the rows equal the source's current snapshot
+    val src = SnapshotTable.etlSnapshotRead(spark, sf)
+    assert(clone.exceptAll(src).isEmpty && src.exceptAll(clone).isEmpty)
+  }
+
+  test("restore rolls the log tail back; history stays intact") {
+    import operators.SnapshotTable
+    val restored = SnapshotTable.etlSnapshotRestore(spark, sf)
+    val root = Tables.sinkPath(spark, sf, "snaprest")
+    assert(SnapshotTable.latestVersion(root) == 2)
+    // the restore commit re-references v0's units — nothing rewritten
+    def mf(v: Int) = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "_manifests", s"v$v.json"))
+    assert((0 until SnapshotTable.NBuckets)
+      .forall(b => mf(2).contains(s"data/v0_b$b")))
+    // rows equal the pre-upsert base; the rolled-back v1 is still there
+    val base = Tables.customer(spark, sf).select(
+      col("c_custkey").as("custkey"), col("c_name").as("name"),
+      col("c_acctbal").as("acctbal"))
+    assert(restored.exceptAll(base).isEmpty && base.exceptAll(restored).isEmpty)
+    assert(SnapshotTable.readSnapshot(spark, root, 1).count() > base.count())
+  }
+
   test("racing commits of one version admit exactly one writer") {
     import operators.SnapshotTable
     val root = Tables.sinkPath(spark, sf, "snapcc")
