@@ -400,6 +400,7 @@ object ShuffleBudgets {
     "subquery_family" -> 2,
     "ts_corr_types" -> 3,
     "ts_drawdown" -> 2,
+    "ts_ewma" -> 3,
     "ts_gapfill" -> 4,
     "ts_interpolate" -> 4,
     "ts_linreg_trend" -> 2,

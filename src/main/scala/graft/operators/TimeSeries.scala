@@ -244,7 +244,32 @@ object TimeSeries {
       .orderBy("event_type")
   }
 
+  /** EWMA(α=0.2) over the trailing 24 hourly bars of each type's
+    * price series. The weighted sum is computed as an ORDERED FOLD
+    * (oldest → newest: acc = 0.8·acc + 0.2·x, acc₀ = 0) over the
+    * window's `collect_list` — a fixed left-to-right IEEE sequence
+    * both engines execute identically (DuckDB: `list_reduce` over the
+    * 0-prepended window list), so the doubles are bit-exact with no
+    * summation-order exposure; round(6) is belt and braces. The frame
+    * is bounded at 24 rows, so the state per output row is O(1) at
+    * any scale — the pandas `ewm` shape with a hard window, which is
+    * also what keeps the weights away from pow-overflow territory. */
+  val tsEwma: QFn = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(bar.as("bar"), col("event_type"))
+      .agg(davg2(col("value")).as("px"))
+    val w = Window.partitionBy("event_type").orderBy("bar")
+      .rowsBetween(-23, 0)
+    hourly
+      .withColumn("arr", collect_list("px").over(w))
+      .select(col("bar"), col("event_type"),
+        round(aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc * 0.8 + x * 0.2), 6).as("ewma"))
+      .orderBy("bar", "event_type")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "ts_ewma" -> tsEwma,
     "ts_drawdown" -> tsDrawdown,
     "ts_ohlc_bars" -> tsOhlcBars,
     "ts_vwap" -> tsVwap,
@@ -256,6 +281,22 @@ object TimeSeries {
     "ts_linreg_trend" -> tsLinregTrend)
 
   val oracles: Seq[(String, String)] = Seq(
+    // the same ordered fold, elementwise: 0-prepended window list,
+    // left-to-right acc*0.8 + x*0.2 — identical IEEE sequence
+    "ts_ewma" ->
+      s"""WITH h AS (
+           SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
+             ${sqlAvg2("value")} AS px
+           FROM events GROUP BY 1, 2),
+         wl AS (
+           SELECT bar, event_type,
+             list(px) OVER (PARTITION BY event_type ORDER BY bar
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS l
+           FROM h)
+         SELECT bar, event_type,
+           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
+             (acc, x) -> acc * CAST(0.8 AS DOUBLE) + x * CAST(0.2 AS DOUBLE)), 6) AS ewma
+         FROM wl ORDER BY bar, event_type""",
     "ts_drawdown" ->
       """WITH t AS (
            SELECT event_type, event_id, value, CAST(ts AS TIMESTAMP) AS tts,
