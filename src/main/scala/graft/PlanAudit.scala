@@ -254,6 +254,7 @@ object ShuffleBudgets {
     "agg_approx_distinct" -> 3,
     "agg_approx_quantile" -> 8,
     "agg_cms" -> 3,
+    "agg_ttest_welch" -> 1,
     "agg_distinct" -> 3,
     "agg_heavy_hitters" -> 2,
     "agg_hll_sketch" -> 4,

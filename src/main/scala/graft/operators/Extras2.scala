@@ -621,7 +621,46 @@ object Extras2 {
       .orderBy("o_orderpriority")
   }
 
+  /** Welch's two-sample t-test (unequal variances) — does BUILDING's
+    * account-balance mean differ from MACHINERY's? One conditional-
+    * aggregation pass computes both groups' (n, Σx, Σx²) with EXACT
+    * decimal sums, so the moments are order-independent and the
+    * downstream t-statistic / Welch–Satterthwaite dof arithmetic is
+    * the same deterministic double sequence in both engines (round(6)
+    * absorbs nothing but formatting). The statistical-testing shape a
+    * data-quality pipeline runs per segment pair — one shuffle, O(1)
+    * output, at any scale. */
+  val aggTtestWelch: QFn = (s, d) => {
+    def n(seg: String) =
+      count(when(col("c_mktsegment") === seg, 1)).cast("double")
+    def sx(seg: String) =
+      dsum2(when(col("c_mktsegment") === seg, col("c_acctbal")))
+    def sq(seg: String) =
+      dsum4(when(col("c_mktsegment") === seg,
+        col("c_acctbal") * col("c_acctbal")))
+    Tables.customer(s, d)
+      .agg(n("BUILDING").as("n1"), sx("BUILDING").as("s1"),
+        sq("BUILDING").as("q1"), n("MACHINERY").as("n2"),
+        sx("MACHINERY").as("s2"), sq("MACHINERY").as("q2"))
+      .withColumn("v1", (col("q1") - col("s1") * col("s1") / col("n1"))
+        / (col("n1") - 1))
+      .withColumn("v2", (col("q2") - col("s2") * col("s2") / col("n2"))
+        / (col("n2") - 1))
+      .withColumn("se2", col("v1") / col("n1") + col("v2") / col("n2"))
+      .select(
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        round(col("s1") / col("n1"), 6).as("mean1"),
+        round(col("s2") / col("n2"), 6).as("mean2"),
+        round((col("s1") / col("n1") - col("s2") / col("n2"))
+          / sqrt(col("se2")), 6).as("t_stat"),
+        round(col("se2") * col("se2") /
+          ((col("v1") / col("n1")) * (col("v1") / col("n1")) / (col("n1") - 1)
+            + (col("v2") / col("n2")) * (col("v2") / col("n2")) / (col("n2") - 1)),
+          6).as("welch_dof"))
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "agg_ttest_welch" -> aggTtestWelch,
     "etl_dynamic_partition_overwrite" -> etlDynamicPartitionOverwrite,
     "etl_gdpr_delete" -> etlGdprDelete,
     "agg_modern_fillins" -> aggModernFillins,
@@ -647,6 +686,28 @@ object Extras2 {
     "agg_string_agg" -> aggStringAgg)
 
   val oracles: Seq[(String, String)] = Seq(
+    // identical moment extraction (exact decimal sums) and the same
+    // double-arithmetic t / Welch-dof formulas, term for term
+    "agg_ttest_welch" ->
+      """WITH m AS (SELECT
+           CAST(count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS DOUBLE) AS n1,
+           CAST(sum(CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END AS DECIMAL(30,2))) AS DOUBLE) AS s1,
+           CAST(sum(CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * c_acctbal END AS DECIMAL(30,4))) AS DOUBLE) AS q1,
+           CAST(count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS DOUBLE) AS n2,
+           CAST(sum(CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END AS DECIMAL(30,2))) AS DOUBLE) AS s2,
+           CAST(sum(CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal * c_acctbal END AS DECIMAL(30,4))) AS DOUBLE) AS q2
+         FROM customer),
+         v AS (SELECT *,
+           (q1 - s1 * s1 / n1) / (n1 - 1) AS v1,
+           (q2 - s2 * s2 / n2) / (n2 - 1) AS v2 FROM m),
+         w AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM v)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(s1 / n1, 6) AS mean1, round(s2 / n2, 6) AS mean2,
+           round((s1 / n1 - s2 / n2) / sqrt(se2), 6) AS t_stat,
+           round(se2 * se2 /
+             ((v1 / n1) * (v1 / n1) / (n1 - 1)
+               + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_dof
+         FROM w""",
     "etl_dynamic_partition_overwrite" ->
       s"""SELECT event_type, count(*) AS n, ${sqlSum2("value")} AS sum_value
           FROM (
