@@ -173,9 +173,28 @@ object Bench {
     // stop Spark FIRST, print LAST: round 5's artifact captured an
     // unparseable payload — with executor/streaming threads down,
     // nothing can interleave with this line and it is the final
-    // program output on stdout
+    // program output on stdout.
+    //
+    // The printed line is a COMPACT summary, NOT the full payload: the
+    // driver keeps only the last ~2000 chars of stdout, so the full
+    // 183-key map + telemetry (~100 KB, in bench_last.json above) can
+    // never parse there — BENCH_r05/06/07 all recorded parsed:null for
+    // exactly this reason. Budget: "queries" carries only the slowest
+    // keys and the line is hard-capped well under the tail window.
     spark.stop()
-    println(json)
+    def r3(d: Double): String = f"$d%.3f"
+    val slowest = results.collect { case (n, Some(b), _, _) => (n, b) }
+      .sortBy(-_._2)
+    // take slowest keys while the line stays < 1500 chars total
+    val qbuf = new StringBuilder
+    var taken = 0
+    slowest.foreach { case (n, b) =>
+      val piece = (if (taken > 0) "," else "") + "\"" + n + "\":" + r3(b)
+      if (qbuf.length + piece.length < 900) { qbuf.append(piece); taken += 1 }
+    }
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_median":${r3(totalMedian)},"n":$nRuns,"keys":${results.size},"failed":$fs,"sf":"$sfDir","queries":{${qbuf.result()}},"queries_note":"slowest subset; full per-key map in bench_last.json"}"""
+    println(compact)
     System.out.flush()
   }
 }
