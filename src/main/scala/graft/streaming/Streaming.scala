@@ -595,6 +595,63 @@ object Streaming {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
       .orderBy("purchase_id", "click_id")
 
+  /** FULL OUTER stream-stream join — null rows can surface on EITHER
+    * side: an unmatched purchase emits (null click) and an unmatched
+    * click emits (null purchase), each only once the watermark proves
+    * no partner can still arrive. Same sentinel-seal contract as
+    * [[streamJoinOuter]]: the flush feed pushes both watermarks past
+    * every real timestamp, so state for BOTH sides is sealed and the
+    * result equals the batch FULL join exactly. Sentinel rows ride
+    * user_id −1 on whichever side is present (a sentinel can only
+    * match the other sentinel — real user_ids are positive — so
+    * `coalesce` over the two user columns identifies them even when
+    * one side is null). */
+  val streamJoinFullOuter: QFn = (s, d) =>
+    runStream(s, d, OutputMode.Append(), "sjoinfo", flush = true) { df =>
+      val clicks = df.filter(col("event_type").isin("click", "__flush__"))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val purchases = df.filter(col("event_type").isin("purchase", "__flush__"))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "full_outer")
+    }.filter(coalesce(col("p_user"), col("c_user")) =!= -1)
+      .select(col("purchase_id"), col("click_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"))
+      .orderBy("purchase_id", "click_id")
+
+  /** RIGHT OUTER stream-stream join — the mirror of
+    * [[streamJoinOuter]]: every click emits, with a null purchase if
+    * the watermark proves none arrived in [c_ts, c_ts + 1h]. The
+    * click side is never null in the output, so sentinel filtering
+    * needs only `c_user` (a sentinel purchase can match only the
+    * sentinel click). Equals the batch RIGHT join under the flush
+    * feed. */
+  val streamJoinRightOuter: QFn = (s, d) =>
+    runStream(s, d, OutputMode.Append(), "sjoinro", flush = true) { df =>
+      val clicks = df.filter(col("event_type").isin("click", "__flush__"))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val purchases = df.filter(col("event_type").isin("purchase", "__flush__"))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "right_outer")
+    }.filter(col("c_user") =!= -1)
+      .select(col("purchase_id"), col("click_id"), col("c_user").as("user_id"))
+      .orderBy("purchase_id", "click_id")
+
   /** FILE-SOURCE stream — the production ingest shape (a lake
     * directory that accumulates files), distinct from the MemoryStream
     * harness every other key uses: events are staged as parquet files,
@@ -754,6 +811,8 @@ object Streaming {
     "stream_snapshot_sink" -> streamSnapshotSink,
     "stream_join" -> streamJoin,
     "stream_join_outer" -> streamJoinOuter,
+    "stream_join_full_outer" -> streamJoinFullOuter,
+    "stream_join_right_outer" -> streamJoinRightOuter,
     "stream_file_source" -> streamFileSource,
     "stream_incremental_resume" -> streamIncrementalResume,
     "stream_foreach_batch" -> streamForeachBatch,
@@ -779,6 +838,32 @@ object Streaming {
          SELECT p.event_id AS purchase_id, c.event_id AS click_id,
            p.user_id AS user_id
          FROM p LEFT JOIN c
+           ON c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR
+          AND c.ts <= p.ts
+         ORDER BY purchase_id, click_id""",
+    // full outer under the flush feed = batch FULL join; the nullable
+    // long ids come back as pandas float on BOTH sides of the compare
+    "stream_join_full_outer" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click')
+         SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           COALESCE(p.user_id, c.user_id) AS user_id
+         FROM p FULL JOIN c
+           ON c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 1 HOUR
+          AND c.ts <= p.ts
+         ORDER BY purchase_id, click_id""",
+    "stream_join_right_outer" ->
+      """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click')
+         SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           c.user_id AS user_id
+         FROM p RIGHT JOIN c
            ON c.user_id = p.user_id
           AND c.ts >= p.ts - INTERVAL 1 HOUR
           AND c.ts <= p.ts

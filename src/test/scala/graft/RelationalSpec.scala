@@ -148,6 +148,49 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("native as-of forward/nearest/tolerance equal their window twins") {
+    // the three non-backward modes of the custom SparkPlan must produce
+    // row-for-row the same result as the window compositions that share
+    // their oracles — any drift means the merge pass's candidate
+    // selection (tie handling, peek-ahead, staleness bound) is wrong
+    val pairs = Seq[((org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, QFn, String)](
+      (plans.AsOfJoinPlans.joinAsofForwardNative,
+        operators.Relational.joinAsofForward, "forward"),
+      (plans.AsOfJoinPlans.joinAsofNearestNative,
+        operators.Relational.joinAsofNearest, "nearest"),
+      (plans.AsOfJoinPlans.joinAsofToleranceNative,
+        operators.Relational.joinAsofTolerance, "tolerance"))
+    pairs.foreach { case (nativeFn, composedFn, label) =>
+      val nativeDf = nativeFn(spark, sf)
+      assert(plan(nativeDf).contains("AsOfJoin"),
+        s"$label: custom operator not planned")
+      val native = nativeDf.collect()
+      val composed = composedFn(spark, sf).collect()
+      assert(native.length == composed.length, s"$label row counts differ")
+      native.zip(composed).foreach { case (n, c) =>
+        assert(n.toString == c.toString, s"$label diverged: $n vs $c") }
+    }
+  }
+
+  test("native as-of forward/nearest are invariant to partition count") {
+    // same distribution-safety contract as the backward test above:
+    // peek-ahead across the forward boundary must not depend on where
+    // the hash shuffle lands
+    for (fn <- Seq(plans.AsOfJoinPlans.joinAsofForwardNative,
+        plans.AsOfJoinPlans.joinAsofNearestNative)) {
+      val base = fn(spark, sf).collect().map(_.toString).toSeq
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      for (n <- Seq("1", "3")) {
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try {
+          val got = fn(spark, sf).collect().map(_.toString).toSeq
+          assert(got == base, s"result changed at $n shuffle partitions")
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      }
+    }
+  }
+
   test("join_asof invariant: matched click is latest at-or-before purchase") {
     val res = operators.Relational.joinAsof(spark, sf)
     // every non-null last_click_ts <= purchase ts

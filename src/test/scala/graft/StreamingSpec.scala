@@ -173,6 +173,43 @@ class StreamingSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("full/right outer stream joins emit nulls on the correct side(s)") {
+    // same guard as the left-outer test: batch equivalence is the
+    // oracle gate's job; this pins the null-emission SIDES so a silent
+    // degradation to inner (or to left outer) cannot pass. The batch
+    // expectations are computed once from the events table.
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+    val pairs = p.join(c, Seq("user_id"))
+      .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts")).cache()
+    val unmatchedP = p.select("purchase_id").distinct().count() -
+      pairs.select("purchase_id").distinct().count()
+    val unmatchedC = c.select("click_id").distinct().count() -
+      pairs.select("click_id").distinct().count()
+    assert(unmatchedP > 0 && unmatchedC > 0,
+      "fixture lacks unmatched rows on a side — test is vacuous")
+
+    val full = SparkEntry.queries("stream_join_full_outer")(spark, sf).cache()
+    assert(full.filter(col("click_id").isNull).count() == unmatchedP,
+      "full outer: null-click rows != batch unmatched purchases")
+    assert(full.filter(col("purchase_id").isNull).count() == unmatchedC,
+      "full outer: null-purchase rows != batch unmatched clicks")
+    full.unpersist()
+
+    val right = SparkEntry.queries("stream_join_right_outer")(spark, sf).cache()
+    assert(right.filter(col("purchase_id").isNull).count() == unmatchedC,
+      "right outer: null-purchase rows != batch unmatched clicks")
+    assert(right.filter(col("click_id").isNull).count() == 0,
+      "right outer must never emit a null click")
+    right.unpersist()
+    pairs.unpersist()
+  }
+
   test("snapshot sink commits one version per micro-batch with snapshot isolation") {
     import operators.SnapshotTable
     val agg = streaming.Streaming.streamSnapshotSink(spark, sf).collect()
