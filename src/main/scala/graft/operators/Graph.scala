@@ -55,10 +55,14 @@ object Graph {
     e0.select("u", "v").union(e0.select(col("v").as("u"), col("u").as("v")))
   }
 
-  /** Public label of an internal long node id. */
+  /** Public label of an internal long node id. `shiftright` keeps the
+    * halving in the exact-integer domain (Column `/` is DOUBLE
+    * division — exact only below 2^53, which would quietly break the
+    * module's integer-arithmetic determinism on wider id spaces); ids
+    * are non-negative by construction, so >>1 IS div 2. */
   private def nodeLabel(id: Column): Column =
-    when(id % 2 === 0, concat(lit("c"), (id / 2).cast("long")))
-      .otherwise(concat(lit("s"), ((id - 1) / 2).cast("long")))
+    when(id % 2 === 0, concat(lit("c"), shiftright(id, 1)))
+      .otherwise(concat(lit("s"), shiftright(id - 1, 1)))
 
   /** Degree distribution of the customer side: how many distinct
     * suppliers each customer bought from, histogrammed. */
@@ -86,10 +90,19 @@ object Graph {
       .select(nodeLabel(col("node")).as("node"), col("pr_micro"))
       .orderBy("node")
 
+  // the previous invocation's loop caches, released on the next call:
+  // the returned frame is lazy (the consumer's action materializes the
+  // caches), so they can't be unpersisted inside pagerankMicro itself —
+  // but without ANY release every invocation leaked two resident RDDs
+  // for the session lifetime (cache pressure across a 183-key bench)
+  private val prevCaches =
+    new java.util.concurrent.atomic.AtomicReference[Seq[DataFrame]](Nil)
+
   /** Fixed-point PageRank kernel over a DIRECTED edge list (pass both
     * directions for undirected graphs). Factored so specs can drive
     * hand-built graphs through the exact production path. */
   def pagerankMicro(ed: DataFrame, iters: Int): DataFrame = {
+    prevCaches.getAndSet(Nil).foreach(_.unpersist(blocking = false))
     // deg and the loop-invariant (u, v, d(u)) join are LAZILY
     // persisted: they appear in the final plan once per iteration
     // (deg also under every broadcast node-count), and without the
@@ -105,6 +118,7 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contribBase = ed.join(deg, "u").repartition(col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    prevCaches.set(Seq(deg, contribBase))
     val nn = deg.agg(count(lit(1)).as("n")) // single-row node count
     var ranks = deg.crossJoin(broadcast(nn))
       .select(col("u").as("node"), expr(s"${Scale}L div n").as("pr"))

@@ -131,7 +131,13 @@ object SnapshotTable {
         .mkString(""","stats":[""", ",", "]")
     val json = units.map("\"" + _ + "\"")
       .mkString(s"""{"version":$version,"files":[""", ",", s"]$statsJson}")
-    val tmp = dir.resolve(s"v$version.json.tmp")
+    // per-writer tmp name: a SHARED staging name would let writer B's
+    // writeString overwrite A's staged bytes before A's createLink
+    // (publishing B's unit list under A's claimed version) and B's
+    // cleanup delete the tmp A is about to link — the race the claim
+    // step exists to lose GRACEFULLY, reintroduced one layer down
+    val tmp = dir.resolve(
+      s"v$version.json.${java.util.UUID.randomUUID()}.tmp")
     Files.writeString(tmp, json)
     val target = dir.resolve(s"v$version.json")
     if (replace)
@@ -304,7 +310,9 @@ object SnapshotTable {
         concat(col("name"), lit("_m")).as("new_name"),
         (col("acctbal") + 50.0).as("new_acctbal"))
     val touched = matched
-      .select((col("custkey") / width).cast("int").as("b"))
+      // integer DIV keeps bucket discovery in the exact-integer domain
+      // (Column `/` is DOUBLE division — exact only below 2^53)
+      .select(expr(s"CAST(custkey DIV ${width}L AS INT)").as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
     val rewritten = touched.map { b =>
       val unit = s"data/v1_merge_b$b"

@@ -229,6 +229,42 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.latestVersion(root) == 1)
   }
 
+  test("genuinely concurrent commit race: one winner, intact manifest") {
+    // the sequential race test above can't catch staging-layer
+    // corruption (two writers sharing one tmp name overwrite each
+    // other's staged bytes BEFORE the atomic claim); this one runs
+    // many same-version commits truly in parallel, repeatedly, and
+    // asserts exactly one winner per version whose published manifest
+    // is one of the two candidate payloads, bit-complete
+    import operators.SnapshotTable
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val root = Tables.sinkPath(spark, sf, "snapccmt")
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      for (v <- 0 until 20) {
+        val start = new CountDownLatch(1)
+        val results = (0 until 8).map { w =>
+          pool.submit(new java.util.concurrent.Callable[Option[Int]] {
+            override def call(): Option[Int] = {
+              start.await()
+              try { SnapshotTable.commit(root, v, Seq(s"data/w$w")); Some(w) }
+              catch { case _: java.nio.file.FileAlreadyExistsException => None }
+            }
+          })
+        }
+        start.countDown()
+        val winners = results.flatMap(_.get(30, TimeUnit.SECONDS))
+        assert(winners.size == 1, s"v$v admitted ${winners.size} writers")
+        val mf = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(root, "_manifests", s"v$v.json"))
+        // the published manifest is the winner's complete payload —
+        // not a torn mix of two writers' staged bytes
+        assert(mf == s"""{"version":$v,"files":["data/w${winners.head}"]}""",
+          s"v$v manifest torn or foreign: $mf")
+      }
+    } finally pool.shutdownNow()
+  }
+
   test("unknown version fails fast with a diagnosable error") {
     import operators.SnapshotTable
     SnapshotTable.etlSnapshotRead(spark, sf).count()
