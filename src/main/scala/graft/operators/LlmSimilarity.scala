@@ -212,8 +212,25 @@ object LlmSimilarity {
     }
   }
 
-  val llmKnnIvfPruned: QFn = (s, d) => {
-    val (kk, nProbe, iters) = (IvfK, IvfNProbe, 6)
+  /** The approximate pruned probe (nProbe = [[IvfNProbe]]) — what the
+    * specs drive for the recall gate and the measured scan fraction
+    * (LlmSpec asserts files-read < files-total through the partition
+    * filter). */
+  val llmKnnIvfPruned: QFn = (s, d) => llmKnnIvfPrunedWith(s, d, IvfNProbe)
+
+  /** The REGISTERED pruned key runs the same partition-filtered
+    * layout read in EXACT mode (nProbe = K, the `llm_knn_ivf_exact`
+    * config pin): every list is probed, so the result must reproduce
+    * the brute-force top-k bit-for-bit and the key is driver-oracled
+    * against the all-pairs cosine SQL — the layout build, the
+    * partition-filter read path, and the scoring are the production
+    * machinery, one knob from the approximate default. The SELECTIVE
+    * pruning demonstration stays spec-pinned on the nProbe = 20
+    * variant above. */
+  val llmKnnIvfPrunedExact: QFn = (s, d) => llmKnnIvfPrunedWith(s, d, IvfK)
+
+  def llmKnnIvfPrunedWith(s: SparkSession, d: String, nProbe: Int): DataFrame = {
+    val (kk, iters) = (IvfK, 6)
     val emb = Tables.embeddings(s, d)
     val cents = ivfQuantizer(s, d, kk, iters)
     val path = ivfLayoutPath(s, d)
@@ -983,7 +1000,7 @@ object LlmSimilarity {
     "llm_knn_cosine" -> llmKnnCosine,
     "llm_knn_ivf" -> llmKnnIvf,
     "llm_knn_ivf_exact" -> llmKnnIvfExact,
-    "llm_knn_ivf_pruned" -> llmKnnIvfPruned,
+    "llm_knn_ivf_pruned" -> llmKnnIvfPrunedExact,
     "llm_knn_pq" -> llmKnnPq,
     "llm_hybrid_search" -> llmHybridSearch,
     "llm_rerank_mmr" -> llmRerankMmr,
@@ -1194,6 +1211,9 @@ object LlmSimilarity {
     // nProbe = K searches every list, so the IVF path must equal the
     // brute-force oracle exactly — same SQL, zero tolerance
     "llm_knn_ivf_exact" -> bruteForceTopKSql,
+    // exact mode (nProbe = K) through the partition-filtered layout
+    // must also reproduce the brute-force top-k bit-for-bit
+    "llm_knn_ivf_pruned" -> bruteForceTopKSql,
     "llm_near_dedup_exact" ->
       // the engine's emitted pairs are LSH candidates filtered by exact
       // Jaccard; the oracle recomputes the same seed-independent set as

@@ -355,13 +355,11 @@ object Relational {
       count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
-  /** HLL approximate distinct (no oracle — error bound asserted in
-    * the spec against the exact count). */
-  val aggApproxDistinct: QFn = (s, d) =>
-    Tables.events(s, d).groupBy("event_type").agg(
-      approx_count_distinct(col("user_id")).as("approx_users"),
-      countDistinct(col("user_id")).as("exact_users"))
-      .orderBy("event_type")
+  /** HLL approximate distinct — the PORTABLE md5-register
+    * construction ([[Sketches.aggApproxDistinctHll]]), so the
+    * estimate itself is oracle-checkable in DuckDB; the relative-
+    * error spec against the exact count stays as the semantic gate. */
+  val aggApproxDistinct: QFn = Sketches.aggApproxDistinctHll
 
   /** CUBE (superset of rollup / grouping-sets) with grouping flags.
     * Expressed via SQL: `grouping()` columns after a join trip Spark 4's
@@ -619,6 +617,38 @@ object Relational {
            CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_dist_qty,
            count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the portable HLL twin: same md5 register slicing, same exact-
+    // integer harmonic denominator, same literal-for-literal double
+    // chain — see Sketches.aggApproxDistinctHll
+    "agg_approx_distinct" ->
+      """WITH pairs AS (SELECT DISTINCT event_type, user_id::VARCHAR AS k FROM events),
+         hashed AS (SELECT event_type,
+             ('0x' || substr(md5(k), 1, 8))::UBIGINT % 512 AS idx,
+             ('0x' || substr(md5(k), 9, 10))::UBIGINT AS v
+           FROM pairs),
+         ranked AS (SELECT event_type, idx,
+             CASE WHEN v = 0 THEN 41 ELSE 41 - length(bin(v)) END AS rank
+           FROM hashed),
+         regs AS (SELECT event_type, idx, max(rank) AS mj
+           FROM ranked GROUP BY event_type, idx),
+         agg AS (SELECT event_type,
+             CAST(sum(1::BIGINT << (41 - mj)) AS BIGINT) AS s_present,
+             count(*) AS n_present
+           FROM regs GROUP BY event_type),
+         est AS (SELECT event_type,
+             512 - n_present AS v0,
+             0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 2199023255552.0
+               / CAST(s_present + (512 - n_present) * (1::BIGINT << 41) AS DOUBLE) AS raw
+           FROM agg)
+         SELECT e.event_type,
+           round(CASE WHEN raw <= 1280.0 AND v0 > 0
+                 THEN 512.0 * ln(512.0 / CAST(v0 AS DOUBLE))
+                 ELSE raw END, 4) AS est_users,
+           x.exact_users
+         FROM est e JOIN (SELECT event_type, count(DISTINCT user_id) AS exact_users
+                          FROM events GROUP BY event_type) x
+           ON e.event_type = x.event_type
+         ORDER BY e.event_type""",
     "agg_rollup_cube_sets" ->
       s"""SELECT n_name, c_mktsegment, count(*) AS n, ${sqlSum2("c_acctbal")} AS sum_bal,
             CAST(GROUPING(n_name) AS BIGINT) AS g_nation,

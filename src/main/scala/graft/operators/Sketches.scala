@@ -58,6 +58,66 @@ object Sketches {
       .orderBy("k")
   }
 
+  /** PORTABLE HyperLogLog — the same engine-portable-hash idea as the
+    * CMS above applied to the OTHER classic sketch, making the HLL
+    * estimate itself oracle-checkable (it replaces the opaque
+    * `approx_count_distinct` binary as the registered
+    * `agg_approx_distinct` key; the error-bound spec stays).
+    *
+    * Construction (m = 2^9 = 512 registers): one md5 per DISTINCT
+    * (group, key); hex chars 1–8 pick the register, chars 9–18 are a
+    * 40-bit word whose leading-zero count + 1 is the rank (capped 41
+    * when the word is 0). Register = max rank. The harmonic-mean
+    * denominator Σ 2^(−M_j) is computed as the EXACT INTEGER
+    * Σ 2^(41−M_j) (max 512·2^41 = 2^50, inside both engines' exact
+    * BIGINT and double domains), so the raw estimate is one IEEE
+    * double division both engines perform identically; the
+    * small-range branch (linear counting m·ln(m/V) when raw ≤ 2.5m
+    * and V empty registers exist) is the only transcendental, and the
+    * published estimate is rounded to 4 decimals to absorb any last-
+    * ulp libm divergence.
+    *
+    * 100 TB shape: the distinct pre-aggregation is the one shuffle;
+    * registers are BOUNDED at m rows per group regardless of input
+    * size, and every md5 is per distinct key, not per row. */
+  val aggApproxDistinctHll: QFn = (s, d) => {
+    val m = 512; val R = 41
+    val pairs = Tables.events(s, d)
+      .select(col("event_type"), col("user_id").cast("string").as("k"))
+      .distinct()
+    val hashed = pairs
+      .select(col("event_type"), md5(col("k")).as("h"))
+      .select(col("event_type"),
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("long") % m).as("idx"),
+        conv(substring(col("h"), 9, 10), 16, 10).cast("long").as("v"))
+      .select(col("event_type"), col("idx"),
+        when(col("v") === 0, R)
+          .otherwise(lit(R) - length(conv(col("v").cast("string"), 10, 2)))
+          .as("rank"))
+    val regs = hashed.groupBy("event_type", "idx").agg(max("rank").as("mj"))
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    regs.groupBy("event_type").agg(
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $R - mj)")).as("s_present"),
+        count(lit(1)).as("n_present"))
+      .select(col("event_type"),
+        (lit(m) - col("n_present")).as("v0"),
+        (col("s_present") +
+          (lit(m) - col("n_present")) * lit(1L << R)).as("sden"))
+      // α_m·m²·2^R written as one literal chain, identically in the
+      // oracle, so both engines fold it to the same double
+      .select(col("event_type"), col("v0"),
+        (lit(0.7213) / (lit(1.0) + lit(1.079) / 512.0) * 262144.0
+          * lit(2199023255552.0) / col("sden").cast("double")).as("raw"))
+      .select(col("event_type"),
+        round(when(col("raw") <= 2.5 * m && col("v0") > 0,
+          lit(512.0) * log(lit(512.0) / col("v0").cast("double")))
+          .otherwise(col("raw")), 4).as("est_users"))
+      .join(exact, "event_type")
+      .select("event_type", "est_users", "exact_users")
+      .orderBy("event_type")
+  }
+
   val entries: Seq[(String, QFn)] = Seq("agg_cms" -> aggCms)
 
   val oracles: Seq[(String, String)] = Seq(

@@ -244,7 +244,7 @@ class RelationalSpec extends SparkTestBase {
 
   test("agg_approx_distinct HLL relative error < 5%") {
     operators.Relational.aggApproxDistinct(spark, sf).collect().foreach { r =>
-      val approx = r.getLong(1).toDouble
+      val approx = r.getDouble(1)
       val exact = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact < 0.05,
         s"${r.getString(0)}: approx=$approx exact=$exact")
