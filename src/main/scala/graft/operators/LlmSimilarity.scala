@@ -867,6 +867,19 @@ object LlmSimilarity {
     // scale tried (6.5 s vs 2.8 s at sf0.1 too). The spill is
     // absorbed (telemetry in BASELINE.md); rejected like the r6
     // stream-harness A/Bs, kept here as the measured reason.
+    //
+    // Second rejected A/B (r8, 2026-08-14): a dense gram-DICTIONARY
+    // re-encode (distinct (source, gram) → dense int id via a
+    // two-phase bucket-rank prefix-sum; docs rebuilt as int arrays so
+    // the candidate shuffle and verify exchanges carry half the
+    // bytes) targeting the 4.9 GB spill recorded above. Measured on
+    // the same 30× replica, same session shape, both heap sizes:
+    // spill is 0 for BOTH shapes on the current replica (the 4.9 GB
+    // premise no longer reproduces), and the re-encode's extra
+    // full-postings re-aggregation + dictionary materialization cost
+    // MORE than the byte savings — containment 26.3 → 48.5 s,
+    // jaccard 53.2 → 64.4 s (100 GB heap; default heap similar).
+    // Oracles stayed bit-identical, so the rejection is purely wall.
     cand
       .join(g.select(col("doc_id").as("a"), col("hg").as("hga")), "a")
       .join(g.select(col("doc_id").as("b"), col("hg").as("hgb")), "b")
