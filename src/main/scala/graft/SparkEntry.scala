@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Extras2.entries ++
       operators.Composite.entries ++
       operators.SnapshotTable.entries ++
+      operators.SnapshotLog.entries ++
       operators.Clustering.entries ++
       operators.Graph.entries ++
       operators.Sketches.entries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       operators.Extras2.oracles ++
       operators.Composite.oracles ++
       operators.SnapshotTable.oracles ++
+      operators.SnapshotLog.oracles ++
       operators.Clustering.oracles ++
       operators.Graph.oracles ++
       operators.Sketches.oracles ++
