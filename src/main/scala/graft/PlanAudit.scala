@@ -102,7 +102,9 @@ object PlanAudit {
     "etl_snapshot_clone" ->
       "ensures the source table it then shallow-clones by reference",
     "etl_snapshot_restore" ->
-      "builds the staged table whose log tail it then rolls back")
+      "builds the staged table whose log tail it then rolls back",
+    "etl_snapshot_log" -> ("builds the 9-commit delta-action log fixture " +
+      "(slices + checkpoints + compaction) it then resolves through"))
 
   /** Count the shuffles (Exchange operators) the executed plan
     * actually ran, walking through AQE wrappers and query stages and
@@ -251,7 +253,9 @@ object PlanAudit {
   * data-sized repartitions and no more". */
 object ShuffleBudgets {
   val map: Map[String, Int] = Map(
-    "agg_approx_distinct" -> 3,
+    // r8 portable HLL: distinct pre-agg + register fold + per-group
+    // harmonic sum + the exact-count twin column (2-phase distinct)
+    "agg_approx_distinct" -> 6,
     "agg_approx_quantile" -> 8,
     "agg_cms" -> 3,
     "agg_ttest_welch" -> 1,
@@ -315,6 +319,10 @@ object ShuffleBudgets {
     "join_asof" -> 2,
     "join_asof_forward" -> 2,
     "join_asof_native" -> 3,
+    "join_asof_forward_native" -> 3,
+    "join_asof_nearest_native" -> 3,
+    "join_asof_tolerance_native" -> 3,
+    "etl_snapshot_log" -> 1,
     "join_asof_nearest" -> 2,
     "join_asof_tolerance" -> 2,
     "join_bloom_prefilter" -> 2,
