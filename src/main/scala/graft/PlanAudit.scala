@@ -18,8 +18,9 @@ object PlanAudit {
   // ivf_exact is llm_knn_ivf at nProbe=K — same probe-broadcast shape
     "llm_knn_ivf", "llm_knn_ivf_exact",
     "agg_pivot", "llm_tfidf", "llm_interleave_sources",
-  // agg_hll_sketch / scan_csv_malformed cross 1-row aggregates —
-  // O(1) both sides
+  // agg_hll_sketch / agg_hll_portable_merge / scan_csv_malformed
+  // cross 1-row aggregates — O(1) both sides
+    "agg_hll_portable_merge",
   // ts_interpolate shares ts_gapfill's spine × event-type-dim cross;
   // hybrid search crosses the 1-row corpus-stats scalar and the
   // 5-probe broadcast; MMR's top-20 stage is the same probe cross
@@ -256,6 +257,10 @@ object ShuffleBudgets {
     // r8 portable HLL: distinct pre-agg + register fold + per-group
     // harmonic sum + the exact-count twin column (2-phase distinct)
     "agg_approx_distinct" -> 6,
+    // merged + direct registers + exact twin: three aggregate chains
+    // over the distinct (day, user) pre-agg; every post-register frame
+    // is ≤ m rows
+    "agg_hll_portable_merge" -> 8,
     "agg_approx_quantile" -> 8,
     "agg_cms" -> 3,
     "agg_ttest_welch" -> 1,

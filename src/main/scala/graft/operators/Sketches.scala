@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QFn, Tables}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Count–min sketch with DETERMINISTIC, engine-portable hashing —
@@ -118,7 +118,67 @@ object Sketches {
       .orderBy("event_type")
   }
 
-  val entries: Seq[(String, QFn)] = Seq("agg_cms" -> aggCms)
+  /** PORTABLE sketch MERGE — the rollup pattern `agg_hll_sketch`
+    * demonstrates with DataSketches binaries (per-day sketches,
+    * re-aggregated to answer any coarser rollup without rescanning),
+    * re-expressed on the md5 register construction so the MERGE
+    * itself is oracle-checkable: per-day registers are max-rank per
+    * (day, idx), the union is `max` over days per idx — and because
+    * max is associative-commutative-idempotent, the merged register
+    * table is BIT-IDENTICAL to the direct whole-table construction.
+    * The key emits both estimates side by side (they must be equal —
+    * that is the sketch-merge distributivity contract, here driver-
+    * hash-verified instead of spec-asserted) plus the exact count.
+    *
+    * 100 TB shape: per-partition/day sketches are the persisted
+    * state (m rows each, bounded); any rollup is a groupBy-max over
+    * sketch rows — kilobytes per group — never a rescan of the
+    * fact data. */
+  val aggHllPortableMerge: QFn = (s, d) => {
+    val m = 512; val R = 41
+    val pairs = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"),
+        col("user_id").cast("string").as("k"))
+      .distinct()
+    val hashed = pairs
+      .select(col("day"), md5(col("k")).as("h"))
+      .select(col("day"),
+        (conv(substring(col("h"), 1, 8), 16, 10).cast("long") % m).as("idx"),
+        conv(substring(col("h"), 9, 10), 16, 10).cast("long").as("v"))
+      .select(col("day"), col("idx"),
+        when(col("v") === 0, R)
+          .otherwise(lit(R) - length(conv(col("v").cast("string"), 10, 2)))
+          .as("rank"))
+    // per-day sketches (the persisted partials)…
+    val daily = hashed.groupBy("day", "idx").agg(max("rank").as("mj"))
+    // …merged: register-wise max across days
+    val merged = daily.groupBy("idx").agg(max("mj").as("mj"))
+    // direct whole-table construction (must equal the merge)
+    val direct = hashed.groupBy("idx").agg(max("rank").as("mj"))
+    def estimate(regs: DataFrame, out: String): DataFrame =
+      regs.agg(
+          sum(expr(s"shiftleft(CAST(1 AS BIGINT), $R - mj)")).as("s_present"),
+          count(lit(1)).as("n_present"))
+        .select((lit(m) - col("n_present")).as("v0"),
+          (col("s_present") +
+            (lit(m) - col("n_present")) * lit(1L << R)).as("sden"))
+        .select(col("v0"),
+          (lit(0.7213) / (lit(1.0) + lit(1.079) / 512.0) * 262144.0
+            * lit(2199023255552.0) / col("sden").cast("double")).as("raw"))
+        .select(
+          round(when(col("raw") <= 2.5 * m && col("v0") > 0,
+            lit(512.0) * log(lit(512.0) / col("v0").cast("double")))
+            .otherwise(col("raw")), 4).as(out))
+    val exact = Tables.events(s, d)
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    estimate(merged, "est_merged")
+      .crossJoin(broadcast(estimate(direct, "est_direct")))
+      .crossJoin(broadcast(exact))
+  }
+
+  val entries: Seq[(String, QFn)] = Seq(
+    "agg_cms" -> aggCms,
+    "agg_hll_portable_merge" -> aggHllPortableMerge)
 
   val oracles: Seq[(String, String)] = Seq(
     // the oracle keeps the definitional per-ROW insertion form —
@@ -137,5 +197,42 @@ object Sketches {
            FROM probes p, rs)
          SELECT pb.k AS k, min(s.cnt) AS est, max(pb.true_cnt) AS true_cnt
          FROM pb JOIN sketch s ON pb.r = s.r AND pb.b = s.b
-         GROUP BY pb.k ORDER BY k""")
+         GROUP BY pb.k ORDER BY k""",
+    // per-day register sketches, max-merged, next to the direct
+    // construction — the same md5 slicing and literal-for-literal
+    // double chain as agg_approx_distinct's oracle
+    "agg_hll_portable_merge" ->
+      """WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+             user_id::VARCHAR AS k FROM events),
+         hashed AS (SELECT day,
+             ('0x' || substr(md5(k), 1, 8))::UBIGINT % 512 AS idx,
+             ('0x' || substr(md5(k), 9, 10))::UBIGINT AS v
+           FROM pairs),
+         ranked AS (SELECT day, idx,
+             CASE WHEN v = 0 THEN 41 ELSE 41 - length(bin(v)) END AS rank
+           FROM hashed),
+         daily AS (SELECT day, idx, max(rank) AS mj FROM ranked GROUP BY day, idx),
+         merged AS (SELECT idx, max(mj) AS mj FROM daily GROUP BY idx),
+         direct AS (SELECT idx, max(rank) AS mj FROM ranked GROUP BY idx),
+         est_m AS (SELECT
+             round(CASE WHEN raw <= 1280.0 AND v0 > 0
+               THEN 512.0 * ln(512.0 / CAST(v0 AS DOUBLE)) ELSE raw END, 4)
+               AS est_merged
+           FROM (SELECT 512 - count(*) AS v0,
+               0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 2199023255552.0
+                 / CAST(CAST(sum(1::BIGINT << (41 - mj)) AS BIGINT)
+                   + (512 - count(*)) * (1::BIGINT << 41) AS DOUBLE) AS raw
+             FROM merged)),
+         est_d AS (SELECT
+             round(CASE WHEN raw <= 1280.0 AND v0 > 0
+               THEN 512.0 * ln(512.0 / CAST(v0 AS DOUBLE)) ELSE raw END, 4)
+               AS est_direct
+           FROM (SELECT 512 - count(*) AS v0,
+               0.7213 / (1.0 + 1.079 / 512.0) * 262144.0 * 2199023255552.0
+                 / CAST(CAST(sum(1::BIGINT << (41 - mj)) AS BIGINT)
+                   + (512 - count(*)) * (1::BIGINT << 41) AS DOUBLE) AS raw
+             FROM direct))
+         SELECT est_merged, est_direct,
+           (SELECT count(DISTINCT user_id) FROM events) AS exact_users
+         FROM est_m, est_d""")
 }
