@@ -375,6 +375,8 @@ object ShuffleBudgets {
     "llm_ngram_jaccard" -> 3,
     "llm_ngram_lm" -> 2,
     "llm_ngram_windows" -> 1,
+    // pure per-row projection; the single shuffle is the output sort
+    "llm_pii_scrub" -> 1,
     "llm_pack_sequences" -> 5,
     "llm_quality_score" -> 1,
     "llm_repetition" -> 5,

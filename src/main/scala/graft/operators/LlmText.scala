@@ -572,7 +572,45 @@ object LlmText {
       .orderBy("pack_id")
   }
 
+  /** PII detection + redaction — the scrub every training-data
+    * pipeline runs before anything else sees the text. The corpus
+    * text is synthetic (no real PII), so each row gets a
+    * deterministically DERIVED contact block appended (the `fn_url`
+    * synthesized-fixture precedent): an email keyed by doc_id, a
+    * phone keyed by doc_id mod 10⁴, and a second email on even ids so
+    * the counts aren't constant. Detection counts matches per class
+    * (`regexp_extract_all` → size), redaction replaces them with
+    * typed placeholders — both with patterns simple enough to behave
+    * identically under Java regex (Spark) and RE2 (DuckDB), which is
+    * what makes the key fully oracle-checkable.
+    *
+    * 100 TB shape: pure per-row projection — no shuffle at all before
+    * the output sort; the regex work is embarrassingly parallel and
+    * whole-stage-codegen'd. */
+  val llmPiiScrub: QFn = (s, d) => {
+    val email = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phone = "\\+1-555-[0-9]{4}"
+    val raw = concat(
+      substring(col("text"), 1, 80),
+      lit(" contact u"), col("doc_id"), lit("@example.com"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" cc backup"), col("doc_id"), lit("@mail.org")))
+        .otherwise(lit("")),
+      lit(" or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), raw.as("raw"))
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("raw"), lit(email), lit(0)))
+          .cast("long").as("n_email"),
+        size(regexp_extract_all(col("raw"), lit(phone), lit(0)))
+          .cast("long").as("n_phone"),
+        regexp_replace(regexp_replace(col("raw"), email, "<EMAIL>"),
+          phone, "<PHONE>").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "llm_pii_scrub" -> llmPiiScrub,
     "llm_embed_normalize" -> llmEmbedNormalize,
     "llm_decontaminate" -> llmDecontaminate,
     "llm_corpus_pipeline" -> llmCorpusPipeline,
@@ -597,6 +635,23 @@ object LlmText {
     "llm_source_drift" -> llmSourceDrift)
 
   val oracles: Seq[(String, String)] = Seq(
+    // same derived contact block, same patterns; DuckDB regexp_replace
+    // needs the explicit 'g' flag to match Spark's replace-all default
+    "llm_pii_scrub" ->
+      """WITH raw AS (
+           SELECT doc_id, source,
+             substr(text, 1, 80) || ' contact u' || doc_id || '@example.com'
+               || CASE WHEN doc_id % 2 = 0
+                    THEN ' cc backup' || doc_id || '@mail.org' ELSE '' END
+               || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               AS raw
+           FROM documents)
+         SELECT doc_id, source,
+           CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+           regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+             '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+         FROM raw ORDER BY doc_id""",
     "llm_embed_normalize" ->
       """WITH ex AS (
            SELECT vec_id, CAST(t.i AS INT) AS pos,
