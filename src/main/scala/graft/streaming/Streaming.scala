@@ -652,6 +652,33 @@ object Streaming {
       .select(col("purchase_id"), col("click_id"), col("c_user").as("user_id"))
       .orderBy("purchase_id", "click_id")
 
+  /** LEFT SEMI stream-stream join — existence filtering on a stream:
+    * each purchase emits AT MOST ONCE, iff some click by the same
+    * user landed in the preceding hour; the click payload never
+    * reaches the output (the semi-join contract, which also means
+    * click-side state can drop payload columns). Emission happens
+    * when the first match arrives OR when the watermark proves the
+    * row can still match nothing — either way each purchase appears
+    * once, so under the flush feed the result equals the batch
+    * EXISTS filter exactly. Sentinels ride user_id −1 as usual. */
+  val streamJoinSemi: QFn = (s, d) =>
+    runStream(s, d, OutputMode.Append(), "sjoinsemi", flush = true) { df =>
+      val clicks = df.filter(col("event_type").isin("click", "__flush__"))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val purchases = df.filter(col("event_type").isin("purchase", "__flush__"))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "left_semi")
+    }.filter(col("p_user") =!= -1)
+      .select(col("purchase_id"), col("p_user").as("user_id"))
+      .orderBy("purchase_id")
+
   /** FILE-SOURCE stream — the production ingest shape (a lake
     * directory that accumulates files), distinct from the MemoryStream
     * harness every other key uses: events are staged as parquet files,
@@ -813,6 +840,7 @@ object Streaming {
     "stream_join_outer" -> streamJoinOuter,
     "stream_join_full_outer" -> streamJoinFullOuter,
     "stream_join_right_outer" -> streamJoinRightOuter,
+    "stream_join_semi" -> streamJoinSemi,
     "stream_file_source" -> streamFileSource,
     "stream_incremental_resume" -> streamIncrementalResume,
     "stream_foreach_batch" -> streamForeachBatch,
@@ -868,6 +896,15 @@ object Streaming {
           AND c.ts >= p.ts - INTERVAL 1 HOUR
           AND c.ts <= p.ts
          ORDER BY purchase_id, click_id""",
+    "stream_join_semi" ->
+      """SELECT p.event_id AS purchase_id, p.user_id AS user_id
+         FROM events p
+         WHERE p.event_type = 'purchase' AND EXISTS (
+           SELECT 1 FROM events c
+           WHERE c.event_type = 'click' AND c.user_id = p.user_id
+             AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+             AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
+         ORDER BY purchase_id""",
     "stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
          FROM events p JOIN events c

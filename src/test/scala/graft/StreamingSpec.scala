@@ -207,6 +207,16 @@ class StreamingSpec extends SparkTestBase {
     assert(right.filter(col("click_id").isNull).count() == 0,
       "right outer must never emit a null click")
     right.unpersist()
+
+    // semi join: exactly the matched purchases, each emitted ONCE even
+    // when several clicks fall in its window (the at-most-once semi
+    // contract a degenerate inner join would break)
+    val semi = SparkEntry.queries("stream_join_semi")(spark, sf).cache()
+    assert(semi.count() == pairs.select("purchase_id").distinct().count(),
+      "semi join row count != batch matched purchases")
+    assert(semi.select("purchase_id").distinct().count() == semi.count(),
+      "semi join emitted a purchase more than once")
+    semi.unpersist()
     pairs.unpersist()
   }
 
