@@ -19,8 +19,9 @@ object PlanAudit {
     "llm_knn_ivf", "llm_knn_ivf_exact",
     "agg_pivot", "llm_tfidf", "llm_interleave_sources",
   // agg_hll_sketch / agg_hll_portable_merge / scan_csv_malformed
-  // cross 1-row aggregates — O(1) both sides
-    "agg_hll_portable_merge",
+  // cross 1-row aggregates — O(1) both sides; the histogram quantile
+  // crosses the 1-row stats and the 256-row counter table
+    "agg_hll_portable_merge", "agg_quantile_histogram",
   // ts_interpolate shares ts_gapfill's spine × event-type-dim cross;
   // hybrid search crosses the 1-row corpus-stats scalar and the
   // 5-probe broadcast; MMR's top-20 stage is the same probe cross
@@ -261,6 +262,9 @@ object ShuffleBudgets {
     // over the distinct (day, user) pre-agg; every post-register frame
     // is ≤ m rows
     "agg_hll_portable_merge" -> 8,
+    // two scan-aggregate passes + the 256-row histogram + 4 quantile
+    // probes over the bounded frame
+    "agg_quantile_histogram" -> 4,
     "agg_approx_quantile" -> 8,
     "agg_cms" -> 3,
     "agg_ttest_welch" -> 1,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QFn, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count–min sketch with DETERMINISTIC, engine-portable hashing —
@@ -176,9 +177,59 @@ object Sketches {
       .crossJoin(broadcast(exact))
   }
 
+  /** PORTABLE histogram quantiles — the bounded-memory approximate
+    * quantile whose ESTIMATE is oracle-checkable (the GK/
+    * `approx_percentile` key demonstrates Spark's built-in sketch but
+    * its binary is engine-specific, and the exact two-pass key pays
+    * two full scans for exactness): one O(1) min/max pass fixes 256
+    * equi-width bins, one aggregation pass builds the bounded counter
+    * table, and any quantile interpolates linearly inside the bin
+    * where the target rank lands. Every arithmetic step (bin width,
+    * floor-assignment, rank, interpolation) is the same IEEE double
+    * sequence in both engines, so the estimates hash-match exactly;
+    * the error bound is one bin width — (max−min)/256 — by
+    * construction.
+    *
+    * 100 TB shape: the counter table is 256 rows regardless of input
+    * (broadcast-size), the data passes are full scans with map-side
+    * combine, and the quantile extraction runs on the 256-row frame
+    * only — the same state-bounding argument as the CMS/HLL keys. */
+  val aggQuantileHistogram: QFn = (s, d) => {
+    val nBins = 256
+    val li = Tables.lineitem(s, d)
+      .select(col("l_extendedprice").cast("double").as("x"))
+    val stats = li.agg(min("x").as("lo"), max("x").as("hi"),
+      count(lit(1)).as("n"))
+    val binned = li.crossJoin(broadcast(stats))
+      // clamp the max value into the last bin (floor((hi-lo)/w)=nBins)
+      .select(least(
+        floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / nBins)),
+        lit(nBins - 1)).cast("int").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    val wCum = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = binned
+      .withColumn("cum_before", coalesce(sum("cnt").over(wCum), lit(0L)))
+      .crossJoin(broadcast(stats))
+    val qs = Seq(0.25, 0.5, 0.75, 0.99)
+    val perQ = qs.map { q =>
+      // target rank ⌈q·n⌉; the estimate interpolates linearly within
+      // the bin containing it
+      cum.filter(col("cum_before") < ceil(lit(q) * col("n")) &&
+          ceil(lit(q) * col("n")) <= col("cum_before") + col("cnt"))
+        .select(lit(q).as("q"),
+          round(col("lo") + ((col("hi") - col("lo")) / nBins) *
+            (col("bin").cast("double") +
+              (ceil(lit(q) * col("n")).cast("double") - col("cum_before")) /
+                col("cnt")), 6).as("est"))
+    }
+    perQ.reduce(_.unionByName(_)).orderBy("q")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "agg_cms" -> aggCms,
-    "agg_hll_portable_merge" -> aggHllPortableMerge)
+    "agg_hll_portable_merge" -> aggHllPortableMerge,
+    "agg_quantile_histogram" -> aggQuantileHistogram)
 
   val oracles: Seq[(String, String)] = Seq(
     // the oracle keeps the definitional per-ROW insertion form —
@@ -234,5 +285,24 @@ object Sketches {
              FROM direct))
          SELECT est_merged, est_direct,
            (SELECT count(DISTINCT user_id) FROM events) AS exact_users
-         FROM est_m, est_d""")
+         FROM est_m, est_d""",
+    // identical IEEE sequence: double bin width, floor-assignment with
+    // last-bin clamp, ⌈q·n⌉ rank, linear interpolation inside the bin
+    "agg_quantile_histogram" ->
+      """WITH li AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+         stats AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM li),
+         binned AS (SELECT CAST(least(floor((x - lo) / ((hi - lo) / 256)), 255) AS INT) AS bin
+           FROM li, stats),
+         hist AS (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin),
+         cum AS (SELECT bin, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           FROM hist),
+         qs AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.99] AS DOUBLE[])) AS q)
+         SELECT q, round(lo + ((hi - lo) / 256) *
+             (CAST(bin AS DOUBLE)
+               + (CAST(ceil(q * n) AS DOUBLE) - cum_before) / cnt), 6) AS est
+         FROM qs, cum, stats
+         WHERE cum_before < ceil(q * n) AND ceil(q * n) <= cum_before + cnt
+         ORDER BY q""")
 }
