@@ -255,6 +255,13 @@ object PlanAudit {
   * data-sized repartitions and no more". */
 object ShuffleBudgets {
   val map: Map[String, Int] = Map(
+    // r8 portable LSH family: sign-LSH = candidate distinct + window
+    // top-k + final sort (probes broadcast, codes a per-row
+    // projection); portable minhash = band-bucket self-join feeding
+    // the pair distinct (signature joins fold to broadcasts at audit
+    // scale)
+    "llm_knn_signlsh" -> 3,
+    "llm_minhash_portable" -> 2,
     // r8 portable HLL: distinct pre-agg + register fold + per-group
     // harmonic sum + the exact-count twin column (2-phase distinct)
     "agg_approx_distinct" -> 6,

@@ -22,6 +22,7 @@ object SparkEntry {
       operators.UDX.entries ++
       operators.LlmText.entries ++
       operators.LlmSimilarity.entries ++
+      operators.LlmLsh.entries ++
       operators.Multimodal.entries ++
       operators.Extras.entries ++
       operators.Extras2.entries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       operators.UDX.oracles ++
       operators.LlmText.oracles ++
       operators.LlmSimilarity.oracles ++
+      operators.LlmLsh.oracles ++
       operators.Multimodal.oracles ++
       operators.Extras.oracles ++
       operators.Extras2.oracles ++

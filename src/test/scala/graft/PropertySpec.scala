@@ -97,6 +97,26 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("md5_bigrams equals the composed portable-hash pipeline on arbitrary strings") {
+    // same parity shape as hashed_bigrams above, for the PORTABLE
+    // (md5 mod 2^31-1) gram hash the oracle-checkable minhash key uses
+    val word = Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""),
+      Gen.oneOf("naïve", "東京", "a_b", "x"))
+    val text = Gen.listOf(word).map(_.mkString(" "))
+    forAll(Gen.listOfN(25, text), n = 6) { texts =>
+      import spark.implicits._
+      val both = texts.toDF("text").select(
+        graft.functions.Md5Bigrams(col("text"), 2147483647L).as("native"),
+        expr("""CASE WHEN size(split(text, ' ')) >= 2 THEN array_distinct(transform(
+            array_distinct(transform(sequence(1, size(split(text,' '))-1),
+              i -> concat(element_at(split(text,' '),i), '_', element_at(split(text,' '),i+1)))),
+            x -> CAST(conv(substring(md5(x), 25, 8), 16, 10) AS BIGINT) % 2147483647L))
+          ELSE array() END""").as("composed"))
+      val bad = both.filter(col("native") =!= col("composed")).collect()
+      assert(bad.isEmpty, s"native/composed diverged: ${bad.take(3).mkString(";")}")
+    }
+  }
+
   test("as-of native operator agrees with the composition on generated streams") {
     val evGen = Gen.listOfN(40, Gen.zip(
       Gen.choose(1L, 4L), Gen.choose(0L, 500L), Gen.oneOf("click", "purchase")))
