@@ -60,6 +60,9 @@ object PlanAudit {
     "llm_knn_ivf_pruned" -> "same IVF layout + centroid collect for pruning",
     "llm_knn_pq" -> "codebook training collects M×K subvector centroids",
     "llm_bpe_train" -> "one 1-row argmax collect per merge round",
+    "llm_bpe_encode" -> ("reads the content-keyed stored merge table " +
+      "(trains it on first touch of new content) + a 6-row collect — " +
+      "the merge table IS the tokenizer"),
     "llm_dedup_cluster" -> "label-propagation rounds converge via count()",
     "llm_embed_neardup" -> ("k-means cells + K-row radius agg + cell-pair " +
       "pruning on the driver (all K-bounded); assignment localCheckpoint"),
@@ -262,6 +265,9 @@ object ShuffleBudgets {
     // scale)
     "llm_knn_signlsh" -> 3,
     "llm_minhash_portable" -> 2,
+    // encode = per-row fuse chain + the presentation sort; training
+    // happens in construction (stored-artifact read after first touch)
+    "llm_bpe_encode" -> 1,
     // r8 portable HLL: distinct pre-agg + register fold + per-group
     // harmonic sum + the exact-count twin column (2-phase distinct)
     "agg_approx_distinct" -> 6,

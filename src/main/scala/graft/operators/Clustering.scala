@@ -210,9 +210,57 @@ object Clustering {
 
   val llmBpeTrain: QFn = (s, d) => bpeTrain(s, d, nMerges = BpeMerges)
 
+  /** Trained merge table as a persisted artifact, content-keyed like
+    * the IVF quantizer / PQ codebooks ([[graft.IndexStore]]): BPE is
+    * train-once / encode-everywhere, so the merge table is built on
+    * first touch of a dataset's content and every later session (and
+    * every bench rerun) reads the 6-row parquet instead of re-running
+    * the merge rounds. */
+  private def bpeMergesStored(s: SparkSession, d: String): DataFrame = {
+    val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
+    val dir = graft.IndexStore.cachedDir(s"bpe_merges_v1_${fp}_$BpeMerges") { tmp =>
+      bpeTrain(s, d, nMerges = BpeMerges)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    s.read.parquet(dir)
+  }
+
+  /** BPE ENCODE — the apply half of the tokenizer story: the merge
+    * table trained on the 10% sample (stored artifact above) is
+    * applied IN RANK ORDER to the FULL corpus as a chain of the same
+    * greedy left-to-right non-overlapping fuses the trainer uses —
+    * one codegen'd projection per merge, no shuffle until the final
+    * presentation sort. That asymmetry (train on a bounded sample,
+    * encode everything in a linear pass) is exactly how a production
+    * tokenizer deploys at 100 TB. Output per document: encoded token
+    * count, how many fuses landed, and the first 8 encoded tokens —
+    * bounded columns, fully DuckDB-reproducible (the oracle re-derives
+    * the merges with the trainer's unrolled rounds, then replays the
+    * fuse chain on token lists with the same gaps-and-islands greedy
+    * equivalence bpeRoundSql establishes). */
+  val llmBpeEncode: QFn = (s, d) => {
+    // 6-row bounded driver state — the merge table IS the tokenizer
+    val merges = bpeMergesStored(s, d)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val encoded = merges.foldLeft(col("text")) { case (t, (a, b)) =>
+      val pat = s"(?<=^| )${java.util.regex.Pattern.quote(a)} ${java.util.regex.Pattern.quote(b)}(?=$$| )"
+      regexp_replace(t, pat, s"${a}_$b")
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_raw"),
+        encoded.as("enc"))
+      .select(col("doc_id"),
+        size(split(col("enc"), " ")).as("n_tok"),
+        (col("n_raw") - size(split(col("enc"), " "))).as("n_merged"),
+        concat_ws(" ", slice(split(col("enc"), " "), 1, 8)).as("enc_prefix"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "llm_kmeans" -> llmKmeans,
-    "llm_bpe_train" -> llmBpeTrain)
+    "llm_bpe_train" -> llmBpeTrain,
+    "llm_bpe_encode" -> llmBpeEncode)
 
   /** DuckDB twin of the D2 assignment kernel: squared euclidean over
     * the zipped (float-cast-to-double, centroid) lists, summed in list
@@ -326,8 +374,66 @@ object Clustering {
           ORDER BY rank"""
   }
 
+  /** One ENCODE round: the trainer's greedy-fuse stages (flag → runs →
+    * even-offset merge → rebuild) replayed on the FULL corpus with the
+    * pair fixed to round r's learned `top$r` — the list-side twin of
+    * the engine's chained lookaround regexp_replace. */
+  private def applyRoundSql(r: Int): String = {
+    val p = r - 1
+    s"""ftok$r AS (
+            SELECT doc_id, unnest(toks) AS tok,
+              generate_subscripts(toks, 1) AS pos FROM fcorpus$p),
+          fpair$r AS (
+            SELECT doc_id, pos, tok,
+              lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM ftok$r),
+          fflag$r AS (
+            SELECT p.doc_id, p.pos, p.tok, p.nxt,
+              (p.tok = t.a AND p.nxt = t.b) AS is_pair
+            FROM fpair$r p, top$r t),
+          fgrp$r AS (
+            SELECT *, CASE WHEN is_pair THEN pos - row_number() OVER
+                (PARTITION BY doc_id, is_pair ORDER BY pos) END AS grp
+            FROM fflag$r),
+          fmrg$r AS (
+            SELECT *, is_pair AND
+              ((pos - min(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0) AS do_merge
+            FROM fgrp$r),
+          fcorpus$r AS (
+            SELECT doc_id, list(newtok ORDER BY pos) AS toks FROM (
+              SELECT doc_id, pos,
+                CASE WHEN do_merge THEN tok || '_' || nxt
+                     WHEN lag(do_merge, 1, false) OVER
+                       (PARTITION BY doc_id ORDER BY pos) THEN NULL
+                     ELSE tok END AS newtok
+              FROM fmrg$r) WHERE newtok IS NOT NULL GROUP BY doc_id)"""
+  }
+
+  /** Encode oracle: re-derive the merges with the trainer's unrolled
+    * rounds (sampled corpus), then replay the fuse chain over ALL
+    * documents and emit the same bounded per-doc columns as
+    * [[llmBpeEncode]]. */
+  private def bpeEncodeOracleSql: String = {
+    val trainRounds = (1 to BpeMerges).map(bpeRoundSql).mkString(",\n          ")
+    val applyRounds = (1 to BpeMerges).map(applyRoundSql).mkString(",\n          ")
+    s"""WITH corpus0 AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE doc_id % 10 = 0),
+          $trainRounds,
+          fcorpus0 AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          $applyRounds
+          SELECT f.doc_id,
+            CAST(len(f.toks) AS INT) AS n_tok,
+            CAST(len(f0.toks) - len(f.toks) AS INT) AS n_merged,
+            array_to_string(f.toks[1:8], ' ') AS enc_prefix
+          FROM fcorpus$BpeMerges f JOIN fcorpus0 f0 USING (doc_id)
+          ORDER BY f.doc_id"""
+  }
+
   val oracles: Seq[(String, String)] = Seq(
     "llm_bpe_train" -> bpeOracleSql,
+    "llm_bpe_encode" -> bpeEncodeOracleSql,
     "llm_kmeans" ->
       s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
           seed_src AS (

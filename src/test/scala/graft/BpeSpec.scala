@@ -34,4 +34,23 @@ class BpeSpec extends SparkTestBase {
     assert(m(0).getLong(3) == direct,
       s"rank-1 merge count ${m(0).getLong(3)} != round-1 max pair count $direct")
   }
+
+  test("encode: covers every document, conserves tokens, and fuses real merges") {
+    val enc = operators.Clustering.llmBpeEncode(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(enc.length == nDocs,
+      s"encode must cover the FULL corpus (train-on-sample asymmetry): ${enc.length} vs $nDocs")
+    // token conservation: each fuse removes exactly one boundary, so
+    // raw count = encoded count + merged count, per document
+    val raw = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_raw"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    enc.foreach { r =>
+      assert(r.getInt(1) + r.getInt(2) == raw(r.getLong(0)),
+        s"doc ${r.getLong(0)}: n_tok ${r.getInt(1)} + n_merged ${r.getInt(2)} != raw ${raw(r.getLong(0))}")
+    }
+    // the sample the merges were trained on must actually compress
+    assert(enc.filter(r => r.getLong(0) % 10 == 0).map(_.getInt(2)).sum > 0,
+      "no merge landed on the training sample — merge table is vacuous")
+  }
 }
