@@ -64,6 +64,8 @@ object PlanAudit {
       "(trains it on first touch of new content) + a 6-row collect — " +
       "the merge table IS the tokenizer"),
     "llm_dedup_cluster" -> "label-propagation rounds converge via count()",
+    "graph_components" -> ("same CC kernel on the trade subgraph — " +
+      "per-round localCheckpoint + 1-value convergence count"),
     "llm_embed_neardup" -> ("k-means cells + K-row radius agg + cell-pair " +
       "pruning on the driver (all K-bounded); assignment localCheckpoint"),
     "llm_source_drift" -> ("token counts localCheckpoint'd once, reused by " +
@@ -268,6 +270,9 @@ object ShuffleBudgets {
     // encode = per-row fuse chain + the presentation sort; training
     // happens in construction (stored-artifact read after first touch)
     "llm_bpe_encode" -> 1,
+    // final plan reads the last round's localCheckpoint: two size
+    // groupBys + the presentation sort
+    "graph_components" -> 4,
     // r8 portable HLL: distinct pre-agg + register fold + per-group
     // harmonic sum + the exact-count twin column (2-phase distinct)
     "agg_approx_distinct" -> 6,

@@ -208,14 +208,81 @@ object Graph {
     nEdges.crossJoin(broadcast(nWedges)).crossJoin(broadcast(nTri))
   }
 
+  /** Sparse INTRA-NATION trade subgraph: an edge (c, s) iff a sampled
+    * order (`o_orderkey % 13 = 0`) of customer c contains a lineitem
+    * from supplier s in the SAME nation. The nation filter plus the
+    * sampling fragments the otherwise-connected bipartite graph into
+    * hundreds of small components (sf0.1: 1,791 edges, sizes 2–27) —
+    * the regime where connected components is a real question. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 13 === 0)
+      .select("o_orderkey", "o_custkey")
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .select((col("c_custkey") * 2).as("u"),
+        (col("s_suppkey") * 2 + 1).as("v"))
+      .distinct()
+
+  /** Connected components of the sparse trade subgraph, summarized as
+    * a component-size histogram (size, how many, smallest component
+    * label of that size — the label column pins the exact labeling,
+    * not just the shape). Runs the SAME production CC kernel as
+    * `llm_dedup_cluster` ([[LlmSimilarity.connectedComponents]]:
+    * min-label propagation + pointer shortcutting to a fixpoint,
+    * O(log n) rounds, per-round cost two equi-joins + a groupBy on
+    * (node, label) — no driver-side graph). The DuckDB oracle computes
+    * TRUE components via a recursive closure, so the distributed
+    * fixpoint is hash-verified against an independent formulation —
+    * the strongest check an iterative kernel can get. */
+  val graphComponents: QFn = (s, d) => {
+    val e = tradeEdges(s, d)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+    val (labels, _) =
+      LlmSimilarity.connectedComponents(s, nodes, e, shortcutFrom = 1)
+    labels.groupBy("label").agg(count(lit(1)).as("comp_size"))
+      .groupBy("comp_size")
+      .agg(count(lit(1)).as("n_comps"), min("label").as("min_comp_id"))
+      .orderBy("comp_size")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "graph_degree" -> graphDegree,
     "graph_pagerank" -> graphPagerank,
-    "graph_triangles" -> graphTriangles)
+    "graph_triangles" -> graphTriangles,
+    "graph_components" -> graphComponents)
 
   /** The PageRank oracle unrolls the 3 iterations as CTE stages with
     * the same truncating BIGINT arithmetic (DuckDB `//`). */
   val oracles: Seq[(String, String)] = Seq(
+    // TRUE components via recursive closure — an INDEPENDENT
+    // formulation of what the distributed fixpoint converges to
+    // (min reachable node id), so label propagation is verified
+    // against transitive closure, not against itself
+    "graph_components" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT DISTINCT c.c_custkey*2 AS u, s.s_suppkey*2+1 AS v
+           FROM orders o
+           JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE o.o_orderkey % 13 = 0 AND c.c_nationkey = s.s_nationkey),
+         edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         nodes AS (SELECT DISTINCT u AS node FROM edges),
+         reach(node, lbl) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+         comp AS (SELECT node, min(lbl) AS comp FROM reach GROUP BY node),
+         sizes AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp)
+         SELECT comp_size, count(*) AS n_comps, min(comp) AS min_comp_id
+         FROM sizes GROUP BY comp_size ORDER BY comp_size""",
     "graph_degree" ->
       """WITH cs AS (SELECT DISTINCT o_custkey, l_suppkey
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

@@ -656,7 +656,8 @@ object LlmSimilarity {
     * is the 1-value convergence count. `edges0` is undirected input as
     * (a, b) pairs; returns (labels(doc_id, label), rounds). */
   def connectedComponents(s: SparkSession, nodes: DataFrame,
-      edges0: DataFrame, maxRounds: Int = 64): (DataFrame, Int) = {
+      edges0: DataFrame, maxRounds: Int = 64,
+      shortcutFrom: Int = 3): (DataFrame, Int) = {
     // undirected edge list both ways, materialized ONCE (truncates the
     // pair-generation lineage out of every round's plan)
     val edges = edges0
@@ -679,12 +680,19 @@ object LlmSimilarity {
           least(col("old"), coalesce(col("neighbor_label"), col("old"))).as("l1"))
       // pointer shortcut: follow the label one hop (label is itself a
       // doc_id of the same component, so its current label is a valid —
-      // and no larger — label for this node). Enabled from round 3:
-      // dedup-typical 2–3-hop graphs converge before paying the extra
-      // join; a deeper graph means a long chain, where the shortcut's
-      // geometric collapse is what bounds the round count.
+      // and no larger — label for this node). Default: enabled from
+      // round 3 — dedup-typical 2–3-hop graphs converge before paying
+      // the extra join. Deeper graphs (graph_components' trade
+      // subgraph) pass shortcutFrom = 1: rounds are the cost unit
+      // (each is ~0.5 s of harness-fixed localCheckpoint + job
+      // latency at test scale, regardless of the 2.4k-row data), and
+      // early doubling caps them at O(log diameter) — 7 rounds for
+      // the sf0.1 trade graph; an A/B vs shortcutFrom = 3 measured
+      // the same 7 rounds there (components are bushy, not chains),
+      // so the early default is kept for the worst case, not a win.
       val shortcut =
-        if (round < 3) prop.select(col("doc_id"), col("old"), col("l1").as("label"))
+        if (round < shortcutFrom)
+          prop.select(col("doc_id"), col("old"), col("l1").as("label"))
         else {
           val ptr = prop.select(col("doc_id").as("pid"), col("l1").as("plabel"))
           prop.join(ptr, prop("l1") === ptr("pid"), "left")
