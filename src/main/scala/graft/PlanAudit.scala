@@ -273,6 +273,9 @@ object ShuffleBudgets {
     // final plan reads the last round's localCheckpoint: two size
     // groupBys + the presentation sort
     "graph_components" -> 4,
+    // the shard window's hash exchange + the presentation sort — the
+    // global-shuffle-for-training plan IS those two exchanges
+    "llm_global_shuffle" -> 2,
     // r8 portable HLL: distinct pre-agg + register fold + per-group
     // harmonic sum + the exact-count twin column (2-phase distinct)
     "agg_approx_distinct" -> 6,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QFn, Tables}
 import graft.Det.dsum6
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -609,7 +610,36 @@ object LlmText {
       .orderBy("doc_id")
   }
 
+  /** GLOBAL SHUFFLE + split assignment — the step between a curated
+    * corpus and a training run: every document gets a deterministic
+    * pseudo-random shard (8-way), a train/val/test split tag
+    * (96/2/2%), a sort position, and its rank within the shard. The
+    * physical shape is hash-partition + within-partition sort — the
+    * ONLY way to globally shuffle 100 TB (a true global sort by
+    * random key is the same plan; a driver-side shuffle is
+    * impossible), and the shard column is exactly what a
+    * `partitionBy("shard")` training-data write consumes. Hashes are
+    * md5-derived with distinct salts (the portable-hash idiom), so
+    * the full assignment — shard, split, order — is reproducible in
+    * any engine: no seed, no RNG state, rerun-stable by content. */
+  val llmGlobalShuffle: QFn = (s, d) => {
+    def h(salt: String): Column =
+      conv(substring(md5(concat(lit(salt + ":"),
+        col("doc_id").cast("string"))), 25, 8), 16, 10).cast("long")
+    val w = Window.partitionBy("shard").orderBy(col("pos"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        (h("shard") % 8).cast("int").as("shard"),
+        when(h("split") % 100 < 96, "train")
+          .when(h("split") % 100 < 98, "val")
+          .otherwise("test").as("split"),
+        h("pos").as("pos"))
+      .withColumn("rank_in_shard", row_number().over(w))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "llm_global_shuffle" -> llmGlobalShuffle,
     "llm_pii_scrub" -> llmPiiScrub,
     "llm_embed_normalize" -> llmEmbedNormalize,
     "llm_decontaminate" -> llmDecontaminate,
@@ -635,6 +665,20 @@ object LlmText {
     "llm_source_drift" -> llmSourceDrift)
 
   val oracles: Seq[(String, String)] = Seq(
+    // same md5-salt hashes: the full shuffle assignment (shard, split,
+    // order) reproduces in any engine with md5 — no seed, no RNG state
+    "llm_global_shuffle" ->
+      """WITH a AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5('shard:' || doc_id), 25, 8))::UBIGINT % 8 AS INT) AS shard,
+             CASE WHEN ('0x' || substr(md5('split:' || doc_id), 25, 8))::UBIGINT % 100 < 96 THEN 'train'
+                  WHEN ('0x' || substr(md5('split:' || doc_id), 25, 8))::UBIGINT % 100 < 98 THEN 'val'
+                  ELSE 'test' END AS split,
+             ('0x' || substr(md5('pos:' || doc_id), 25, 8))::UBIGINT::BIGINT AS pos
+           FROM documents)
+         SELECT doc_id, shard, split, pos,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY pos, doc_id) AS INT) AS rank_in_shard
+         FROM a ORDER BY doc_id""",
     // same derived contact block, same patterns; DuckDB regexp_replace
     // needs the explicit 'g' flag to match Spark's replace-all default
     "llm_pii_scrub" ->
