@@ -363,6 +363,34 @@ object Streaming {
       .filter(col("w_start") < SentinelGuard)
       .orderBy("w_start", "event_type")
 
+  /** STREAM–STATIC dimension join — the enrichment shape Structured
+    * Streaming treats specially: the static side is a plain batch
+    * DataFrame (here a per-user activity profile aggregated once from
+    * the events table — "the serving-side dim snapshot"), joined into
+    * every micro-batch STATELESSLY (no watermark bookkeeping, no join
+    * state store — unlike the stream-stream family) and broadcast so
+    * the streaming side never shuffles for the join. The watermark is
+    * applied BEFORE the join so the flush sentinels (whose user_id
+    * joins nothing) still advance event time and seal every real
+    * window. Flushed result equals the batch join + hour aggregate
+    * exactly — the oracle. At 100 TB the static side is the small
+    * dimension by construction (a profile table), which is what makes
+    * per-batch broadcast the right physical plan. */
+  val streamStaticJoin: QFn = (s, d) => {
+    val profile = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("user_events"))
+      .select(col("user_id"), expr("user_events div 20").as("band"))
+    runStream(s, d, OutputMode.Append(), "static_join", flush = true) { df =>
+      df.withWatermark("ts", "1 hour")
+        .join(broadcast(profile), "user_id")
+        .groupBy(window(col("ts"), "1 hour"), col("band"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_value"))
+    }.select(col("window.start").as("w_start"), col("band"),
+      col("n"), col("sum_value"))
+      .filter(col("w_start") < SentinelGuard)
+      .orderBy("w_start", "band")
+  }
+
   /** CHAINED time-window aggregations — two stateful operators in ONE
     * streaming query (a Spark-4 capability: `window(window_col, ...)`
     * re-windows the struct output of an upstream windowed agg):
@@ -845,6 +873,7 @@ object Streaming {
     "stream_incremental_resume" -> streamIncrementalResume,
     "stream_foreach_batch" -> streamForeachBatch,
     "stream_tumbling" -> streamTumbling,
+    "stream_static_join" -> streamStaticJoin,
     "stream_chained_agg" -> streamChainedAgg,
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
@@ -913,6 +942,16 @@ object Streaming {
           AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
           AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
          ORDER BY purchase_id, click_id""",
+    // stream-static join is stateless: flushed windows equal the
+    // batch join + hour aggregate over the same profile dim
+    "stream_static_join" ->
+      """WITH profile AS (
+           SELECT user_id, count(*) // 20 AS band FROM events GROUP BY user_id)
+         SELECT CAST(date_trunc('hour', CAST(e.ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
+           p.band, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+         FROM events e JOIN profile p USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
            event_type, count(*) AS n,

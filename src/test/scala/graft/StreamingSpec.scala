@@ -125,6 +125,28 @@ class StreamingSpec extends SparkTestBase {
     } finally streaming.Streaming.trackStateRows = false
   }
 
+  test("stream-static join: stateless enrichment equals the batch join, no join state") {
+    streaming.Streaming.trackStateRows = true
+    try {
+      val got = streaming.Streaming.streamStaticJoin(spark, sf).collect()
+      val profile = Tables.events(spark, sf)
+        .groupBy("user_id").agg(count(lit(1)).as("user_events"))
+        .select(col("user_id"), expr("user_events div 20").as("band"))
+      val batch = Tables.events(spark, sf).join(profile, "user_id")
+        .groupBy(date_trunc("hour", col("ts")).as("w_start"), col("band"))
+        .agg(count(lit(1)).as("n"), Det.dsum2(col("value")).as("sum_value"))
+        .orderBy("w_start", "band").collect()
+      assert(got.map(_.toString).toSeq == batch.map(_.toString).toSeq,
+        s"stream-static result != batch join (${got.length} vs ${batch.length} rows)")
+      // the join itself is STATELESS (static side re-broadcast per
+      // batch, no symmetric-hash state); residual state is only the
+      // aggregation's unsealed sentinel windows
+      val st = streaming.Streaming.lastStateRowsTotal
+      assert(st >= 0 && st <= 4,
+        s"expected only unsealed agg windows in state, got $st rows")
+    } finally streaming.Streaming.trackStateRows = false
+  }
+
   test("streaming keys equal their batch twins (dedup + stateful)") {
     val streamed = streaming.Streaming.streamDedup(spark, sf).collect()
     val batch = Tables.events(spark, sf).groupBy("event_type")
