@@ -276,6 +276,8 @@ object ShuffleBudgets {
     // the shard window's hash exchange + the presentation sort — the
     // global-shuffle-for-training plan IS those two exchanges
     "llm_global_shuffle" -> 2,
+    // hourly pre-agg + the event_type rolling window + final sort
+    "ts_anomaly" -> 3,
     // r8 portable HLL: distinct pre-agg + register fold + per-group
     // harmonic sum + the exact-count twin column (2-phase distinct)
     "agg_approx_distinct" -> 6,

@@ -268,7 +268,46 @@ object TimeSeries {
       .orderBy("bar", "event_type")
   }
 
+  /** Rolling z-score ANOMALY flags — the monitoring/quant staple:
+    * each hourly bar scored against the trailing 24 bars' mean/std
+    * (frame ends at the PREVIOUS bar, so a spike never suppresses its
+    * own detection), flagged at |z| > 2.5 after a 12-bar warm-up.
+    * Cross-engine determinism, the integer micro-unit recipe (NOT a
+    * decimal recast of derived doubles — casting an arbitrary double
+    * to DECIMAL(30,6) rounds differently across engines when it lands
+    * on the 6-dp boundary; one sf0.1 row did exactly that): the bar
+    * average quantizes to exact MILLI-units (`floor(x·1e3)` — small
+    * enough that Σq² over 24 bars stays far inside Long), the rolling
+    * moments are exact integer window sums, and z derives from those
+    * identical integers in one double expression. z rounds to 6. One
+    * window per event_type partition + the hourly pre-aggregate — two
+    * shuffles at any scale. */
+  val tsAnomaly: QFn = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(bar.as("bar"), col("event_type"))
+      .agg(davg2(col("value")).as("hour_avg"))
+      .withColumn("q", floor(col("hour_avg") * 1000.0).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("bar")
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("n", count(col("q")).over(w))
+      .withColumn("s", sum(col("q")).over(w))
+      .withColumn("ss", sum(col("q") * col("q")).over(w))
+      .filter(col("n") >= 12)
+      .withColumn("sd", sqrt(
+        (col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")) /
+          (col("n") - 1)))
+      .withColumn("z", when(col("sd") > 0,
+        round((col("q").cast("double") -
+          col("s").cast("double") / col("n")) / col("sd"), 6)))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("bar"), col("event_type"), col("hour_avg"), col("z"))
+      .orderBy("bar", "event_type")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "ts_anomaly" -> tsAnomaly,
     "ts_ewma" -> tsEwma,
     "ts_drawdown" -> tsDrawdown,
     "ts_ohlc_bars" -> tsOhlcBars,
@@ -281,6 +320,30 @@ object TimeSeries {
     "ts_linreg_trend" -> tsLinregTrend)
 
   val oracles: Seq[(String, String)] = Seq(
+    // identical exact-integer rolling moments (milli-unit quantized
+    // bar averages) → both engines derive z from the same integers
+    "ts_anomaly" ->
+      s"""WITH hourly AS (
+           SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
+             ${sqlAvg2("value")} AS hour_avg,
+             CAST(floor(${sqlAvg2("value")} * 1000.0) AS BIGINT) AS q
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT bar, event_type, hour_avg, q,
+             count(q) OVER win AS n,
+             CAST(sum(q) OVER win AS BIGINT) AS s,
+             CAST(sum(q * q) OVER win AS BIGINT) AS ss
+           FROM hourly
+           WINDOW win AS (PARTITION BY event_type ORDER BY bar
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         z AS (
+           SELECT bar, event_type, hour_avg,
+             CASE WHEN sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n-1)) > 0
+               THEN round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n-1)), 6) END AS z
+           FROM w WHERE n >= 12)
+         SELECT bar, event_type, hour_avg, z FROM z
+         WHERE abs(z) > 2.5 ORDER BY bar, event_type""",
     // the same ordered fold, elementwise: 0-prepended window list,
     // left-to-right acc*0.8 + x*0.2 — identical IEEE sequence
     "ts_ewma" ->
