@@ -34,6 +34,10 @@ object PlanAudit {
   // source_drift crosses the 50-row broadcast top-token list and the
   // 1-row corpus total against the sources dim — O(1) build sides
     "llm_knn_ivf_pruned", "llm_semantic_decontaminate", "llm_source_drift",
+  // q22 compares every selected customer against the broadcast 1-row
+  // segment average with an INEQUALITY, so the cross join cannot fold
+  // to an equi-join the way q15's tie filter does — O(1) build side
+    "q22_idle_customers",
   // the GLOBAL Quantiles.exactQuantiles path: the constant pseudo-group
   // key folds away, so its broadcast joins (1-row stats, <=nShards
   // offset rows, <=|qs| position rows) surface as BNLJ — every build
@@ -424,6 +428,21 @@ object ShuffleBudgets {
     "q18_large_orders" -> 1,
     "q21_suppliers_waiting" -> 4,
     "q3_shipping_priority" -> 1,
+    // r8 TPC-H completion set (Composite2): at audit scale AQE folds
+    // most dim joins to broadcasts, so the counts are the agg/sort
+    // exchanges plus the one fact-fact shuffle where the probe side
+    // is too big to fold (q13's left join keeps the outer exchange;
+    // q15's aggregate view feeds both the max and the tie filter;
+    // q17's decorrelated avg shares the part-filtered slice)
+    "q4_priority_exists" -> 2,
+    "q6_forecast_revenue" -> 1,
+    "q12_late_shipments" -> 2,
+    "q13_customer_distribution" -> 3,
+    "q14_promo_revenue" -> 1,
+    "q15_top_supplier" -> 4,
+    "q17_small_quantity" -> 3,
+    "q19_disjunctive_predicates" -> 1,
+    "q22_idle_customers" -> 3,
     "q5_local_supplier_volume" -> 1,
     "q7_volume_shipping" -> 2,
     "q8_market_share" -> 2,

@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Extras.entries ++
       operators.Extras2.entries ++
       operators.Composite.entries ++
+      operators.Composite2.entries ++
       operators.SnapshotTable.entries ++
       operators.SnapshotLog.entries ++
       operators.Clustering.entries ++
@@ -48,6 +49,7 @@ object SparkEntry {
       operators.Extras.oracles ++
       operators.Extras2.oracles ++
       operators.Composite.oracles ++
+      operators.Composite2.oracles ++
       operators.SnapshotTable.oracles ++
       operators.SnapshotLog.oracles ++
       operators.Clustering.oracles ++
