@@ -434,6 +434,11 @@ object ShuffleBudgets {
     // is too big to fold (q13's left join keeps the outer exchange;
     // q15's aggregate view feeds both the max and the tie filter;
     // q17's decorrelated avg shares the part-filtered slice)
+    // r8 s4: quantize = explode-agg + scale join-back agg + sort;
+    // temperature = stratum count + stratum window rank + final agg
+    // (the allot frame broadcasts)
+    "llm_emb_quantize" -> 3,
+    "llm_sample_temperature" -> 3,
     "q4_priority_exists" -> 2,
     "q6_forecast_revenue" -> 1,
     "q12_late_shipments" -> 2,

@@ -23,6 +23,7 @@ object SparkEntry {
       operators.LlmText.entries ++
       operators.LlmSimilarity.entries ++
       operators.LlmLsh.entries ++
+      operators.LlmQuantize.entries ++
       operators.Multimodal.entries ++
       operators.Extras.entries ++
       operators.Extras2.entries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       operators.LlmText.oracles ++
       operators.LlmSimilarity.oracles ++
       operators.LlmLsh.oracles ++
+      operators.LlmQuantize.oracles ++
       operators.Multimodal.oracles ++
       operators.Extras.oracles ++
       operators.Extras2.oracles ++
