@@ -422,6 +422,7 @@ object ShuffleBudgets {
     "llm_token_count" -> 1,
     "mm_decode_features" -> 1,
     "mm_frame_sample" -> 1,
+    "mm_audio_window" -> 1,
     "mm_modality_dispatch" -> 1,
     "project_arith" -> 1,
     "q10_returned_items" -> 1,

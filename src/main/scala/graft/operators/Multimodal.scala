@@ -118,15 +118,69 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** "Audio" frame windowing — the STFT framing shape: OVERLAPPING
+    * windows (length 128, hop 64, so every sample lands in two
+    * windows — what distinguishes audio feature extraction from
+    * [[mmFrameSample]]'s disjoint strided frames), per-window signed
+    * energy Σs² and peak |s| over centered fake-PCM samples
+    * (byte − 128). All integer arithmetic; the window loop runs
+    * inside `mapPartitions` like a real framer, payloads never leave
+    * their partition. Swapping the byte→sample stub for a real PCM
+    * decode changes only the inner two lines. */
+  val mmAudioWindow: QFn = (s, d) => {
+    val frameLen = 128
+    val hop = 64
+    val winSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("win_idx", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("energy", LongType),
+      StructField("peak", LongType)))
+    val withPayload = Tables.documents(s, d).select(
+      col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    withPayload.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val nWin = (payload.length + hop - 1) / hop
+        (0 until nWin).iterator
+          .takeWhile(k => k * hop < payload.length)
+          .map { k =>
+            val frame = payload.slice(k * hop, k * hop + frameLen)
+            // --- STUB DECODE: centered fake-PCM sample per byte ---
+            val samples = frame.map(b => ((b & 0xff) - 128).toLong)
+            Row(docId, k, frame.length,
+              samples.map(x => x * x).sum, samples.map(math.abs).max)
+          }
+      }
+    }(RowEncoder.encoderFor(winSchema))
+      .orderBy("doc_id", "win_idx")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_frame_sample" -> mmFrameSample,
+    "mm_audio_window" -> mmAudioWindow,
     "mm_modality_dispatch" -> mmModalityDispatch)
 
   /** Text payloads are pure ASCII, so the byte histogram/checksums are
     * SQL-expressible: bucket = ascii(char) >> 4, checksum = sum of
     * codes. The oracle proves the distributed decode path byte-exact. */
   val oracles: Seq[(String, String)] = Seq(
+    "mm_audio_window" ->
+      """SELECT doc_id, CAST(k AS INT) AS win_idx,
+           CAST(length(substr(text, k * 64 + 1, 128)) AS INT) AS n_samples,
+           CAST(list_sum(list_transform(
+             regexp_extract_all(substr(text, k * 64 + 1, 128), '.'),
+             c -> CAST((ascii(c) - 128) * (ascii(c) - 128) AS BIGINT)))
+             AS BIGINT) AS energy,
+           CAST(list_max(list_transform(
+             regexp_extract_all(substr(text, k * 64 + 1, 128), '.'),
+             c -> CAST(abs(ascii(c) - 128) AS BIGINT))) AS BIGINT) AS peak
+         FROM documents
+         CROSS JOIN (SELECT unnest(range(0, 10000)) AS k)
+         WHERE k * 64 < length(text)
+         ORDER BY doc_id, win_idx""",
     "mm_modality_dispatch" ->
       """SELECT doc_id,
            CASE WHEN doc_id % 3 = 0 THEN 'text/plain'
