@@ -38,6 +38,9 @@ object PlanAudit {
   // segment average with an INEQUALITY, so the cross join cannot fold
   // to an equi-join the way q15's tie filter does — O(1) build side
     "q22_idle_customers",
+  // df-prune crosses the vocab-bounded df table with the broadcast
+  // 1-row corpus doc count for the stopword threshold — O(1) build
+    "llm_doc_freq_prune",
   // the GLOBAL Quantiles.exactQuantiles path: the constant pseudo-group
   // key folds away, so its broadcast joins (1-row stats, <=nShards
   // offset rows, <=|qs| position rows) surface as BNLJ — every build
@@ -282,6 +285,21 @@ object ShuffleBudgets {
     "llm_global_shuffle" -> 2,
     // hourly pre-agg + the event_type rolling window + final sort
     "ts_anomaly" -> 3,
+    // r8s5 quant composites: quote summary = bar pre-agg + sort;
+    // autocorr = pre-agg + lag window + grouped moments (AQE folds the
+    // tiny final sort); beta = pre-agg + broadcast market join +
+    // rolling window + sort
+    "ts_bidask_spread" -> 2,
+    "ts_autocorr" -> 3,
+    "ts_rolling_beta" -> 4,
+    // pre-agg + lag window + rank/count window + grouped tail + sort
+    "ts_var_es" -> 5,
+    // bigram count table + the vocab²-bounded marginal windows
+    // (same-key windows share the exchange; top-50 is TakeOrdered)
+    "llm_collocations" -> 2,
+    // df build (2-phase distinct) + broadcast kept-vocab + per-doc
+    // re-agg with a distinct (2-phase) + presentation sort
+    "llm_doc_freq_prune" -> 6,
     // r8 portable HLL: distinct pre-agg + register fold + per-group
     // harmonic sum + the exact-count twin column (2-phase distinct)
     "agg_approx_distinct" -> 6,

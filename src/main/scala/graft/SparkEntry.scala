@@ -35,6 +35,8 @@ object SparkEntry {
       operators.Graph.entries ++
       operators.Sketches.entries ++
       operators.TimeSeries.entries ++
+      operators.TimeSeries2.entries ++
+      operators.LlmCorpus.entries ++
       plans.AsOfJoinPlans.entries ++
       streaming.Streaming.entries
 
@@ -58,6 +60,8 @@ object SparkEntry {
       operators.Graph.oracles ++
       operators.Sketches.oracles ++
       operators.TimeSeries.oracles ++
+      operators.TimeSeries2.oracles ++
+      operators.LlmCorpus.oracles ++
       plans.AsOfJoinPlans.oracles ++
       streaming.Streaming.oracles
 

@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.{QFn, Tables, Det}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Market-microstructure composites (round 8, session 5) — the three
+  * quant staples the intraday bid/ask domain still lacked: a quote
+  * (bid/ask/spread/mid) summary, series autocorrelation, and rolling
+  * beta vs a market series. The shipped `events` table has no real
+  * quote sides, so two event-type tick streams stand in for the bid
+  * and ask feeds — the PLANS (conditional aggregation onto the bar
+  * grain, per-symbol bounded-frame windows over exact-integer
+  * moments) are the production shapes regardless of which columns
+  * carry the quotes.
+  *
+  * Cross-engine determinism follows the `ts_anomaly` recipe
+  * (TimeSeries.scala): bar averages come from exact DECIMAL sums,
+  * quantize to milli-unit integers (`floor(x·1e3)` — value ≤ 560.21
+  * in the shipped data, so q ≤ 5.6e5, Σq² over a 24-bar frame
+  * ≤ 2.3e14 and every n·Σ product stays ≤ ~1.6e17, far inside Long),
+  * moments are exact integer sums, and the final statistic is ONE
+  * double expression over those identical integers, rounded.
+  *
+  * Scale notes: every key is (pre-aggregate onto the bar grain →
+  * bounded work per bar). The hourly aggregation is map-side
+  * combinable, so 100 TB of ticks reduce to #bars·#symbols rows
+  * before any window runs; window partitions are per-symbol series —
+  * the per-instrument layout a tick store shards by anyway.
+  */
+object TimeSeries2 {
+
+  import Det._
+
+  private val bar = date_trunc("hour", col("ts"))
+
+  /** Hourly QUOTE summary — the reference's namesake shape: the
+    * 'view' stream stands in for bid quotes and 'purchase' for asks.
+    * ONE conditional aggregation onto the bar grain (no join, no
+    * second scan): per hour, exact-decimal average bid and ask, the
+    * quoted spread, the midprice, and the relative spread in basis
+    * points. Hours quoted on only one side are dropped (no market).
+    * bid/ask are DECIMAL-sum ÷ count doubles, so spread/mid/bps are
+    * single double expressions over identical operands in both
+    * engines; round(6)/round(4) is belt and braces. */
+  val tsBidaskSpread: QFn = (s, d) => {
+    val bidv = when(col("event_type") === "view", col("value"))
+    val askv = when(col("event_type") === "purchase", col("value"))
+    Tables.events(s, d)
+      .groupBy(bar.as("bar"))
+      .agg(
+        dsum2(bidv).as("bid_sum"), count(bidv).as("n_bid"),
+        dsum2(askv).as("ask_sum"), count(askv).as("n_ask"))
+      .filter(col("n_bid") > 0 && col("n_ask") > 0)
+      .withColumn("bid", col("bid_sum") / col("n_bid"))
+      .withColumn("ask", col("ask_sum") / col("n_ask"))
+      .select(
+        col("bar"),
+        round(col("bid"), 6).as("bid"),
+        round(col("ask"), 6).as("ask"),
+        round(col("ask") - col("bid"), 6).as("spread"),
+        round((col("ask") + col("bid")) / 2.0, 6).as("mid"),
+        when((col("ask") + col("bid")) / 2.0 > 0,
+          round((col("ask") - col("bid")) / ((col("ask") + col("bid")) / 2.0)
+            * 10000.0, 4)).as("spread_bps"),
+        col("n_bid"), col("n_ask"))
+      .orderBy("bar")
+  }
+
+  /** Lag-1 / lag-2 AUTOCORRELATION of each symbol's hourly series —
+    * the mean-reversion diagnostic. Hourly averages quantize to
+    * milli-unit integers; each (x_t, x_{t-k}) pair comes from a lag
+    * window over the per-symbol series; Pearson r derives from six
+    * exact integer sums in one double expression. The lag pairs for
+    * both k ride the SAME window pass (two lag columns, then a
+    * 2-element explode), so the series shuffles once. */
+  val tsAutocorr: QFn = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(bar.as("bar"), col("event_type"))
+      .agg(davg2(col("value")).as("px"))
+      .withColumn("q", floor(col("px") * 1000.0).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("bar")
+    hourly
+      .withColumn("y1", lag("q", 1).over(w))
+      .withColumn("y2", lag("q", 2).over(w))
+      .select(col("event_type"), col("q").as("x"),
+        explode(array(
+          struct(lit(1).as("lag"), col("y1").as("y")),
+          struct(lit(2).as("lag"), col("y2").as("y")))).as("p"))
+      .select(col("event_type"), col("p.lag").as("lag"), col("x"), col("p.y").as("y"))
+      .filter(col("y").isNotNull)
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("autocorr", round(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
+      .select("event_type", "lag", "n", "autocorr")
+      .orderBy("event_type", "lag")
+  }
+
+  /** 24-bar ROLLING BETA of each symbol vs the market series (the
+    * 'purchase' stream stands in for the index): cov(x,m)/var(m)
+    * over a ROWS 23-PRECEDING frame, from exact integer rolling
+    * moments. The market's 720-row hourly series broadcasts onto the
+    * symbol series (no fact shuffle for the join — at any scale the
+    * index series is #bars rows); emitted after a 12-bar warm-up and
+    * only where var(m) > 0. purchase-vs-purchase rows are kept as
+    * the beta≡1 sanity diagonal. */
+  val tsRollingBeta: QFn = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(bar.as("bar"), col("event_type"))
+      .agg(davg2(col("value")).as("px"))
+      .withColumn("q", floor(col("px") * 1000.0).cast("long"))
+    val mkt = hourly.filter(col("event_type") === "purchase")
+      .select(col("bar"), col("q").as("m"))
+    val w = Window.partitionBy("event_type").orderBy("bar").rowsBetween(-23, 0)
+    hourly.join(broadcast(mkt), "bar")
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum("q").over(w))
+      .withColumn("sm", sum("m").over(w))
+      .withColumn("sxm", sum(col("q") * col("m")).over(w))
+      .withColumn("smm", sum(col("m") * col("m")).over(w))
+      .filter(col("n") >= 12)
+      .withColumn("den", col("n") * col("smm") - col("sm") * col("sm"))
+      .filter(col("den") > 0)
+      .select(col("bar"), col("event_type"), col("n"),
+        round((col("n") * col("sxm") - col("sx") * col("sm")).cast("double") /
+          col("den").cast("double"), 6).as("beta"))
+      .orderBy("bar", "event_type")
+  }
+
+  /** Historical VaR(95) + EXPECTED SHORTFALL per symbol — the
+    * intraday risk tail pair. Returns are integer milli-unit diffs of
+    * consecutive hourly bars (no log returns — no transcendental to
+    * disagree on); VaR is the EXACT order statistic at rank
+    * ⌈0.05·n⌉ (ascending, ties broken by bar so the rank row is
+    * unique), ES the exact-integer mean of the returns at or below
+    * that rank. Per-symbol rank windows over #bars-row series —
+    * bounded state at any tick volume. */
+  val tsVarEs: QFn = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(bar.as("bar"), col("event_type"))
+      .agg(davg2(col("value")).as("px"))
+      .withColumn("q", floor(col("px") * 1000.0).cast("long"))
+    val wLag = Window.partitionBy("event_type").orderBy("bar")
+    val rets = hourly
+      .withColumn("r", col("q") - lag("q", 1).over(wLag))
+      .filter(col("r").isNotNull)
+    val wRank = Window.partitionBy("event_type").orderBy("r", "bar")
+    rets
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("cut", ceil(col("n") * 0.05).cast("long"))
+      .filter(col("rk") <= col("cut"))
+      .groupBy("event_type")
+      .agg(
+        max(col("n")).as("n_returns"),
+        round(max(when(col("rk") === col("cut"), col("r"))).cast("double")
+          / 1000.0, 3).as("var95"),
+        round((sum("r").cast("double") / count(lit(1))) / 1000.0, 6).as("es95"))
+      .orderBy("event_type")
+  }
+
+  val entries: Seq[(String, QFn)] = Seq(
+    "ts_bidask_spread" -> tsBidaskSpread,
+    "ts_autocorr" -> tsAutocorr,
+    "ts_rolling_beta" -> tsRollingBeta,
+    "ts_var_es" -> tsVarEs)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "ts_bidask_spread" ->
+      s"""WITH q AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
+              ${sqlSum2("CASE WHEN event_type = 'view' THEN value END")} AS bid_sum,
+              count(CASE WHEN event_type = 'view' THEN value END) AS n_bid,
+              ${sqlSum2("CASE WHEN event_type = 'purchase' THEN value END")} AS ask_sum,
+              count(CASE WHEN event_type = 'purchase' THEN value END) AS n_ask
+            FROM events GROUP BY 1),
+          ba AS (
+            SELECT bar, bid_sum / n_bid AS bid, ask_sum / n_ask AS ask,
+              n_bid, n_ask
+            FROM q WHERE n_bid > 0 AND n_ask > 0)
+          SELECT bar, round(bid, 6) AS bid, round(ask, 6) AS ask,
+            round(ask - bid, 6) AS spread,
+            round((ask + bid) / 2.0, 6) AS mid,
+            CASE WHEN (ask + bid) / 2.0 > 0
+              THEN round((ask - bid) / ((ask + bid) / 2.0) * 10000.0, 4) END
+              AS spread_bps,
+            n_bid, n_ask
+          FROM ba ORDER BY bar""",
+    "ts_autocorr" ->
+      s"""WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
+              CAST(floor(${sqlAvg2("value")} * 1000.0) AS BIGINT) AS q
+            FROM events GROUP BY 1, 2),
+          lagged AS (
+            SELECT event_type, q AS x,
+              lag(q, 1) OVER (PARTITION BY event_type ORDER BY bar) AS y1,
+              lag(q, 2) OVER (PARTITION BY event_type ORDER BY bar) AS y2
+            FROM hourly),
+          pairs AS (
+            SELECT event_type, 1 AS lag, x, y1 AS y FROM lagged WHERE y1 IS NOT NULL
+            UNION ALL
+            SELECT event_type, 2 AS lag, x, y2 AS y FROM lagged WHERE y2 IS NOT NULL),
+          m AS (
+            SELECT event_type, lag, count(*) AS n,
+              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+              CAST(sum(x * y) AS BIGINT) AS sxy,
+              CAST(sum(x * x) AS BIGINT) AS sxx,
+              CAST(sum(y * y) AS BIGINT) AS syy
+            FROM pairs GROUP BY 1, 2)
+          SELECT event_type, lag, n,
+            round(CAST(n * sxy - sx * sy AS DOUBLE) /
+              (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+               sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS autocorr
+          FROM m ORDER BY event_type, lag""",
+    "ts_rolling_beta" ->
+      s"""WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
+              CAST(floor(${sqlAvg2("value")} * 1000.0) AS BIGINT) AS q
+            FROM events GROUP BY 1, 2),
+          j AS (
+            SELECT h.bar, h.event_type, h.q, m.q AS m
+            FROM hourly h
+            JOIN (SELECT bar, q FROM hourly WHERE event_type = 'purchase') m
+              ON h.bar = m.bar),
+          w AS (
+            SELECT bar, event_type,
+              count(*) OVER win AS n,
+              CAST(sum(q) OVER win AS BIGINT) AS sx,
+              CAST(sum(m) OVER win AS BIGINT) AS sm,
+              CAST(sum(q * m) OVER win AS BIGINT) AS sxm,
+              CAST(sum(m * m) OVER win AS BIGINT) AS smm
+            FROM j
+            WINDOW win AS (PARTITION BY event_type ORDER BY bar
+              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+          SELECT bar, event_type, n,
+            round(CAST(n * sxm - sx * sm AS DOUBLE) /
+              CAST(n * smm - sm * sm AS DOUBLE), 6) AS beta
+          FROM w WHERE n >= 12 AND n * smm - sm * sm > 0
+          ORDER BY bar, event_type""",
+    "ts_var_es" ->
+      s"""WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
+              CAST(floor(${sqlAvg2("value")} * 1000.0) AS BIGINT) AS q
+            FROM events GROUP BY 1, 2),
+          rets AS (
+            SELECT event_type, bar,
+              q - lag(q, 1) OVER (PARTITION BY event_type ORDER BY bar) AS r
+            FROM hourly),
+          ranked AS (
+            SELECT event_type, r,
+              row_number() OVER (PARTITION BY event_type ORDER BY r, bar) AS rk,
+              count(*) OVER (PARTITION BY event_type) AS n
+            FROM rets WHERE r IS NOT NULL),
+          tail AS (
+            SELECT event_type, r, rk, n,
+              CAST(ceil(n * 0.05) AS BIGINT) AS cut
+            FROM ranked)
+          SELECT event_type, max(n) AS n_returns,
+            round(CAST(max(CASE WHEN rk = cut THEN r END) AS DOUBLE) / 1000.0, 3)
+              AS var95,
+            round((CAST(sum(r) AS DOUBLE) / count(*)) / 1000.0, 6) AS es95
+          FROM tail WHERE rk <= cut
+          GROUP BY event_type ORDER BY event_type""")
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Semantic invariants for the round-8 session-5 keys (TimeSeries2 +
+  * LlmCorpus). The driver's DuckDB oracle proves cross-engine hash
+  * equality; these assert the STATISTICS mean what they claim — the
+  * class of bug a hash match against an identically-wrong SQL twin
+  * would not catch. */
+class QuantCorpusSpec extends SparkTestBase {
+
+  test("ts_rolling_beta: the market's beta against itself is identically 1") {
+    val rows = operators.TimeSeries2.tsRollingBeta(spark, sf)
+      .filter("event_type = 'purchase'").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("beta") - 1.0) < 1e-9),
+      "cov(m,m)/var(m) must be exactly 1 for the index series")
+  }
+
+  test("ts_autocorr: coefficients are true correlations (|r| <= 1), one row per (type, lag)") {
+    val rows = operators.TimeSeries2.tsAutocorr(spark, sf).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    assert(rows.length == types.length * 2, "lag 1 and lag 2 per event_type")
+    assert(rows.forall(r => math.abs(r.getAs[Double]("autocorr")) <= 1.0 + 1e-9))
+    // lag-2 has exactly one fewer pair than lag-1 on a gap-free series
+    // (not asserted: sparse sf0.001 hours can gap) — but n must shrink
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val byLag = rs.map(r => r.getAs[Int]("lag") -> r.getAs[Long]("n")).toMap
+      assert(byLag(2) <= byLag(1))
+    }
+  }
+
+  test("ts_bidask_spread: spread/mid/bps are consistent and only two-sided hours emit") {
+    val rows = operators.TimeSeries2.tsBidaskSpread(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bid") > 0 && r.getAs[Long]("n_ask") > 0)
+      val bid = r.getAs[Double]("bid"); val ask = r.getAs[Double]("ask")
+      assert(math.abs(r.getAs[Double]("spread") - (ask - bid)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("mid") - (ask + bid) / 2.0) < 1e-5)
+    }
+  }
+
+  test("ts_var_es: expected shortfall is at most VaR and both sit in the loss tail") {
+    val hourly = Tables.events(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour",
+        org.apache.spark.sql.functions.col("ts")).as("bar"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count()
+    val rows = operators.TimeSeries2.tsVarEs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("var95"); val es = r.getAs[Double]("es95")
+      // ES is the mean of returns <= the 5th-percentile return
+      assert(es <= v + 1e-9, s"ES $es must not exceed VaR $v")
+      assert(r.getAs[Long]("n_returns") > 0)
+    }
+    assert(hourly.count() > 0)
+  }
+
+  test("llm_collocations: ranking equals exact-rational PMI order (cross-multiplication)") {
+    val rows = operators.LlmCorpus.llmCollocations(spark, sf).collect()
+    assert(rows.length == 50)
+    // nn is constant across rows, so the exact PMI order reduces to
+    // n12/(cx·cy) compared by integer cross-multiplication
+    val rs = rows.map(r => (
+      BigInt(r.getAs[Long]("n12")),
+      BigInt(r.getAs[Long]("cx")) * BigInt(r.getAs[Long]("cy")),
+      r.getAs[Long]("pmi_ratio_q")))
+    rs.sliding(2).foreach { case Array((a1, b1, q1), (a2, b2, q2)) =>
+      assert(q1 >= q2, "quantized score must be non-increasing")
+      // a strictly larger quantized score must reflect a strictly
+      // larger exact ratio (floor(x·1e6) is monotone)
+      if (q1 > q2) assert(a1 * b2 > a2 * b1)
+    }
+  }
+
+  test("llm_doc_freq_prune: stopwords and hapax are really gone; per-doc counts are consistent") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val rows = operators.LlmCorpus.llmDocFreqPrune(spark, sf).collect()
+    assert(rows.length == nDocs, "one row per document")
+    rows.foreach { r =>
+      val nt = r.getAs[Long]("n_tokens"); val nk = r.getAs[Long]("n_kept")
+      assert(nk >= 0 && nk <= nt)
+      val q = r.getAs[Long]("pruned_ratio_q")
+      assert(q == math.floor((nt - nk).toDouble / nt * 1000000.0).toLong)
+    }
+    // recompute df directly: any token with 2*df<=nDocs and df>=2 is
+    // kept, everything else pruned — cross-check aggregate totals
+    val toks = docs.select($"doc_id",
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("tok"))
+    val df = toks.distinct().groupBy("tok").count()
+    val keptVocab = df.filter($"count" * 2 <= nDocs && $"count" >= 2)
+      .select("tok").as[String].collect().toSet
+    val expectKept = toks.filter($"tok".isin(keptVocab.toSeq: _*)).count()
+    assert(rows.map(_.getAs[Long]("n_kept")).sum == expectKept)
+  }
+}
