@@ -294,6 +294,9 @@ object ShuffleBudgets {
     "ts_rolling_beta" -> 4,
     // pre-agg + lag window + rank/count window + grouped tail + sort
     "ts_var_es" -> 5,
+    // quote dedup agg + the native as-of's two key exchanges + hour
+    // agg + presentation sort
+    "ts_effective_spread" -> 5,
     // bigram count table + the vocab²-bounded marginal windows
     // (same-key windows share the exchange; top-50 is TakeOrdered)
     "llm_collocations" -> 2,

@@ -166,11 +166,39 @@ object TimeSeries2 {
       .orderBy("event_type")
   }
 
+  /** EFFECTIVE SPREAD per hour — the microstructure measurement that
+    * ties the domain together: each trade ('click' stream) is matched
+    * to the latest prevailing quote ('view' stream, deduplicated to
+    * one quote per (user, ts) so the as-of match is unambiguous) by
+    * the NATIVE as-of SparkPlan (one merge pass per co-partitioned
+    * group — plans/AsOfJoin.scala), then effective spread
+    * 2·|trade − mid| averages onto the hour grain with exact decimal
+    * sums. Trades with no prevailing quote drop (no market yet).
+    * This is the flagship composition: custom physical operator
+    * feeding a standard declarative aggregate. */
+  val tsEffectiveSpread: QFn = (s, d) => {
+    val e = Tables.events(s, d)
+    val quotes = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("q_uid"), col("ts").as("q_ts"))
+      .agg(max("value").as("qv"))
+    val trades = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts", "value")
+    graft.plans.AsOfJoinPlans
+      .asofJoin(trades, quotes, "user_id", "q_uid", "ts", "q_ts", "qv", "mid")
+      .filter(col("mid").isNotNull)
+      .select(bar.as("bar"), (lit(2.0) * abs(col("value") - col("mid"))).as("es"))
+      .groupBy("bar")
+      .agg(count(lit(1)).as("n_trades"),
+        round(dsum4(col("es")) / count(lit(1)), 6).as("avg_eff_spread"))
+      .orderBy("bar")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "ts_bidask_spread" -> tsBidaskSpread,
     "ts_autocorr" -> tsAutocorr,
     "ts_rolling_beta" -> tsRollingBeta,
-    "ts_var_es" -> tsVarEs)
+    "ts_var_es" -> tsVarEs,
+    "ts_effective_spread" -> tsEffectiveSpread)
 
   val oracles: Seq[(String, String)] = Seq(
     "ts_bidask_spread" ->
@@ -267,5 +295,22 @@ object TimeSeries2 {
               AS var95,
             round((CAST(sum(r) AS DOUBLE) / count(*)) / 1000.0, 6) AS es95
           FROM tail WHERE rk <= cut
-          GROUP BY event_type ORDER BY event_type""")
+          GROUP BY event_type ORDER BY event_type""",
+    "ts_effective_spread" ->
+      s"""WITH q AS (
+            SELECT user_id AS q_uid, ts AS q_ts, max(value) AS qv
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          t AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'click'),
+          j AS (
+            SELECT t.ts, t.value,
+              (SELECT qv FROM q
+               WHERE q.q_uid = t.user_id AND q.q_ts <= t.ts
+               ORDER BY q.q_ts DESC LIMIT 1) AS mid
+            FROM t)
+          SELECT date_trunc('hour', ts) AS bar, count(*) AS n_trades,
+            round(${sqlSum4("2.0 * abs(value - mid)")} / count(*), 6)
+              AS avg_eff_spread
+          FROM j WHERE mid IS NOT NULL GROUP BY 1 ORDER BY bar""")
 }

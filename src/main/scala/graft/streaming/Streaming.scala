@@ -376,6 +376,45 @@ object Streaming {
     * exactly — the oracle. At 100 TB the static side is the small
     * dimension by construction (a profile table), which is what makes
     * per-batch broadcast the right physical plan. */
+  /** STREAMING quote summary — the namesake `ts_bidask_spread` shape
+    * run the way a production tick pipeline actually runs it: quotes
+    * arrive as a stream, both sides aggregate in ONE watermarked
+    * tumbling window (conditional exact-decimal sums — no second
+    * stateful operator for the second side), and the derived
+    * spread/mid/bps columns are stateless post-window arithmetic.
+    * Flushed result equals the batch key exactly, so the ORACLE IS
+    * `ts_bidask_spread`'s (1-hour tumbling windows coincide with
+    * `date_trunc('hour')`). Sentinel flush rows carry event_type
+    * `__flush__`, so both conditional sides ignore them by
+    * construction and their window falls beyond the guard. */
+  val streamBidaskSpread: QFn = (s, d) => {
+    val bidv = when(col("event_type") === "view", col("value"))
+    val askv = when(col("event_type") === "purchase", col("value"))
+    runStream(s, d, OutputMode.Append(), "bidask", flush = true) { df =>
+      df.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(
+          dsum2(bidv).as("bid_sum"), count(bidv).as("n_bid"),
+          dsum2(askv).as("ask_sum"), count(askv).as("n_ask"))
+    }.select(col("window.start").as("bar"), col("bid_sum"), col("n_bid"),
+        col("ask_sum"), col("n_ask"))
+      .filter(col("bar") < SentinelGuard)
+      .filter(col("n_bid") > 0 && col("n_ask") > 0)
+      .withColumn("bid", col("bid_sum") / col("n_bid"))
+      .withColumn("ask", col("ask_sum") / col("n_ask"))
+      .select(
+        col("bar"),
+        round(col("bid"), 6).as("bid"),
+        round(col("ask"), 6).as("ask"),
+        round(col("ask") - col("bid"), 6).as("spread"),
+        round((col("ask") + col("bid")) / 2.0, 6).as("mid"),
+        when((col("ask") + col("bid")) / 2.0 > 0,
+          round((col("ask") - col("bid")) / ((col("ask") + col("bid")) / 2.0)
+            * 10000.0, 4)).as("spread_bps"),
+        col("n_bid"), col("n_ask"))
+      .orderBy("bar")
+  }
+
   val streamStaticJoin: QFn = (s, d) => {
     val profile = Tables.events(s, d)
       .groupBy("user_id").agg(count(lit(1)).as("user_events"))
@@ -873,6 +912,7 @@ object Streaming {
     "stream_incremental_resume" -> streamIncrementalResume,
     "stream_foreach_batch" -> streamForeachBatch,
     "stream_tumbling" -> streamTumbling,
+    "stream_bidask_spread" -> streamBidaskSpread,
     "stream_static_join" -> streamStaticJoin,
     "stream_chained_agg" -> streamChainedAgg,
     "stream_sliding" -> streamSliding,
@@ -952,6 +992,10 @@ object Streaming {
            CAST(sum(CAST(e.value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
          FROM events e JOIN profile p USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the flushed streaming quote summary equals the batch namesake
+    // key bit-for-bit, so it SHARES that oracle (divergence-proof)
+    "stream_bidask_spread" ->
+      graft.operators.TimeSeries2.oracles.toMap.apply("ts_bidask_spread"),
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
            event_type, count(*) AS n,

@@ -58,6 +58,19 @@ class QuantCorpusSpec extends SparkTestBase {
     assert(hourly.count() > 0)
   }
 
+  test("ts_effective_spread: executes on the native as-of SparkPlan, spreads non-negative") {
+    val df = operators.TimeSeries2.tsEffectiveSpread(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_eff_spread") >= 0.0)
+      assert(r.getAs[Long]("n_trades") > 0)
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoinExec") || p.contains("AsOfJoin"),
+      s"expected the native as-of physical node:\n$p")
+  }
+
   test("llm_collocations: ranking equals exact-rational PMI order (cross-multiplication)") {
     val rows = operators.LlmCorpus.llmCollocations(spark, sf).collect()
     assert(rows.length == 50)
