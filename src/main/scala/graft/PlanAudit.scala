@@ -297,6 +297,8 @@ object ShuffleBudgets {
     // quote dedup agg + the native as-of's two key exchanges + hour
     // agg + presentation sort
     "ts_effective_spread" -> 5,
+    // same enrichment plan + the per-hour class-count agg
+    "ts_trade_sign" -> 5,
     // bigram count table + the vocab²-bounded marginal windows
     // (same-key windows share the exchange; top-50 is TakeOrdered)
     "llm_collocations" -> 2,

@@ -176,7 +176,11 @@ object TimeSeries2 {
     * sums. Trades with no prevailing quote drop (no market yet).
     * This is the flagship composition: custom physical operator
     * feeding a standard declarative aggregate. */
-  val tsEffectiveSpread: QFn = (s, d) => {
+  /** Shared microstructure enrichment: each trade ('click') carries
+    * the prevailing quote mid ('view' stream, deduplicated to one
+    * quote per (user, ts) — max value — so the as-of match is
+    * unambiguous), matched by the native as-of SparkPlan. */
+  private def tradesWithMid(s: org.apache.spark.sql.SparkSession, d: String) = {
     val e = Tables.events(s, d)
     val quotes = e.filter(col("event_type") === "view")
       .groupBy(col("user_id").as("q_uid"), col("ts").as("q_ts"))
@@ -185,6 +189,10 @@ object TimeSeries2 {
       .select("event_id", "user_id", "ts", "value")
     graft.plans.AsOfJoinPlans
       .asofJoin(trades, quotes, "user_id", "q_uid", "ts", "q_ts", "qv", "mid")
+  }
+
+  val tsEffectiveSpread: QFn = (s, d) => {
+    tradesWithMid(s, d)
       .filter(col("mid").isNotNull)
       .select(bar.as("bar"), (lit(2.0) * abs(col("value") - col("mid"))).as("es"))
       .groupBy("bar")
@@ -193,12 +201,35 @@ object TimeSeries2 {
       .orderBy("bar")
   }
 
+  /** Lee–Ready-style TRADE SIGN classification: each enriched trade
+    * compares its price to the prevailing mid — above = buyer-
+    * initiated, below = seller-initiated, equal = unclassified (the
+    * tick-test tie) — counted per hour with the buy share in floor
+    * micro-units. Raw doubles compare EXACTLY (price and mid reach
+    * the comparison untouched by arithmetic), so the classification
+    * is engine-deterministic with no quantization step. */
+  val tsTradeSign: QFn = (s, d) => {
+    tradesWithMid(s, d)
+      .filter(col("mid").isNotNull)
+      .groupBy(bar.as("bar"))
+      .agg(
+        sum(when(col("value") > col("mid"), 1L).otherwise(0L)).as("n_buy"),
+        sum(when(col("value") < col("mid"), 1L).otherwise(0L)).as("n_sell"),
+        sum(when(col("value") === col("mid"), 1L).otherwise(0L)).as("n_mid"))
+      .withColumn("buy_share_q", floor(
+        col("n_buy").cast("double") /
+          (col("n_buy") + col("n_sell") + col("n_mid")).cast("double") *
+          1000000.0).cast("long"))
+      .orderBy("bar")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "ts_bidask_spread" -> tsBidaskSpread,
     "ts_autocorr" -> tsAutocorr,
     "ts_rolling_beta" -> tsRollingBeta,
     "ts_var_es" -> tsVarEs,
-    "ts_effective_spread" -> tsEffectiveSpread)
+    "ts_effective_spread" -> tsEffectiveSpread,
+    "ts_trade_sign" -> tsTradeSign)
 
   val oracles: Seq[(String, String)] = Seq(
     "ts_bidask_spread" ->
@@ -312,5 +343,29 @@ object TimeSeries2 {
           SELECT date_trunc('hour', ts) AS bar, count(*) AS n_trades,
             round(${sqlSum4("2.0 * abs(value - mid)")} / count(*), 6)
               AS avg_eff_spread
-          FROM j WHERE mid IS NOT NULL GROUP BY 1 ORDER BY bar""")
+          FROM j WHERE mid IS NOT NULL GROUP BY 1 ORDER BY bar""",
+    "ts_trade_sign" ->
+      """WITH q AS (
+            SELECT user_id AS q_uid, ts AS q_ts, max(value) AS qv
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          t AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'click'),
+          j AS (
+            SELECT t.ts, t.value,
+              (SELECT qv FROM q
+               WHERE q.q_uid = t.user_id AND q.q_ts <= t.ts
+               ORDER BY q.q_ts DESC LIMIT 1) AS mid
+            FROM t),
+          agg AS (
+            SELECT date_trunc('hour', ts) AS bar,
+              CAST(sum(CASE WHEN value > mid THEN 1 ELSE 0 END) AS BIGINT) AS n_buy,
+              CAST(sum(CASE WHEN value < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_sell,
+              CAST(sum(CASE WHEN value = mid THEN 1 ELSE 0 END) AS BIGINT) AS n_mid
+            FROM j WHERE mid IS NOT NULL GROUP BY 1)
+          SELECT bar, n_buy, n_sell, n_mid,
+            CAST(floor(CAST(n_buy AS DOUBLE) /
+              CAST(n_buy + n_sell + n_mid AS DOUBLE) * 1000000.0) AS BIGINT)
+              AS buy_share_q
+          FROM agg ORDER BY bar""")
 }

@@ -415,6 +415,52 @@ object Streaming {
       .orderBy("bar")
   }
 
+  /** STREAMING TEMPORAL JOIN (as-of enrichment) — the Flink
+    * "temporal table join" shape Structured Streaming has no built-in
+    * operator for: every trade ('click') is enriched with the
+    * PREVAILING quote ('view') for its key, from per-key
+    * `flatMapGroupsWithState` state holding the latest quote
+    * (ts, value). Inside each micro-batch the group iterates in
+    * event-time order with quotes ahead of trades at equal
+    * timestamps, and an equal-ts quote replaces state only with a
+    * larger value — exactly the batch semantics (quotes deduplicated
+    * per (key, ts) to max value, backward match with `<=`), so the
+    * flushed result equals the NATIVE as-of join bit-for-bit and the
+    * oracle is the same correlated-subquery SQL. Relies on the
+    * harness feed's global event-time order across micro-batches
+    * (replayRowsOf sorts by (ts, event_id)) — the production
+    * deployment of this pattern delays emission by a watermark
+    * instead, which is the documented trade (`stream_late_data`
+    * covers the disorder story). State is O(1) per key: ONE quote,
+    * not a buffer. */
+  val streamAsofEnrich: QFn = (s, d) => {
+    runStream(s, d, OutputMode.Append(), "asof_enrich") { df =>
+      import df.sparkSession.implicits._
+      df.filter(col("event_type").isin("view", "click")).as[Ev]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+            GroupStateTimeout.NoTimeout()) {
+          (uid: Long, evs: Iterator[Ev], state: GroupState[(Long, Double)]) =>
+            var st = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Timestamp, Option[Double])]
+            evs.toSeq.sortBy(e =>
+              (e.ts.getTime, if (e.event_type == "view") 0 else 1, e.event_id))
+              .foreach { e =>
+                if (e.event_type == "view") {
+                  val t = e.ts.getTime
+                  st = st match {
+                    case Some((pt, pv)) if pt > t || (pt == t && pv >= e.value) => st
+                    case _ => Some((t, e.value))
+                  }
+                } else out += ((e.event_id, uid, e.ts, st.map(_._2)))
+              }
+            st.foreach(state.update)
+            out.iterator
+        }.toDF("event_id", "user_id", "ts", "mid")
+    }.orderBy("event_id")
+  }
+
   val streamStaticJoin: QFn = (s, d) => {
     val profile = Tables.events(s, d)
       .groupBy("user_id").agg(count(lit(1)).as("user_events"))
@@ -913,6 +959,7 @@ object Streaming {
     "stream_foreach_batch" -> streamForeachBatch,
     "stream_tumbling" -> streamTumbling,
     "stream_bidask_spread" -> streamBidaskSpread,
+    "stream_asof_enrich" -> streamAsofEnrich,
     "stream_static_join" -> streamStaticJoin,
     "stream_chained_agg" -> streamChainedAgg,
     "stream_sliding" -> streamSliding,
@@ -996,6 +1043,20 @@ object Streaming {
     // key bit-for-bit, so it SHARES that oracle (divergence-proof)
     "stream_bidask_spread" ->
       graft.operators.TimeSeries2.oracles.toMap.apply("ts_bidask_spread"),
+    // the flushed temporal join equals the batch as-of exactly: the
+    // same correlated-subquery oracle shape the native as-of keys use
+    "stream_asof_enrich" ->
+      """WITH q AS (
+           SELECT user_id AS q_uid, ts AS q_ts, max(value) AS qv
+           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+         t AS (
+           SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click')
+         SELECT t.event_id, t.user_id, t.ts,
+           (SELECT qv FROM q
+            WHERE q.q_uid = t.user_id AND q.q_ts <= t.ts
+            ORDER BY q.q_ts DESC LIMIT 1) AS mid
+         FROM t ORDER BY t.event_id""",
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
            event_type, count(*) AS n,

@@ -88,4 +88,21 @@ class PlanContractSpec extends SparkTestBase {
     assert(n <= 2, s"exact dedup grew extra shuffles ($n):\n$p")
     assert(!p.contains("CartesianProduct"), s"dedup must not cross:\n$p")
   }
+
+  test("ts_rolling_beta: the market series joins by BROADCAST (no fact shuffle for the join)") {
+    // the #bars-row index series must never force the symbol series
+    // through a join exchange — that broadcast is the key's 100 TB story
+    val p = executed(operators.TimeSeries2.tsRollingBeta(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"market join lost its broadcast build side:\n$p")
+  }
+
+  test("llm_collocations: ONE corpus scan, no join — marginals ride the grouped table") {
+    val p = executed(operators.LlmCorpus.llmCollocations(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected exactly one documents scan, got $scans:\n$p")
+    assert(!p.contains("Join"),
+      s"cx/cy/nn must come from windows over the vocab²-bounded table, not joins:\n$p")
+    assert(p.contains("bigram_pairs"), s"expected the native generator:\n$p")
+  }
 }

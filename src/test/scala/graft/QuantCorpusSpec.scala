@@ -42,11 +42,6 @@ class QuantCorpusSpec extends SparkTestBase {
   }
 
   test("ts_var_es: expected shortfall is at most VaR and both sit in the loss tail") {
-    val hourly = Tables.events(spark, sf)
-      .groupBy(org.apache.spark.sql.functions.date_trunc("hour",
-        org.apache.spark.sql.functions.col("ts")).as("bar"),
-        org.apache.spark.sql.functions.col("event_type"))
-      .count()
     val rows = operators.TimeSeries2.tsVarEs(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -55,7 +50,6 @@ class QuantCorpusSpec extends SparkTestBase {
       assert(es <= v + 1e-9, s"ES $es must not exceed VaR $v")
       assert(r.getAs[Long]("n_returns") > 0)
     }
-    assert(hourly.count() > 0)
   }
 
   test("ts_effective_spread: executes on the native as-of SparkPlan, spreads non-negative") {
@@ -69,6 +63,18 @@ class QuantCorpusSpec extends SparkTestBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("AsOfJoinExec") || p.contains("AsOfJoin"),
       s"expected the native as-of physical node:\n$p")
+  }
+
+  test("ts_trade_sign: classes partition the classified trades; share matches the counts") {
+    val rows = operators.TimeSeries2.tsTradeSign(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("n_buy"); val sl = r.getAs[Long]("n_sell")
+      val m = r.getAs[Long]("n_mid"); val tot = b + sl + m
+      assert(tot > 0)
+      assert(r.getAs[Long]("buy_share_q") ==
+        math.floor(b.toDouble / tot.toDouble * 1000000.0).toLong)
+    }
   }
 
   test("llm_collocations: ranking equals exact-rational PMI order (cross-multiplication)") {
