@@ -299,6 +299,7 @@ object ShuffleBudgets {
     "ts_effective_spread" -> 5,
     // same enrichment plan + the per-hour class-count agg
     "ts_trade_sign" -> 5,
+    "ts_ofi" -> 5,
     // bigram count table + the vocab²-bounded marginal windows
     // (same-key windows share the exchange; top-50 is TakeOrdered)
     "llm_collocations" -> 2,

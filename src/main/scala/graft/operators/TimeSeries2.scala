@@ -223,13 +223,47 @@ object TimeSeries2 {
       .orderBy("bar")
   }
 
+  /** ORDER-FLOW IMBALANCE — signed size flow per hour: each
+    * classified trade contributes its size (the JSON `props.k` field,
+    * the same stand-in `ts_vwap` uses) to the buy or sell side by its
+    * tick sign; OFI = buy − sell size, plus the normalized imbalance
+    * in floor micro-units. Sizes are integers, so every sum and the
+    * imbalance numerator/denominator are exact; mid-ties contribute
+    * to neither side (standard tick-test treatment). Completes the
+    * intraday toolkit: quotes → spread → effective spread → trade
+    * sign → signed flow. */
+  val tsOfi: QFn = (s, d) => {
+    val sz = get_json_object(col("props"), "$.k").cast("long")
+    val e = Tables.events(s, d)
+    val quotes = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("q_uid"), col("ts").as("q_ts"))
+      .agg(max("value").as("qv"))
+    val trades = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        sz.as("sz"))
+    graft.plans.AsOfJoinPlans
+      .asofJoin(trades, quotes, "user_id", "q_uid", "ts", "q_ts", "qv", "mid")
+      .filter(col("mid").isNotNull)
+      .groupBy(bar.as("bar"))
+      .agg(
+        sum(when(col("value") > col("mid"), col("sz")).otherwise(0L)).as("buy_size"),
+        sum(when(col("value") < col("mid"), col("sz")).otherwise(0L)).as("sell_size"))
+      .withColumn("ofi", col("buy_size") - col("sell_size"))
+      .withColumn("imbalance_q", when(col("buy_size") + col("sell_size") > 0,
+        floor((col("buy_size") - col("sell_size")).cast("double") /
+          (col("buy_size") + col("sell_size")).cast("double") *
+          1000000.0).cast("long")))
+      .orderBy("bar")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "ts_bidask_spread" -> tsBidaskSpread,
     "ts_autocorr" -> tsAutocorr,
     "ts_rolling_beta" -> tsRollingBeta,
     "ts_var_es" -> tsVarEs,
     "ts_effective_spread" -> tsEffectiveSpread,
-    "ts_trade_sign" -> tsTradeSign)
+    "ts_trade_sign" -> tsTradeSign,
+    "ts_ofi" -> tsOfi)
 
   val oracles: Seq[(String, String)] = Seq(
     "ts_bidask_spread" ->
@@ -367,5 +401,31 @@ object TimeSeries2 {
             CAST(floor(CAST(n_buy AS DOUBLE) /
               CAST(n_buy + n_sell + n_mid AS DOUBLE) * 1000000.0) AS BIGINT)
               AS buy_share_q
+          FROM agg ORDER BY bar""",
+    "ts_ofi" ->
+      """WITH q AS (
+            SELECT user_id AS q_uid, ts AS q_ts, max(value) AS qv
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          t AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+              CAST(props->>'$.k' AS BIGINT) AS sz
+            FROM events WHERE event_type = 'click'),
+          j AS (
+            SELECT t.ts, t.value, t.sz,
+              (SELECT qv FROM q
+               WHERE q.q_uid = t.user_id AND q.q_ts <= t.ts
+               ORDER BY q.q_ts DESC LIMIT 1) AS mid
+            FROM t),
+          agg AS (
+            SELECT date_trunc('hour', ts) AS bar,
+              CAST(sum(CASE WHEN value > mid THEN sz ELSE 0 END) AS BIGINT) AS buy_size,
+              CAST(sum(CASE WHEN value < mid THEN sz ELSE 0 END) AS BIGINT) AS sell_size
+            FROM j WHERE mid IS NOT NULL GROUP BY 1)
+          SELECT bar, buy_size, sell_size,
+            buy_size - sell_size AS ofi,
+            CASE WHEN buy_size + sell_size > 0 THEN
+              CAST(floor(CAST(buy_size - sell_size AS DOUBLE) /
+                CAST(buy_size + sell_size AS DOUBLE) * 1000000.0) AS BIGINT)
+            END AS imbalance_q
           FROM agg ORDER BY bar""")
 }

@@ -77,6 +77,19 @@ class QuantCorpusSpec extends SparkTestBase {
     }
   }
 
+  test("ts_ofi: imbalance is the signed-size flow over the classified volume") {
+    val rows = operators.TimeSeries2.tsOfi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("buy_size"); val sl = r.getAs[Long]("sell_size")
+      assert(r.getAs[Long]("ofi") == b - sl)
+      if (b + sl > 0)
+        assert(r.getAs[Long]("imbalance_q") ==
+          math.floor((b - sl).toDouble / (b + sl).toDouble * 1000000.0).toLong)
+      else assert(r.isNullAt(r.fieldIndex("imbalance_q")))
+    }
+  }
+
   test("llm_collocations: ranking equals exact-rational PMI order (cross-multiplication)") {
     val rows = operators.LlmCorpus.llmCollocations(spark, sf).collect()
     assert(rows.length == 50)
