@@ -4,15 +4,17 @@ import graft.{QFn, Tables, Det}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Market-microstructure composites (round 8, session 5) — the three
-  * quant staples the intraday bid/ask domain still lacked: a quote
-  * (bid/ask/spread/mid) summary, series autocorrelation, and rolling
-  * beta vs a market series. The shipped `events` table has no real
-  * quote sides, so two event-type tick streams stand in for the bid
-  * and ask feeds — the PLANS (conditional aggregation onto the bar
-  * grain, per-symbol bounded-frame windows over exact-integer
-  * moments) are the production shapes regardless of which columns
-  * carry the quotes.
+/** Market-microstructure composites (round 8, session 5) — the quant
+  * staples the intraday bid/ask domain still lacked: a quote
+  * (bid/ask/spread/mid) summary, series autocorrelation, rolling
+  * beta vs a market series, historical VaR/expected shortfall, and
+  * the as-of-enriched trade analytics (effective spread, Lee–Ready
+  * trade sign, order-flow imbalance). The shipped `events` table has
+  * no real quote sides, so two event-type tick streams stand in for
+  * the bid and ask feeds — the PLANS (conditional aggregation onto
+  * the bar grain, per-symbol bounded-frame windows over exact-integer
+  * moments, native as-of enrichment) are the production shapes
+  * regardless of which columns carry the quotes.
   *
   * Cross-engine determinism follows the `ts_anomaly` recipe
   * (TimeSeries.scala): bar averages come from exact DECIMAL sums,
