@@ -306,6 +306,9 @@ object ShuffleBudgets {
     // df build (2-phase distinct) + broadcast kept-vocab + per-doc
     // re-agg with a distinct (2-phase) + presentation sort
     "llm_doc_freq_prune" -> 6,
+    // existing-fingerprint distinct + the anti-join/first-occurrence
+    // window exchange + presentation sort
+    "llm_incremental_dedup" -> 3,
     // r8 portable HLL: distinct pre-agg + register fold + per-group
     // harmonic sum + the exact-count twin column (2-phase distinct)
     "agg_approx_distinct" -> 6,

@@ -82,9 +82,43 @@ object LlmCorpus {
       .orderBy("doc_id")
   }
 
+  /** INCREMENTAL dedup — the ingestion-mode shape a 100 TB pipeline
+    * actually runs: nobody re-deduplicates the whole corpus per
+    * batch; the DELTA (here the last 4 of 20 sources, a deterministic
+    * 20% split) is checked against the existing corpus's content
+    * fingerprints and against itself. The fingerprint is the md5 of
+    * the 16-word LEAD span — the re-crawl heuristic (a page update
+    * keeps its lead while trailing content drifts; full-text md5
+    * finds nothing on this corpus, where no doc repeats verbatim
+    * across the split). Anti-join drops incoming docs whose lead
+    * already exists; a first-occurrence window dedups the batch
+    * internally (lowest doc_id wins, the `llm_exact_dedup`
+    * convention). The existing side reduces to a DISTINCT fingerprint
+    * column immediately — at production scale that fingerprint set is
+    * the persisted dedup index and the anti-join shuffles on the
+    * hash, never on document bodies; the banded MinHash variant
+    * composes the same way on `llm_minhash_portable`'s band keys. */
+  val llmIncrementalDedup: QFn = (s, d) => {
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val lead = md5(array_join(slice(split(col("text"), " "), 1, 16), " "))
+    val docs = Tables.documents(s, d).withColumn("src_num", srcNum)
+    val existingHashes = docs.filter(col("src_num") < 16)
+      .select(lead.as("h")).distinct()
+    val incoming = docs.filter(col("src_num") >= 16)
+      .select(col("doc_id"), col("source"), col("n_chars"), lead.as("h"))
+    val w = Window.partitionBy("h").orderBy("doc_id")
+    incoming
+      .join(existingHashes, Seq("h"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "llm_collocations" -> llmCollocations,
-    "llm_doc_freq_prune" -> llmDocFreqPrune)
+    "llm_doc_freq_prune" -> llmDocFreqPrune,
+    "llm_incremental_dedup" -> llmIncrementalDedup)
 
   val oracles: Seq[(String, String)] = Seq(
     "llm_collocations" ->
@@ -127,5 +161,22 @@ object LlmCorpus {
          SELECT doc_id, n_tokens, n_kept, n_distinct_kept,
            CAST(floor(CAST(n_tokens - n_kept AS DOUBLE) /
              CAST(n_tokens AS DOUBLE) * 1000000.0) AS BIGINT) AS pruned_ratio_q
-         FROM agg ORDER BY doc_id""")
+         FROM agg ORDER BY doc_id""",
+    "llm_incremental_dedup" ->
+      """WITH tagged AS (
+           SELECT doc_id, source, n_chars,
+             md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS h,
+             CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS src_num
+           FROM documents),
+         existing AS (SELECT DISTINCT h FROM tagged WHERE src_num < 16),
+         incoming AS (SELECT * FROM tagged WHERE src_num >= 16),
+         fresh AS (
+           SELECT i.doc_id, i.source, i.n_chars, i.h
+           FROM incoming i ANTI JOIN existing e ON i.h = e.h),
+         first_occ AS (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+           FROM fresh)
+         SELECT doc_id, source, n_chars FROM first_occ
+         WHERE rn = 1 ORDER BY doc_id""")
 }

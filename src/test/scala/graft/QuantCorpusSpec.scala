@@ -107,6 +107,27 @@ class QuantCorpusSpec extends SparkTestBase {
     }
   }
 
+  test("llm_incremental_dedup: survivors collide with neither the corpus nor each other") {
+    import org.apache.spark.sql.functions._
+    val lead = md5(array_join(slice(split(col("text"), " "), 1, 16), " "))
+    val docs = Tables.documents(spark, sf)
+      .withColumn("src_num", regexp_extract(col("source"), "(\\d+)", 1).cast("int"))
+      .withColumn("h", lead)
+    val existing = docs.filter(col("src_num") < 16).select("h").distinct()
+      .collect().map(_.getString(0)).toSet
+    val byId = docs.select("doc_id", "h").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kept = operators.LlmCorpus.llmIncrementalDedup(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id"))
+    val keptHashes = kept.map(byId)
+    assert(keptHashes.forall(h => !existing.contains(h)),
+      "a survivor's lead fingerprint exists in the corpus")
+    assert(keptHashes.distinct.length == keptHashes.length,
+      "two survivors share a lead fingerprint")
+    val incoming = docs.filter(col("src_num") >= 16).count()
+    assert(kept.length <= incoming && kept.nonEmpty)
+  }
+
   test("llm_doc_freq_prune: stopwords and hapax are really gone; per-doc counts are consistent") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
