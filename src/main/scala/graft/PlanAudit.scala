@@ -300,6 +300,8 @@ object ShuffleBudgets {
     // same enrichment plan + the per-hour class-count agg
     "ts_trade_sign" -> 5,
     "ts_ofi" -> 5,
+    // hour-of-day pre-agg + the 24-row-per-symbol rank window + sort
+    "ts_intraday_profile" -> 3,
     // bigram count table + the vocab²-bounded marginal windows
     // (same-key windows share the exchange; top-50 is TakeOrdered)
     "llm_collocations" -> 2,

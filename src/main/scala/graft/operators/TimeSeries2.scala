@@ -258,7 +258,28 @@ object TimeSeries2 {
       .orderBy("bar")
   }
 
+  /** Intraday SEASONALITY profile — the volume-smile diagnostic:
+    * hour-of-day × symbol tick counts, exact-decimal average value,
+    * total size (JSON `props.k`), and each symbol's activity-rank of
+    * the hour (1 = busiest; count ties broken by hour). One
+    * map-side-combinable aggregation onto the 24×|symbols| grain —
+    * at any tick volume the windowed rank runs over ≤ 24 rows per
+    * symbol. */
+  val tsIntradayProfile: QFn = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(hour(col("ts")).as("hour_of_day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_ticks"),
+        round(davg2(col("value")), 6).as("avg_value"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("total_size"))
+      .withColumn("activity_rank", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("n_ticks").desc, col("hour_of_day"))))
+      .orderBy("hour_of_day", "event_type")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "ts_intraday_profile" -> tsIntradayProfile,
     "ts_bidask_spread" -> tsBidaskSpread,
     "ts_autocorr" -> tsAutocorr,
     "ts_rolling_beta" -> tsRollingBeta,
@@ -268,6 +289,17 @@ object TimeSeries2 {
     "ts_ofi" -> tsOfi)
 
   val oracles: Seq[(String, String)] = Seq(
+    "ts_intraday_profile" ->
+      s"""WITH prof AS (
+            SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour_of_day,
+              event_type, count(*) AS n_ticks,
+              round(${sqlAvg2("value")}, 6) AS avg_value,
+              CAST(sum(CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS total_size
+            FROM events GROUP BY 1, 2)
+          SELECT hour_of_day, event_type, n_ticks, avg_value, total_size,
+            CAST(row_number() OVER (PARTITION BY event_type
+              ORDER BY n_ticks DESC, hour_of_day) AS INT) AS activity_rank
+          FROM prof ORDER BY hour_of_day, event_type""",
     "ts_bidask_spread" ->
       s"""WITH q AS (
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,

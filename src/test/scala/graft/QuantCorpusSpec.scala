@@ -107,6 +107,33 @@ class QuantCorpusSpec extends SparkTestBase {
     }
   }
 
+  test("stream_asof_enrich equals the batch as-of join row-for-row (cross-batch state)") {
+    // the key's core claim: quote state carries ACROSS micro-batches,
+    // so a trade in chunk k matches a quote from any earlier chunk —
+    // asserted by full equality with the batch backward as-of on
+    // max-value-deduplicated quotes, computed independently here
+    import org.apache.spark.sql.functions._
+    val streamed = streaming.Streaming.streamAsofEnrich(spark, sf)
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Double]("mid")).map(_.doubleValue)))
+      .toMap
+    val e = Tables.events(spark, sf)
+    val quotes = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("q_uid"), col("ts").as("q_ts"))
+      .agg(max("value").as("qv"))
+    val trades = e.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val batch = plans.AsOfJoinPlans
+      .asofJoin(trades, quotes, "user_id", "q_uid", "ts", "q_ts", "qv", "mid")
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[java.lang.Double]("mid")).map(_.doubleValue)))
+      .toMap
+    assert(streamed.size == batch.size)
+    assert(streamed == batch, "flushed temporal join diverged from the batch as-of")
+    assert(streamed.values.exists(_.isDefined) && streamed.values.exists(_.isEmpty),
+      "fixture must exercise both matched and no-quote-yet trades")
+  }
+
   test("llm_incremental_dedup: survivors collide with neither the corpus nor each other") {
     import org.apache.spark.sql.functions._
     val lead = md5(array_join(slice(split(col("text"), " "), 1, 16), " "))
