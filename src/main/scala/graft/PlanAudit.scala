@@ -118,7 +118,13 @@ object PlanAudit {
     "etl_snapshot_restore" ->
       "builds the staged table whose log tail it then rolls back",
     "etl_snapshot_log" -> ("builds the 9-commit delta-action log fixture " +
-      "(slices + checkpoints + compaction) it then resolves through"))
+      "(slices + checkpoints + compaction) it then resolves through"),
+    // --- staged microstructure enrichment (r8 verdict #7) ---
+    "ts_effective_spread" -> ("first touch of new content stages the " +
+      "trades-with-mid enrichment (native as-of join) it then reads — " +
+      "the production tick-store shape, shared with trade_sign/ofi"),
+    "ts_trade_sign" -> "reads the shared staged trades-with-mid enrichment",
+    "ts_ofi" -> "reads the shared staged trades-with-mid enrichment")
 
   /** Count the shuffles (Exchange operators) the executed plan
     * actually ran, walking through AQE wrappers and query stages and
@@ -294,12 +300,13 @@ object ShuffleBudgets {
     "ts_rolling_beta" -> 4,
     // pre-agg + lag window + rank/count window + grouped tail + sort
     "ts_var_es" -> 5,
-    // quote dedup agg + the native as-of's two key exchanges + hour
-    // agg + presentation sort
-    "ts_effective_spread" -> 5,
-    // same enrichment plan + the per-hour class-count agg
-    "ts_trade_sign" -> 5,
-    "ts_ofi" -> 5,
+    // consumers read the staged trades-with-mid enrichment (built
+    // once per dataset via IndexStore.cachedDir — the quote-dedup agg
+    // and the native as-of's key exchanges live in the build job):
+    // hour agg + presentation sort
+    "ts_effective_spread" -> 2,
+    "ts_trade_sign" -> 2,
+    "ts_ofi" -> 2,
     // hour-of-day pre-agg + the 24-row-per-symbol rank window + sort
     "ts_intraday_profile" -> 3,
     // bigram count table + the vocab²-bounded marginal windows

@@ -290,11 +290,26 @@ object Det {
   def davg2(c: Column): Column = dsum2(c) / count(c)
   def davg4(c: Column): Column = dsum4(c) / count(c)
 
+  /** Exact integer CENTS sum of a ≤2-decimal non-negative double
+    * column: per-row DECIMAL(30,2)·100 is an exact integer, cast to
+    * long, summed as long — order-independent, mergeable across
+    * executors, and (unlike the double-returning dsum2) composable
+    * with further INTEGER arithmetic with zero representation risk.
+    * This is the "micro-unit recipe" (r8 verdict item 1): derived
+    * outputs stay in integer units (cents → micro-units via `div`)
+    * so no engine ever rounds a derived double. Headroom: Long holds
+    * 9.2e18; a per-group cents sum of 1e14 ($1e12 notional) still
+    * leaves ×10⁴ room for the micro-unit multiply. */
+  def csum2(c: Column): Column =
+    sum((c.cast(DecimalType(30, 2)) * 100).cast("long"))
+
   /** SQL-side twins (DuckDB dialect), kept adjacent so Spark and oracle
     * expressions stay in lockstep. */
   def sqlSum2(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(30,2))) AS DOUBLE)"
   def sqlSum4(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(30,4))) AS DOUBLE)"
   def sqlSum6(e: String): String = s"CAST(sum(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
   def sqlAvg2(e: String): String = s"${sqlSum2(e)} / count($e)"
+  def sqlCsum2(e: String): String =
+    s"CAST(sum(CAST(CAST($e AS DECIMAL(30,2)) * 100 AS BIGINT)) AS BIGINT)"
   def sqlAvg4(e: String): String = s"${sqlSum4(e)} / count($e)"
 }

@@ -162,11 +162,14 @@ object LlmCorpus {
            CAST(floor(CAST(n_tokens - n_kept AS DOUBLE) /
              CAST(n_tokens AS DOUBLE) * 1000000.0) AS BIGINT) AS pruned_ratio_q
          FROM agg ORDER BY doc_id""",
+    // TRY_CAST, not CAST: a digit-less source yields '' which plain
+    // CAST raises on in DuckDB while Spark silently nulls — TRY_CAST
+    // makes both engines treat it as null (r8 ADVICE latent-crash fix)
     "llm_incremental_dedup" ->
       """WITH tagged AS (
            SELECT doc_id, source, n_chars,
              md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS h,
-             CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS src_num
+             TRY_CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS src_num
            FROM documents),
          existing AS (SELECT DISTINCT h FROM tagged WHERE src_num < 16),
          incoming AS (SELECT * FROM tagged WHERE src_num >= 16),

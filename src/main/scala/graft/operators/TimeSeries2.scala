@@ -39,32 +39,43 @@ object TimeSeries2 {
   /** Hourly QUOTE summary — the reference's namesake shape: the
     * 'view' stream stands in for bid quotes and 'purchase' for asks.
     * ONE conditional aggregation onto the bar grain (no join, no
-    * second scan): per hour, exact-decimal average bid and ask, the
-    * quoted spread, the midprice, and the relative spread in basis
-    * points. Hours quoted on only one side are dropped (no market).
-    * bid/ask are DECIMAL-sum ÷ count doubles, so spread/mid/bps are
-    * single double expressions over identical operands in both
-    * engines; round(6)/round(4) is belt and braces. */
+    * second scan): per hour, the average bid and ask, the quoted
+    * spread, the midprice, and the relative spread in basis points.
+    * Hours quoted on only one side are dropped (no market).
+    *
+    * All derived columns are INTEGER MICRO-UNITS (price·1e6) built
+    * entirely in exact integer arithmetic — `csum2` cents sums, then
+    * `div` — because r8's round(<derived double>, 6) variant landed
+    * on a representation boundary and hash-diverged from DuckDB
+    * (same failure class as the ts_anomaly note, TimeSeries.scala).
+    * Sign care: the one signed quotient (spread is negative ~half
+    * the bars) is computed as sign·(abs `div` mid), so the result is
+    * engine-independent even if one dialect's integer division ever
+    * floors instead of truncating (DuckDB's `//` truncates today,
+    * matching Spark's `div`, but that's exactly the kind of version
+    * detail r8's failure taught us not to lean on). bid/ask/mid
+    * numerators are non-negative (value ≥ 0 in the data contract),
+    * where trunc == floor unconditionally. */
   val tsBidaskSpread: QFn = (s, d) => {
     val bidv = when(col("event_type") === "view", col("value"))
     val askv = when(col("event_type") === "purchase", col("value"))
     Tables.events(s, d)
       .groupBy(bar.as("bar"))
       .agg(
-        dsum2(bidv).as("bid_sum"), count(bidv).as("n_bid"),
-        dsum2(askv).as("ask_sum"), count(askv).as("n_ask"))
+        csum2(bidv).as("bid_c"), count(bidv).as("n_bid"),
+        csum2(askv).as("ask_c"), count(askv).as("n_ask"))
       .filter(col("n_bid") > 0 && col("n_ask") > 0)
-      .withColumn("bid", col("bid_sum") / col("n_bid"))
-      .withColumn("ask", col("ask_sum") / col("n_ask"))
+      .withColumn("bid_micro", expr("bid_c * 10000 div n_bid"))
+      .withColumn("ask_micro", expr("ask_c * 10000 div n_ask"))
+      .withColumn("spread_micro", col("ask_micro") - col("bid_micro"))
+      .withColumn("mid_micro", expr("(bid_micro + ask_micro) div 2"))
       .select(
-        col("bar"),
-        round(col("bid"), 6).as("bid"),
-        round(col("ask"), 6).as("ask"),
-        round(col("ask") - col("bid"), 6).as("spread"),
-        round((col("ask") + col("bid")) / 2.0, 6).as("mid"),
-        when((col("ask") + col("bid")) / 2.0 > 0,
-          round((col("ask") - col("bid")) / ((col("ask") + col("bid")) / 2.0)
-            * 10000.0, 4)).as("spread_bps"),
+        col("bar"), col("bid_micro"), col("ask_micro"),
+        col("spread_micro"), col("mid_micro"),
+        when(col("mid_micro") > 0,
+          when(col("spread_micro") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("abs(spread_micro) * 1000000 div mid_micro"))
+          .as("spread_bps_c"),
         col("n_bid"), col("n_ask"))
       .orderBy("bar")
   }
@@ -157,7 +168,10 @@ object TimeSeries2 {
     rets
       .withColumn("rk", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-      .withColumn("cut", ceil(col("n") * 0.05).cast("long"))
+      // ⌈0.05·n⌉ in EXACT integer arithmetic — (n+19) div 20 — not
+      // ceil(n * 0.05): the double product was the one expression in
+      // this key that wasn't bit-pinned across engines (r8 ADVICE)
+      .withColumn("cut", expr("(n + 19) div 20"))
       .filter(col("rk") <= col("cut"))
       .groupBy("event_type")
       .agg(
@@ -168,31 +182,53 @@ object TimeSeries2 {
       .orderBy("event_type")
   }
 
-  /** EFFECTIVE SPREAD per hour — the microstructure measurement that
-    * ties the domain together: each trade ('click' stream) is matched
-    * to the latest prevailing quote ('view' stream, deduplicated to
-    * one quote per (user, ts) so the as-of match is unambiguous) by
-    * the NATIVE as-of SparkPlan (one merge pass per co-partitioned
-    * group — plans/AsOfJoin.scala), then effective spread
-    * 2·|trade − mid| averages onto the hour grain with exact decimal
-    * sums. Trades with no prevailing quote drop (no market yet).
-    * This is the flagship composition: custom physical operator
-    * feeding a standard declarative aggregate. */
   /** Shared microstructure enrichment: each trade ('click') carries
     * the prevailing quote mid ('view' stream, deduplicated to one
     * quote per (user, ts) — max value — so the as-of match is
-    * unambiguous), matched by the native as-of SparkPlan. */
-  private def tradesWithMid(s: org.apache.spark.sql.SparkSession, d: String) = {
+    * unambiguous), matched by the native as-of SparkPlan (one merge
+    * pass per co-partitioned group — plans/AsOfJoin.scala), plus its
+    * size (the JSON `props.k` field) for the flow keys.
+    *
+    * MATERIALIZED ONCE per dataset content via the IndexStore staged-
+    * artifact convention (r8 verdict item 7): a production tick store
+    * runs this enrichment in the ingestion pipeline and every
+    * downstream analytic (effective spread, trade sign, OFI) reads
+    * the enriched table — re-deriving the as-of join per query tripled
+    * its cost across the three consumers here and would re-shuffle
+    * 100 TB of trades three times in deployment. Columns are longs,
+    * a timestamp, and untouched raw doubles, all of which round-trip
+    * parquet bit-exactly, so consumers are oracle-identical off
+    * either path. */
+  /** The declarative enrichment plan itself (public so the plan spec
+    * can pin the native AsOfJoinExec node on the BUILD path — the
+    * consumers' own plans read the staged parquet). */
+  def enrichTrades(s: org.apache.spark.sql.SparkSession,
+                   d: String): org.apache.spark.sql.DataFrame = {
     val e = Tables.events(s, d)
     val quotes = e.filter(col("event_type") === "view")
       .groupBy(col("user_id").as("q_uid"), col("ts").as("q_ts"))
       .agg(max("value").as("qv"))
     val trades = e.filter(col("event_type") === "click")
-      .select("event_id", "user_id", "ts", "value")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("sz"))
     graft.plans.AsOfJoinPlans
       .asofJoin(trades, quotes, "user_id", "q_uid", "ts", "q_ts", "qv", "mid")
   }
 
+  private def tradesWithMid(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val fp = graft.IndexStore.fingerprint(s"$d/events.parquet")
+    val path = graft.IndexStore.cachedDir(s"trades_mid_v2_$fp") { tmp =>
+      enrichTrades(s, d).write.parquet(tmp)
+    }
+    s.read.parquet(path)
+  }
+
+  /** EFFECTIVE SPREAD per hour — the microstructure measurement that
+    * ties the domain together: each enriched trade's deviation from
+    * its prevailing mid, 2·|trade − mid|, averages onto the hour
+    * grain with exact decimal sums. Trades with no prevailing quote
+    * drop (no market yet). This is the flagship composition: custom
+    * physical operator feeding a standard declarative aggregate. */
   val tsEffectiveSpread: QFn = (s, d) => {
     tradesWithMid(s, d)
       .filter(col("mid").isNotNull)
@@ -235,16 +271,7 @@ object TimeSeries2 {
     * intraday toolkit: quotes → spread → effective spread → trade
     * sign → signed flow. */
   val tsOfi: QFn = (s, d) => {
-    val sz = get_json_object(col("props"), "$.k").cast("long")
-    val e = Tables.events(s, d)
-    val quotes = e.filter(col("event_type") === "view")
-      .groupBy(col("user_id").as("q_uid"), col("ts").as("q_ts"))
-      .agg(max("value").as("qv"))
-    val trades = e.filter(col("event_type") === "click")
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
-        sz.as("sz"))
-    graft.plans.AsOfJoinPlans
-      .asofJoin(trades, quotes, "user_id", "q_uid", "ts", "q_ts", "qv", "mid")
+    tradesWithMid(s, d)
       .filter(col("mid").isNotNull)
       .groupBy(bar.as("bar"))
       .agg(
@@ -300,24 +327,30 @@ object TimeSeries2 {
             CAST(row_number() OVER (PARTITION BY event_type
               ORDER BY n_ticks DESC, hour_of_day) AS INT) AS activity_rank
           FROM prof ORDER BY hour_of_day, event_type""",
+    // integer micro-unit recipe end to end: `//` on non-negative
+    // operands == Spark `div`; the signed bps quotient carries its
+    // sign outside the abs() division (see tsBidaskSpread scaladoc)
     "ts_bidask_spread" ->
       s"""WITH q AS (
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
-              ${sqlSum2("CASE WHEN event_type = 'view' THEN value END")} AS bid_sum,
+              ${sqlCsum2("CASE WHEN event_type = 'view' THEN value END")} AS bid_c,
               count(CASE WHEN event_type = 'view' THEN value END) AS n_bid,
-              ${sqlSum2("CASE WHEN event_type = 'purchase' THEN value END")} AS ask_sum,
+              ${sqlCsum2("CASE WHEN event_type = 'purchase' THEN value END")} AS ask_c,
               count(CASE WHEN event_type = 'purchase' THEN value END) AS n_ask
             FROM events GROUP BY 1),
           ba AS (
-            SELECT bar, bid_sum / n_bid AS bid, ask_sum / n_ask AS ask,
+            SELECT bar,
+              (bid_c * 10000) // n_bid AS bid_micro,
+              (ask_c * 10000) // n_ask AS ask_micro,
               n_bid, n_ask
             FROM q WHERE n_bid > 0 AND n_ask > 0)
-          SELECT bar, round(bid, 6) AS bid, round(ask, 6) AS ask,
-            round(ask - bid, 6) AS spread,
-            round((ask + bid) / 2.0, 6) AS mid,
-            CASE WHEN (ask + bid) / 2.0 > 0
-              THEN round((ask - bid) / ((ask + bid) / 2.0) * 10000.0, 4) END
-              AS spread_bps,
+          SELECT bar, bid_micro, ask_micro,
+            ask_micro - bid_micro AS spread_micro,
+            (bid_micro + ask_micro) // 2 AS mid_micro,
+            CASE WHEN (bid_micro + ask_micro) // 2 > 0 THEN
+              (CASE WHEN ask_micro < bid_micro THEN -1 ELSE 1 END) *
+                ((abs(ask_micro - bid_micro) * 1000000)
+                  // ((bid_micro + ask_micro) // 2)) END AS spread_bps_c,
             n_bid, n_ask
           FROM ba ORDER BY bar""",
     "ts_autocorr" ->
@@ -387,7 +420,7 @@ object TimeSeries2 {
             FROM rets WHERE r IS NOT NULL),
           tail AS (
             SELECT event_type, r, rk, n,
-              CAST(ceil(n * 0.05) AS BIGINT) AS cut
+              (n + 19) // 20 AS cut
             FROM ranked)
           SELECT event_type, max(n) AS n_returns,
             round(CAST(max(CASE WHEN rk = cut THEN r END) AS DOUBLE) / 1000.0, 3)

@@ -2,7 +2,6 @@ package graft.streaming
 
 import graft.{QFn, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
@@ -10,22 +9,24 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState,
   ValueState}
 import org.apache.spark.sql.types.DecimalType
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 /** Structured Streaming operators (SURVEY.md §2.8) over the `events`
-  * table replayed in timestamp order through a MemoryStream.
+  * table replayed in timestamp order through a staged parquet file
+  * feed ([[stagedFeed]] — the production lake-directory ingest shape).
   *
   * Each `queries` entry runs a REAL streaming query (micro-batch
   * execution, state store, watermarks) to completion and returns the
   * final sink table, so the driver's batch-shaped contract still
-  * applies. Events are fed in bounded ts-ordered chunks (≥2 slices,
-  * ≤50k rows each — see [[feedChunks]]) so watermarks advance
+  * applies. Events are fed in bounded ts-ordered chunks (≥2 files,
+  * one micro-batch each — see [[chunkSizeFor]]) so watermarks advance
   * mid-stream and stateful operators exercise their merge path.
   * Results equal the equivalent batch aggregation (the oracle) —
   * the streaming/batch unification Spark guarantees and the specs
   * assert.
   *
-  * Scale path: swap MemoryStream for a Kafka/file source; the
-  * query bodies are unchanged. State is keyed by high-cardinality
+  * Scale path: swap the staged directory for Kafka/a live lake feed;
+  * the query bodies are unchanged. State is keyed by high-cardinality
   * keys (user_id, window), so state stores shard across executors.
   */
 object Streaming {
@@ -142,20 +143,6 @@ object Streaming {
     }
   }
 
-  /** Replay-row memo: the ts-ordered collect+sort that SEEDS the
-    * staged feed (it only runs when the feed directory doesn't exist
-    * yet on this machine). Harness state only, never query state. */
-  private val replayRows =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[Ev]]()
-
-  private def replayRowsOf(s: SparkSession, d: String): Array[Ev] = {
-    import s.implicits._
-    replayRows.computeIfAbsent((s.sparkContext.applicationId, d), _ =>
-      Tables.events(s, d)
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id)))
-  }
-
   /** Watermark-flush sentinels: two far-future events fed after the
     * real data. The first advances the watermark past every real
     * window; the second seals the first's own windows, so ALL real
@@ -188,18 +175,18 @@ object Streaming {
     * go: planning, state commit, sink write). */
   @volatile var lastProgressJson: Seq[String] = Nil
 
-  /** Chunking rule shared by the staged feed (below) and the
-    * MemoryStream fallback: each chunk is one micro-batch, so the
-    * watermark advances per chunk and multi-batch progression is
-    * preserved (floor of two chunks on small data). Chunk size scales
-    * with the table (≥ 50k, ≥ rows/6): a micro-batch costs a
-    * near-fixed ~8 RocksDB store commits regardless of its row count,
-    * so a fixed 50k chunk made batch COUNT — pure harness overhead —
-    * grow linearly with data (measured at the 10× replica: 20 batches
-    * per key, stream group 6.9× the sf0.1 wall). Batches carry more
-    * data at scale instead of multiplying. */
-  private def chunkSizeFor(n: Int): Int = math.max(
-    math.min(50000, math.max(1, (n + 1) / 2)), (n + 5) / 6)
+  /** Chunking rule for the staged feed: each chunk is one
+    * micro-batch, so the watermark advances per chunk and multi-batch
+    * progression is preserved (floor of two chunks on small data).
+    * Chunk size scales with the table (≥ 50k, ≥ rows/6): a
+    * micro-batch costs a near-fixed ~8 RocksDB store commits
+    * regardless of its row count, so a fixed 50k chunk made batch
+    * COUNT — pure harness overhead — grow linearly with data
+    * (measured at the 10× replica: 20 batches per key, stream group
+    * 6.9× the sf0.1 wall). Batches carry more data at scale instead
+    * of multiplying. */
+  private def chunkSizeFor(n: Long): Long = math.max(
+    math.min(50000L, math.max(1L, (n + 1) / 2)), (n + 5) / 6)
 
   /** STAGED FILE FEED (r6 verdict #3 — the one untried harness shape):
     * the ts-ordered replay is written ONCE PER MACHINE as a directory
@@ -225,34 +212,79 @@ object Streaming {
   private def stagedFeed(s: SparkSession, d: String, flush: Boolean): String = {
     val fp = graft.IndexStore.fingerprint(s"$d/events.parquet")
     val tag = if (flush) "flush" else "plain"
-    graft.IndexStore.cachedDir(s"stream_feed_${tag}_v1_$fp") { tmp =>
+    // v3: chunks come from a DISTRIBUTED ts-range write (below), not a
+    // driver collect — boundaries moved, so stale v2 chunkings must
+    // never be served
+    graft.IndexStore.cachedDir(s"stream_feed_${tag}_v3_$fp") { tmp =>
       import s.implicits._
-      val rows = replayRowsOf(s, d)
-      val slices = rows.grouped(chunkSizeFor(rows.length)).toSeq
-      val chunks: Seq[Seq[Ev]] = slices.zipWithIndex.map { case (slice, i) =>
-        if (flush && i == slices.length - 1)
-          slice.toSeq :+ Ev(-1L, Sentinel1, -1L, "__flush__", 0.0, "")
-        else slice.toSeq
-      } ++ (if (flush) Seq(Seq(Ev(-2L, Sentinel2, -1L, "__flush__", 0.0, "")))
-            else Nil)
-      val dir = java.nio.file.Paths.get(tmp)
-      java.nio.file.Files.createDirectories(dir)
-      chunks.zipWithIndex.foreach { case (data, i) =>
-        val stage = s"$tmp/_stage$i"
-        s.createDataset(data).toDF()
-          .coalesce(1).write.mode("overwrite").parquet(stage)
-        val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-          .filter(p => p.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow()
-        val target = dir.resolve(f"feed_$i%03d.parquet")
-        java.nio.file.Files.move(part, target)
-        // explicit 2 s mtime spacing: FileStreamSource orders by
-        // modification time, and same-millisecond writes would make
-        // the chunk order nondeterministic
-        java.nio.file.Files.setLastModifiedTime(target,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 2000L))
-        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+      import java.nio.file.{Files, Paths}
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .as[Ev]
+      // seeding is fully distributed (r8 verdict #6 — the old
+      // collect().sortBy was a driver-OOM ceiling at 1000× replicas):
+      // range-partition by ts into ceil(n/chunk) buckets and sort each
+      // within. Partition file order IS global ts order, and because
+      // the range key is ts ALONE, an equal-ts run can never straddle
+      // a chunk boundary — which also closes the r8 ADVICE race where
+      // a same-ts (view, click) pair split across micro-batches made
+      // streamAsofEnrich chunk-size-dependent. Within a chunk,
+      // sortWithinPartitions(ts, event_id) reproduces the old feed's
+      // total order.
+      val n = ev.count()
+      val nChunks = math.max(1L,
+        (n + chunkSizeFor(n) - 1) / chunkSizeFor(n)).toInt
+      val withS1 =
+        if (flush) ev.union(s.createDataset(
+          Seq(Ev(-1L, Sentinel1, -1L, "__flush__", 0.0, ""))))
+        else ev
+      val stage = s"$tmp/_stage"
+      withS1
+        .repartitionByRange(nChunks, col("ts"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+        .write.parquet(stage)
+      val dir = Paths.get(tmp)
+      Files.createDirectories(dir)
+      // part-file NAMES carry the partition (= ts-range) order
+      val parts = {
+        val l = Files.list(Paths.get(stage))
+        try l.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally l.close()
       }
+      val moved = parts.zipWithIndex.map { case (part, i) =>
+        val target = dir.resolve(f"feed_$i%03d.parquet")
+        Files.move(part, target)
+        (target, i)
+      }
+      // sentinel 2 gets its own trailing file so every real window is
+      // sealed and emitted in a DATA batch (sentinel 1 rode with the
+      // last data chunk: its 2099 ts range-partitions it there)
+      val allFiles = if (flush) {
+        val s2stage = s"$tmp/_stage_s2"
+        s.createDataset(Seq(Ev(-2L, Sentinel2, -1L, "__flush__", 0.0, "")))
+          .coalesce(1).write.parquet(s2stage)
+        val s2 = {
+          val l = Files.list(Paths.get(s2stage))
+          try l.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq.head
+          finally l.close()
+        }
+        val target = dir.resolve(f"feed_${moved.size}%03d.parquet")
+        Files.move(s2, target)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s2stage))
+        moved :+ (target, moved.size)
+      } else moved
+      // explicit 2 s mtime spacing: FileStreamSource orders by
+      // modification time, and same-millisecond writes would make
+      // the chunk order nondeterministic
+      allFiles.foreach { case (target, i) =>
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 2000L))
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
     }
   }
 
@@ -344,6 +376,7 @@ object Streaming {
 
   private def dsum2(c: org.apache.spark.sql.Column) =
     sum(c.cast(DecimalType(30, 2))).cast("double")
+  private def csum2(c: org.apache.spark.sql.Column) = graft.Det.csum2(c)
 
   /** 1-hour tumbling windows × event_type — watermark + APPEND, the
     * production shape: a window's state row is emitted once when the
@@ -394,23 +427,26 @@ object Streaming {
       df.withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"))
         .agg(
-          dsum2(bidv).as("bid_sum"), count(bidv).as("n_bid"),
-          dsum2(askv).as("ask_sum"), count(askv).as("n_ask"))
-    }.select(col("window.start").as("bar"), col("bid_sum"), col("n_bid"),
-        col("ask_sum"), col("n_ask"))
+          csum2(bidv).as("bid_c"), count(bidv).as("n_bid"),
+          csum2(askv).as("ask_c"), count(askv).as("n_ask"))
+    }.select(col("window.start").as("bar"), col("bid_c"), col("n_bid"),
+        col("ask_c"), col("n_ask"))
       .filter(col("bar") < SentinelGuard)
       .filter(col("n_bid") > 0 && col("n_ask") > 0)
-      .withColumn("bid", col("bid_sum") / col("n_bid"))
-      .withColumn("ask", col("ask_sum") / col("n_ask"))
+      // identical post-window integer micro-unit arithmetic as the
+      // batch namesake key (shared oracle) — see tsBidaskSpread's
+      // scaladoc for the div-vs-// sign contract
+      .withColumn("bid_micro", expr("bid_c * 10000 div n_bid"))
+      .withColumn("ask_micro", expr("ask_c * 10000 div n_ask"))
+      .withColumn("spread_micro", col("ask_micro") - col("bid_micro"))
+      .withColumn("mid_micro", expr("(bid_micro + ask_micro) div 2"))
       .select(
-        col("bar"),
-        round(col("bid"), 6).as("bid"),
-        round(col("ask"), 6).as("ask"),
-        round(col("ask") - col("bid"), 6).as("spread"),
-        round((col("ask") + col("bid")) / 2.0, 6).as("mid"),
-        when((col("ask") + col("bid")) / 2.0 > 0,
-          round((col("ask") - col("bid")) / ((col("ask") + col("bid")) / 2.0)
-            * 10000.0, 4)).as("spread_bps"),
+        col("bar"), col("bid_micro"), col("ask_micro"),
+        col("spread_micro"), col("mid_micro"),
+        when(col("mid_micro") > 0,
+          when(col("spread_micro") < 0, lit(-1L)).otherwise(lit(1L)) *
+            expr("abs(spread_micro) * 1000000 div mid_micro"))
+          .as("spread_bps_c"),
         col("n_bid"), col("n_ask"))
       .orderBy("bar")
   }
@@ -427,8 +463,10 @@ object Streaming {
     * per (key, ts) to max value, backward match with `<=`), so the
     * flushed result equals the NATIVE as-of join bit-for-bit and the
     * oracle is the same correlated-subquery SQL. Relies on the
-    * harness feed's global event-time order across micro-batches
-    * (replayRowsOf sorts by (ts, event_id)) — the production
+    * harness feed's global event-time order across micro-batches —
+    * [[stagedFeed]] range-partitions by ts alone, so an equal-ts run
+    * (e.g. a same-ts view+click pair for one user) can never straddle
+    * a micro-batch boundary (the r8 ADVICE race) — the production
     * deployment of this pattern delays emission by a watermark
     * instead, which is the documented trade (`stream_late_data`
     * covers the disorder story). State is O(1) per key: ONE quote,

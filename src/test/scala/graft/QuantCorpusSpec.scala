@@ -30,15 +30,61 @@ class QuantCorpusSpec extends SparkTestBase {
     }
   }
 
-  test("ts_bidask_spread: spread/mid/bps are consistent and only two-sided hours emit") {
+  test("ts_bidask_spread: micro-unit identities hold and only two-sided hours emit") {
     val rows = operators.TimeSeries2.tsBidaskSpread(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Long]("n_bid") > 0 && r.getAs[Long]("n_ask") > 0)
-      val bid = r.getAs[Double]("bid"); val ask = r.getAs[Double]("ask")
-      assert(math.abs(r.getAs[Double]("spread") - (ask - bid)) < 1e-5)
-      assert(math.abs(r.getAs[Double]("mid") - (ask + bid) / 2.0) < 1e-5)
+      val bid = r.getAs[Long]("bid_micro"); val ask = r.getAs[Long]("ask_micro")
+      assert(r.getAs[Long]("spread_micro") == ask - bid)
+      assert(r.getAs[Long]("mid_micro") == (bid + ask) / 2)
     }
+  }
+
+  test("ts_bidask_spread: constructed boundary bar yields exact integer micro-units (r8 hash-mismatch regression)") {
+    // r8's round(<derived double>, 6) output diverged from DuckDB on a
+    // representation-boundary row. Pin the integer recipe on exactly
+    // such a bar: bid avg 0.015 (binary double ...0.014999999999999999)
+    // and a NEGATIVE spread bar exercising the sign·(abs div) contract
+    // (integer division is only guaranteed engine-identical on
+    // non-negative numerators, which the abs() guarantees).
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("bidask_boundary").toString
+    val h1 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val h2 = Timestamp.valueOf("2024-01-01 11:00:00")
+    val rows = Seq(
+      // hour 1: bid cents {1,2} → avg 1.5 cents = 15000 micro; asks 100.10/100.15
+      (1L, h1, 1L, "view", 0.01, "{}"),
+      (2L, h1, 1L, "view", 0.02, "{}"),
+      (3L, h1, 2L, "purchase", 100.10, "{}"),
+      (4L, h1, 2L, "purchase", 100.15, "{}"),
+      // hour 2: inverted market → negative spread
+      (5L, h2, 1L, "view", 200.00, "{}"),
+      (6L, h2, 2L, "purchase", 100.00, "{}"))
+    import spark.implicits._
+    // ts as bare epoch-µs longs: Tables.loadEvents' INT64_US footer
+    // probe handles that shape (a Spark-default timestamp write can
+    // land as INT96, which the loader rejects by design)
+    rows.map { case (id, ts, uid, et, v, p) => (id, ts.getTime * 1000L, uid, et, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = operators.TimeSeries2.tsBidaskSpread(spark, dir)
+      .collect().sortBy(_.getAs[Timestamp]("bar").getTime)
+    assert(out.length == 2)
+    val b1 = out(0)
+    assert(b1.getAs[Long]("bid_micro") == 15000L)        // (3 cents·1e4) div 2
+    assert(b1.getAs[Long]("ask_micro") == 100125000L)    // (20025·1e4) div 2
+    assert(b1.getAs[Long]("spread_micro") == 100110000L)
+    assert(b1.getAs[Long]("mid_micro") == 50070000L)
+    assert(b1.getAs[Long]("spread_bps_c") == 1999400L)   // floor(1.0011e14/5.007e7)
+    val b2 = out(1)
+    assert(b2.getAs[Long]("bid_micro") == 200000000L)
+    assert(b2.getAs[Long]("ask_micro") == 100000000L)
+    assert(b2.getAs[Long]("spread_micro") == -100000000L)
+    assert(b2.getAs[Long]("mid_micro") == 150000000L)
+    // sign·(abs div mid): -(1e14 div 1.5e8) = -666666 (a floor-style
+    // signed division would give -666667 — the abs form pins trunc)
+    assert(b2.getAs[Long]("spread_bps_c") == -666666L)
   }
 
   test("ts_var_es: expected shortfall is at most VaR and both sit in the loss tail") {
@@ -52,17 +98,19 @@ class QuantCorpusSpec extends SparkTestBase {
     }
   }
 
-  test("ts_effective_spread: executes on the native as-of SparkPlan, spreads non-negative") {
-    val df = operators.TimeSeries2.tsEffectiveSpread(spark, sf)
-    val rows = df.collect()
+  test("ts_effective_spread: enrichment builds on the native as-of SparkPlan, spreads non-negative") {
+    val rows = operators.TimeSeries2.tsEffectiveSpread(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getAs[Double]("avg_eff_spread") >= 0.0)
       assert(r.getAs[Long]("n_trades") > 0)
     }
-    val p = df.queryExecution.executedPlan.toString
+    // the consumer reads the staged enrichment (tick-store shape); the
+    // native as-of node lives in the BUILD plan, pinned here
+    val p = operators.TimeSeries2.enrichTrades(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(p.contains("AsOfJoinExec") || p.contains("AsOfJoin"),
-      s"expected the native as-of physical node:\n$p")
+      s"expected the native as-of physical node in the build plan:\n$p")
   }
 
   test("ts_trade_sign: classes partition the classified trades; share matches the counts") {
