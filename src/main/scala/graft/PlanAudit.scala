@@ -328,7 +328,10 @@ object ShuffleBudgets {
     // two scan-aggregate passes + the 256-row histogram + 4 quantile
     // probes over the bounded frame
     "agg_quantile_histogram" -> 4,
-    "agg_approx_quantile" -> 8,
+    // +2 since r9: the oracle'd rank_ok contract column adds a
+    // 3-group rank-count aggregation (grouped count + its exchange)
+    // on top of the sketch agg and the exact-twin two-pass
+    "agg_approx_quantile" -> 10,
     "agg_cms" -> 3,
     "agg_ttest_welch" -> 1,
     "agg_distinct" -> 3,

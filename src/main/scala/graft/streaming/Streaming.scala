@@ -313,8 +313,9 @@ object Streaming {
   private def runStream(s: SparkSession, d: String,
       mode: OutputMode, name: String,
       extraConfs: Map[String, String] = Map.empty,
-      flush: Boolean = false)(build: DataFrame => DataFrame): DataFrame = {
-    val feed = stagedFeed(s, d, flush)
+      flush: Boolean = false,
+      feedPath: Option[String] = None)(build: DataFrame => DataFrame): DataFrame = {
+    val feed = feedPath.getOrElse(stagedFeed(s, d, flush))
     val sinkName = s"${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // fewer state partitions: each stateful operator commits one state
     // store per shuffle partition per micro-batch; at this volume the
@@ -576,6 +577,86 @@ object Streaming {
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
     }.select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy("w_start", "event_type")
+
+  /** DISORDERED feed for the oracled late-data key: four files, four
+    * micro-batches.
+    *   file0 — the "on-time" cohort (ts < S, S = day-truncated min ts
+    *           + 15 days) PLUS every max-ts row (the fast arrival that
+    *           races the watermark forward to M − 1h),
+    *   file1 — the LATE cohort (ts ∈ [S, M)), delivered after the
+    *           watermark has already passed most of it,
+    *   file2/3 — the usual two flush sentinels.
+    * Each cohort is ONE file (one micro-batch): if file0 split, a
+    * sub-batch after the max-ts row would itself be late-filtered and
+    * the drop set would depend on chunking instead of the advertised
+    * contract. */
+  private def lateFeed(s: SparkSession, d: String): String = {
+    val fp = graft.IndexStore.fingerprint(s"$d/events.parquet")
+    graft.IndexStore.cachedDir(s"stream_feed_late_v1_$fp") { tmp =>
+      import s.implicits._
+      import java.nio.file.{Files, Paths}
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val b = ev.agg(
+        (date_trunc("day", min(col("ts"))) + expr("INTERVAL 15 DAYS")).as("s"),
+        max(col("ts")).as("m")).head()
+      val sCut = b.getTimestamp(0); val mTs = b.getTimestamp(1)
+      val dir = Paths.get(tmp)
+      Files.createDirectories(dir)
+      def stageOne(df: DataFrame, idx: Int): Unit = {
+        val stage = s"$tmp/_stage$idx"
+        df.coalesce(1).sortWithinPartitions("ts", "event_id")
+          .write.parquet(stage)
+        val part = {
+          val l = Files.list(Paths.get(stage))
+          try l.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+          finally l.close()
+        }
+        val target = dir.resolve(f"feed_$idx%03d.parquet")
+        Files.move(part, target)
+        Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + idx * 2000L))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+      }
+      stageOne(ev.filter(col("ts") < lit(sCut) || col("ts") === lit(mTs)), 0)
+      // a one-row "tick" batch between the fast arrival and the late
+      // cohort: state eviction runs at END-of-batch against that
+      // batch's operative watermark (M − 1h, set by batch 0's fast
+      // arrival), so without this batch the late rows would merge
+      // into still-live state and nothing would ever be late
+      // (measured in r9: zero numRowsDroppedByWatermark on a 2-batch
+      // feed). The tick's ts = M leaves the watermark where it is;
+      // its marker event_type is filtered from the result.
+      stageOne(s.createDataset(
+        Seq(Ev(-3L, mTs, -1L, "__tick__", 0.0, ""))).toDF(), 1)
+      stageOne(ev.filter(col("ts") >= lit(sCut) && col("ts") < lit(mTs)), 2)
+      stageOne(s.createDataset(
+        Seq(Ev(-1L, Sentinel1, -1L, "__flush__", 0.0, ""))).toDF(), 3)
+      stageOne(s.createDataset(
+        Seq(Ev(-2L, Sentinel2, -1L, "__flush__", 0.0, ""))).toDF(), 4)
+    }
+  }
+
+  /** LATE DATA with a batch-formulated ORACLE (r8 verdict item 5):
+    * the disordered [[lateFeed]] makes the watermark race ahead of a
+    * 15-day cohort, so the hourly aggregate's final flushed state
+    * must equal the batch aggregate over exactly the rows Spark's
+    * late-row filter admits: the on-time cohort, the fast arrival,
+    * and the late rows whose window the watermark (M − 1h) had not
+    * yet sealed. That drop rule is pure SQL over (S, M), which is
+    * what makes an end-state oracle possible where the unflushed
+    * `stream_late_data` key (emission timing, not end state) stays
+    * contract-exempt. */
+  val streamLateDataFinal: QFn = (s, d) =>
+    runStream(s, d, OutputMode.Append(), "late_final",
+        feedPath = Some(lateFeed(s, d))) { df =>
+      df.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+    }.select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      .filter(col("w_start") < SentinelGuard && col("event_type") =!= "__tick__")
       .orderBy("w_start", "event_type")
 
   /** Exactly-once dedup on event_id with BOUNDED state: the feed
@@ -1003,6 +1084,7 @@ object Streaming {
     "stream_sliding" -> streamSliding,
     "stream_session" -> streamSession,
     "stream_late_data" -> streamLateData,
+    "stream_late_data_final" -> streamLateDataFinal,
     "stream_dedup" -> streamDedup,
     "stream_stateful" -> streamStateful,
     "stream_stateful_tws" -> streamStatefulTws,
@@ -1100,6 +1182,24 @@ object Streaming {
            event_type, count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the batch formulation of the late-drop rule (see streamLateDataFinal):
+    // keep on-time rows (ts < S), the fast arrival (ts = M), and late
+    // rows whose hourly window the watermark M - 1h had not sealed
+    "stream_late_data_final" ->
+      """WITH b AS (
+           SELECT date_trunc('day', min(CAST(ts AS TIMESTAMP))) + INTERVAL 15 DAY AS s,
+                  max(CAST(ts AS TIMESTAMP)) AS m
+           FROM events),
+         kept AS (
+           SELECT CAST(e.ts AS TIMESTAMP) AS ts, e.event_type
+           FROM events e, b
+           WHERE CAST(e.ts AS TIMESTAMP) < b.s
+              OR CAST(e.ts AS TIMESTAMP) = b.m
+              OR date_trunc('hour', CAST(e.ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+                   > b.m - INTERVAL 1 HOUR)
+         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS w_start,
+           event_type, count(*) AS n
+         FROM kept GROUP BY 1, 2 ORDER BY 1, 2""",
     "stream_chained_agg" ->
       // the chained 15-min → 1-hour cascade collapses to the direct
       // hour aggregate (exact decimal partials make the re-sum exact)

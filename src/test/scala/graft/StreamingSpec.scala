@@ -92,6 +92,20 @@ class StreamingSpec extends SparkTestBase {
     assert(appended <= allWindows, "append emitted more than exists")
   }
 
+  test("stream_late_data_final really drops the late cohort (fewer windows than the full aggregate)") {
+    val kept = streaming.Streaming.streamLateDataFinal(spark, sf).count()
+    val allWindows = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .distinct().count()
+    assert(kept > 0, "nothing emitted")
+    // the 15-day late cohort's sealed windows must be absent — if the
+    // drop path silently stopped firing (the r9 2-batch-feed lesson:
+    // no eviction beforehand means nothing is ever late), kept would
+    // equal allWindows and the key would be asserting nothing
+    assert(kept < allWindows,
+      s"late rows were not dropped: $kept emitted of $allWindows total")
+  }
+
   test("windowed append keys equal batch twins with BOUNDED state") {
     // accurate state-row totals are opt-in (read-before-write cost);
     // this is the spec that needs them
