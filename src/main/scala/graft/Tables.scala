@@ -311,5 +311,27 @@ object Det {
   def sqlAvg2(e: String): String = s"${sqlSum2(e)} / count($e)"
   def sqlCsum2(e: String): String =
     s"CAST(sum(CAST(CAST($e AS DECIMAL(30,2)) * 100 AS BIGINT)) AS BIGINT)"
+
+  /** Deterministic floor-quantization of a derived double, the
+    * round()-replacement for OUTPUT columns (r8 verdict item 4):
+    * x·10ⁿ is the same IEEE-754 double in every engine, floor is
+    * exact, and dividing back restores a double both engines agree on
+    * bit-for-bit — whereas round(x, n)'s half-up tie behavior on a
+    * representation boundary is engine-specific (Spark goes through
+    * the exact binary expansion via BigDecimal, DuckDB through a
+    * scaled multiply), which is precisely how r8's ts_bidask_spread
+    * went red. Requires |x|·10ⁿ < 2⁶³ (Spark's floor returns LONG) —
+    * true for every statistic emitted here by orders of magnitude.
+    * Negative values floor toward −∞ in both engines. */
+  def fq(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * p) / p
+  }
+
+  /** SQL twin (DuckDB floors doubles the same way). */
+  def sqlFq(e: String, n: Int): String = {
+    val p = s"1e$n"
+    s"floor(($e) * $p) / $p"
+  }
   def sqlAvg4(e: String): String = s"${sqlSum4(e)} / count($e)"
 }

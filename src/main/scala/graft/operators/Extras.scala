@@ -157,7 +157,7 @@ object Extras {
         / (col("n") - 1)))
       .select("event_type", "mean", "sd")
     e.join(broadcast(stats), "event_type")
-      .withColumn("z", round((col("value") - col("mean")) / col("sd"), 6))
+      .withColumn("z", fq((col("value") - col("mean")) / col("sd"), 6))
       .filter(abs(col("z")) > 2.5)
       .select("event_id", "event_type", "value", "z")
       .orderBy("event_id")
@@ -308,6 +308,8 @@ object Extras {
     val rankOk =
       (col("cnt_le").cast("double") >= col("q") * col("n") - slack) &&
         ((col("cnt_lt") + 1).cast("double") <= col("q") * col("n") + slack)
+    // round (not fq) on exact_q: Spark's interpolation and DuckDB's
+    // quantile_cont land ulp-apart; round(6) is the absorber (r9 audit)
     val exact = Quantiles.exactQuantiles(s,
       li.select("l_extendedprice"), Nil, "l_extendedprice",
       Seq(0.25, 0.5, 0.75))
@@ -435,8 +437,7 @@ object Extras {
             FROM events GROUP BY event_type),
           zs AS (
             SELECT e.event_id, e.event_type, e.value,
-              round((e.value - st.sx / st.n)
-                / sqrt((st.sx2 - st.sx * st.sx / st.n) / (st.n - 1)), 6) AS z
+              ${sqlFq("(e.value - st.sx / st.n) / sqrt((st.sx2 - st.sx * st.sx / st.n) / (st.n - 1))", 6)} AS z
             FROM events e JOIN st ON e.event_type = st.event_type)
           SELECT event_id, event_type, value, z FROM zs
           WHERE abs(z) > 2.5 ORDER BY event_id""",

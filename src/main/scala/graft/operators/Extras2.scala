@@ -75,6 +75,10 @@ object Extras2 {
       // scalar columns, not the raw array: the oracle hash-compare
       // sorts rows by every column and array cells don't sort
       .groupBy("l_returnflag")
+      // round (not fq) retained: Spark's interpolation and DuckDB's
+      // quantile_cont produce ulp-apart doubles, and round(6) is the
+      // absorber that maps both onto the same decimal — fq would
+      // split them across a grid edge (r9 round audit)
       .agg(
         round(max(when(col("q") === 0.25, col("exact_q"))), 6).as("q25"),
         round(max(when(col("q") === 0.5, col("exact_q"))), 6).as("q50"),
@@ -592,6 +596,8 @@ object Extras2 {
         count_if(col("value") > 50).as("n_big"),
         bool_and(col("value") >= 0).as("all_nonneg"),
         bool_or(col("value") > 99).as("any_high"),
+        // round retained: engines' median interpolation may differ
+        // by an ulp; round(6) absorbs it (r9 round audit)
         round(median(col("value")), 6).as("med"),
         max_by(col("event_id"), struct(col("value"), col("event_id")))
           .as("argmax_id"))
@@ -626,8 +632,9 @@ object Extras2 {
     * aggregation pass computes both groups' (n, Σx, Σx²) with EXACT
     * decimal sums, so the moments are order-independent and the
     * downstream t-statistic / Welch–Satterthwaite dof arithmetic is
-    * the same deterministic double sequence in both engines (round(6)
-    * absorbs nothing but formatting). The statistical-testing shape a
+    * the same deterministic double sequence in both engines, so the
+    * outputs floor-quantize via fq (r9 round audit: same-bits inputs
+    * make floor engine-unambiguous). The statistical-testing shape a
     * data-quality pipeline runs per segment pair — one shuffle, O(1)
     * output, at any scale. */
   val aggTtestWelch: QFn = (s, d) => {
@@ -649,11 +656,11 @@ object Extras2 {
       .withColumn("se2", col("v1") / col("n1") + col("v2") / col("n2"))
       .select(
         col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
-        round(col("s1") / col("n1"), 6).as("mean1"),
-        round(col("s2") / col("n2"), 6).as("mean2"),
-        round((col("s1") / col("n1") - col("s2") / col("n2"))
+        fq(col("s1") / col("n1"), 6).as("mean1"),
+        fq(col("s2") / col("n2"), 6).as("mean2"),
+        fq((col("s1") / col("n1") - col("s2") / col("n2"))
           / sqrt(col("se2")), 6).as("t_stat"),
-        round(col("se2") * col("se2") /
+        fq(col("se2") * col("se2") /
           ((col("v1") / col("n1")) * (col("v1") / col("n1")) / (col("n1") - 1)
             + (col("v2") / col("n2")) * (col("v2") / col("n2")) / (col("n2") - 1)),
           6).as("welch_dof"))
@@ -689,7 +696,7 @@ object Extras2 {
     // identical moment extraction (exact decimal sums) and the same
     // double-arithmetic t / Welch-dof formulas, term for term
     "agg_ttest_welch" ->
-      """WITH m AS (SELECT
+      s"""WITH m AS (SELECT
            CAST(count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS DOUBLE) AS n1,
            CAST(sum(CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END AS DECIMAL(30,2))) AS DOUBLE) AS s1,
            CAST(sum(CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * c_acctbal END AS DECIMAL(30,4))) AS DOUBLE) AS q1,
@@ -702,11 +709,9 @@ object Extras2 {
            (q2 - s2 * s2 / n2) / (n2 - 1) AS v2 FROM m),
          w AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM v)
          SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-           round(s1 / n1, 6) AS mean1, round(s2 / n2, 6) AS mean2,
-           round((s1 / n1 - s2 / n2) / sqrt(se2), 6) AS t_stat,
-           round(se2 * se2 /
-             ((v1 / n1) * (v1 / n1) / (n1 - 1)
-               + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6) AS welch_dof
+           ${sqlFq("s1 / n1", 6)} AS mean1, ${sqlFq("s2 / n2", 6)} AS mean2,
+           ${sqlFq("(s1 / n1 - s2 / n2) / sqrt(se2)", 6)} AS t_stat,
+           ${sqlFq("se2 * se2 / ((v1 / n1) * (v1 / n1) / (n1 - 1) + (v2 / n2) * (v2 / n2) / (n2 - 1))", 6)} AS welch_dof
          FROM w""",
     "etl_dynamic_partition_overwrite" ->
       s"""SELECT event_type, count(*) AS n, ${sqlSum2("value")} AS sum_value

@@ -83,11 +83,20 @@ object Functions {
       unix_millis(col("ts")).as("epoch_ms"))
       .orderBy("event_id")
 
-  /** Math family over retail prices (all positive → portable rounding). */
+  /** Math family over retail prices (all positive → portable
+    * rounding). r1 rounds in EXACT DECIMAL, not on the double: a
+    * .x5 price is a genuine half-up tie where double-round behavior
+    * is engine-specific (none ship in the current data — this keeps
+    * a regeneration from flipping the key red; r9 round audit). The
+    * transcendental rounds stay round(6): exp/ln/log10 land
+    * ulp-apart across engines at worst and round is the absorber
+    * there, where fq would split across a grid edge. */
   val fnMath: QFn = (s, d) =>
     Tables.part(s, d).select(
       col("p_partkey"),
-      round(col("p_retailprice"), 1).as("r1"),
+      round(col("p_retailprice")
+        .cast(org.apache.spark.sql.types.DecimalType(30, 2)), 1)
+        .cast("double").as("r1"),
       ceil(col("p_retailprice")).as("ce"),
       floor(col("p_retailprice")).as("fl"),
       abs(col("p_retailprice") - 950.0).as("ab"),
@@ -352,7 +361,7 @@ object Functions {
          FROM events ORDER BY event_id""",
     "fn_math" ->
       """SELECT p_partkey,
-           round(p_retailprice, 1) AS r1,
+           CAST(round(CAST(p_retailprice AS DECIMAL(30,2)), 1) AS DOUBLE) AS r1,
            CAST(ceil(p_retailprice) AS BIGINT) AS ce,
            CAST(floor(p_retailprice) AS BIGINT) AS fl,
            abs(p_retailprice - 950.0) AS ab,

@@ -40,6 +40,12 @@ import graft.{QFn, Tables}
   * higher-order functions (interpreted per element) for portability;
   * the production-rate twin is the native codegen'd
   * [[graft.functions.MinhashSigs]] path in LlmSimilarity.
+  *
+  * r9 round audit note: round(sim/est, 4|6) retained (not Det.fq) for
+  * the same reason as LlmSimilarity — fold orders are engineered
+  * bit-identical across engines, values sit nowhere near decimal
+  * grids, and round buys ulp absorption if a dialect ever reorders a
+  * list fold.
   */
 object LlmLsh {
 

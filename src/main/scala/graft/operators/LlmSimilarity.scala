@@ -24,7 +24,17 @@ import org.apache.spark.sql.types._
   *    by admissible quantizer-cell pairs — the bounded variant;
   *  - the multimodal join is a plain equi-join, broadcast-able when
   *    one side is a dimension.
-  */
+  *
+  * r9 round audit note: the round(sim/dist, 4|6|9) columns here are
+  * RETAINED as round, not converted to Det.fq — the cosine / ADC /
+  * Jaccard folds are engineered as the same left-to-right IEEE
+  * sequence in both engines (aggregate↔list_sum over identically
+  * ordered elements), so their doubles are bit-identical and either
+  * quantizer works; round additionally absorbs an ulp IF a future
+  * DuckDB version reorders a list fold, which fq would not. The
+  * residual half-up-tie exposure needs a sim landing within an ulp
+  * of a 6-dp midpoint — none of these statistics sit on decimal
+  * grids, and every ranking tie-breaks by id. */
 object LlmSimilarity {
 
   // ---------------------------------------------------------------- utils

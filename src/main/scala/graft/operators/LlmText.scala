@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QFn, Tables}
-import graft.Det.dsum6
+import graft.Det.{dsum6, fq}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -119,6 +119,9 @@ object LlmText {
     val w = Window.partitionBy("doc_id")
       .orderBy(col("w").desc, col("term"))
     tf.join(df_, "term").crossJoin(nDocs)
+      // round (not fq) retained: ln is the one transcendental here —
+      // engines can land an ulp apart and round(9) absorbs it, both in
+      // the emitted weight and the rank ORDER BY (r9 round audit)
       .withColumn("w", round((col("tc") / col("dlen")) * log(col("n_docs") / col("df")), 9))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
@@ -137,10 +140,10 @@ object LlmText {
       col("doc_id"),
       col("n_chars"),
       nWords.as("n_words"),
-      round(length(col("text")).cast("double") / nWords, 6).as("avg_token_len"),
-      round(nStop.cast("double") / nWords, 6).as("stop_ratio"),
-      round(size(array_distinct(words)).cast("double") / nWords, 6).as("distinct_ratio"),
-      round(
+      fq(length(col("text")).cast("double") / nWords, 6).as("avg_token_len"),
+      fq(nStop.cast("double") / nWords, 6).as("stop_ratio"),
+      fq(size(array_distinct(words)).cast("double") / nWords, 6).as("distinct_ratio"),
+      fq(
         when(nWords.between(30, 1000), 0.5).otherwise(0.0)
           + when(nStop.cast("double") / nWords > 0.02, 0.25).otherwise(0.0)
           + when(size(array_distinct(words)).cast("double") / nWords > 0.2, 0.25).otherwise(0.0),
@@ -266,7 +269,7 @@ object LlmText {
     val lm = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
       .withColumn("n1", sum("n12").over(Window.partitionBy("w1")))
       .select(col("w1"), col("w2"),
-        round(col("n12").cast("double") / col("n1").cast("double"), 6).as("p"))
+        fq(col("n12").cast("double") / col("n1").cast("double"), 6).as("p"))
     pairs.join(broadcast(lm), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -306,7 +309,7 @@ object LlmText {
       .withColumn("e",
         col("src_n").cast("double") * col("tok_n").cast("double")
           / col("all_n").cast("double"))
-      .withColumn("term", round(dev * dev / col("e"), 6))
+      .withColumn("term", fq(dev * dev / col("e"), 6))
       .groupBy("source")
       .agg(count(lit(1)).as("n_cells"), dsum6(col("term")).as("chi2"))
       .orderBy("source")
@@ -338,11 +341,11 @@ object LlmText {
         count(lit(1)).as("n_distinct_bigrams"))
     tok.join(bg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
-        round(col("top_c").cast("double") / col("n_tokens"), 6)
+        fq(col("top_c").cast("double") / col("n_tokens"), 6)
           .as("top_token_frac"),
-        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+        fq(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
           .as("dup_token_frac"),
-        round(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6)
+        fq(lit(1.0) - col("n_distinct_bigrams").cast("double") / col("n_bigrams"), 6)
           .as("dup_bigram_frac"))
       .orderBy("doc_id")
   }
@@ -859,19 +862,19 @@ object LlmText {
     "llm_quality_score" ->
       """SELECT doc_id, n_chars,
            CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-           round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len,
-           round(CAST(len(list_filter(string_split(text, ' '),
+           floor((CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))) * 1e6) / 1e6 AS avg_token_len,
+           floor((CAST(len(list_filter(string_split(text, ' '),
              w -> list_contains(['the','a','of','and','to','in','is','on'], w))) AS DOUBLE)
-             / len(string_split(text, ' ')), 6) AS stop_ratio,
-           round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')), 6) AS distinct_ratio,
-           round(
+             / len(string_split(text, ' '))) * 1e6) / 1e6 AS stop_ratio,
+           floor((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' '))) * 1e6) / 1e6 AS distinct_ratio,
+           floor((
              (CASE WHEN len(string_split(text, ' ')) BETWEEN 30 AND 1000 THEN 0.5 ELSE 0.0 END)
              + (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
                   w -> list_contains(['the','a','of','and','to','in','is','on'], w))) AS DOUBLE)
                   / len(string_split(text, ' ')) > 0.02 THEN 0.25 ELSE 0.0 END)
              + (CASE WHEN CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                  / len(string_split(text, ' ')) > 0.2 THEN 0.25 ELSE 0.0 END), 2) AS quality
+                  / len(string_split(text, ' ')) > 0.2 THEN 0.25 ELSE 0.0 END)) * 1e2) / 1e2 AS quality
          FROM documents ORDER BY doc_id""",
     "llm_lang_id" ->
       """SELECT doc_id, lang AS true_lang,
@@ -931,7 +934,7 @@ object LlmText {
          uni AS (SELECT w1, sum(n12) AS n1 FROM big GROUP BY w1),
          lm AS (
            SELECT w1, w2,
-             round(CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p
+             floor((CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE)) * 1e6) / 1e6 AS p
            FROM big JOIN uni USING (w1))
          SELECT doc_id, count(*) AS n_bigrams,
            CAST(sum(CAST(p AS DECIMAL(30,6))) AS DOUBLE) / count(*) AS avg_p
@@ -954,7 +957,7 @@ object LlmText {
            CROSS JOIN tot),
          terms AS (
            SELECT source,
-             round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 6) AS term
+             floor(((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e) * 1e6) / 1e6 AS term
            FROM (
              SELECT source, o,
                CAST(src_n AS DOUBLE) * CAST(tok_n AS DOUBLE) / CAST(all_n AS DOUBLE) AS e
@@ -982,9 +985,9 @@ object LlmText {
              count(*) AS n_distinct_bigrams
            FROM bc GROUP BY doc_id)
          SELECT t.doc_id, n_tokens,
-           round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_token_frac,
-           round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
-           round(1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams, 6) AS dup_bigram_frac
+           floor((CAST(top_c AS DOUBLE) / n_tokens) * 1e6) / 1e6 AS top_token_frac,
+           floor((1.0 - CAST(n_distinct AS DOUBLE) / n_tokens) * 1e6) / 1e6 AS dup_token_frac,
+           floor((1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams) * 1e6) / 1e6 AS dup_bigram_frac
          FROM t LEFT JOIN b ON t.doc_id = b.doc_id
          ORDER BY t.doc_id""",
     "llm_feature_hash" ->

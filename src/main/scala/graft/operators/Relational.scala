@@ -388,6 +388,10 @@ object Relational {
     * the 1-row frames combine as a BroadcastHashJoin, not a cross. */
   val aggStats: QFn = (s, d) => {
     val li = Tables.lineitem(s, d)
+    // round (not fq) retained on the built-in moment aggregates:
+    // Spark's and DuckDB's streaming co-moment merges land ulp-apart,
+    // and round at coarse scale is the absorber — fq of ulp-apart
+    // doubles can split across a grid edge (r9 round audit)
     val moments = li.agg(
       round(stddev_samp(col("l_extendedprice")), 2).as("std_price"),
       round(var_samp(col("l_extendedprice")), 2).as("var_price"),
@@ -403,6 +407,8 @@ object Relational {
         .cast(DecimalType(30, 4)))).cast("long").as("s2_int"))
     val median = Quantiles.exactQuantiles(s, li.select("l_extendedprice"),
       Nil, "l_extendedprice", Seq(0.5))
+      // round retained: interpolation lands ulp-apart from DuckDB's
+      // quantile_cont; round(3) absorbs it (r9 round audit)
       .select(round(col("exact_q"), 3).as("median_price"))
     moments.withColumn("_k", lit(0))
       .join(broadcast(median.withColumn("_k", lit(0))), "_k")

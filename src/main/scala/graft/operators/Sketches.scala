@@ -29,6 +29,8 @@ import org.apache.spark.sql.functions._
   * sketch) and broadcasts to the probe join for free. */
 object Sketches {
 
+  import graft.Det.{fq, sqlFq}
+
   val D = 4    // hash rows
   val W = 512  // buckets per row
 
@@ -218,7 +220,7 @@ object Sketches {
       cum.filter(col("cum_before") < ceil(lit(q) * col("n")) &&
           ceil(lit(q) * col("n")) <= col("cum_before") + col("cnt"))
         .select(lit(q).as("q"),
-          round(col("lo") + ((col("hi") - col("lo")) / nBins) *
+          fq(col("lo") + ((col("hi") - col("lo")) / nBins) *
             (col("bin").cast("double") +
               (ceil(lit(q) * col("n")).cast("double") - col("cum_before")) /
                 col("cnt")), 6).as("est"))
@@ -289,7 +291,7 @@ object Sketches {
     // identical IEEE sequence: double bin width, floor-assignment with
     // last-bin clamp, ⌈q·n⌉ rank, linear interpolation inside the bin
     "agg_quantile_histogram" ->
-      """WITH li AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+      s"""WITH li AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
          stats AS (SELECT min(x) AS lo, max(x) AS hi, count(*) AS n FROM li),
          binned AS (SELECT CAST(least(floor((x - lo) / ((hi - lo) / 256)), 255) AS INT) AS bin
            FROM li, stats),
@@ -299,9 +301,7 @@ object Sketches {
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
            FROM hist),
          qs AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.99] AS DOUBLE[])) AS q)
-         SELECT q, round(lo + ((hi - lo) / 256) *
-             (CAST(bin AS DOUBLE)
-               + (CAST(ceil(q * n) AS DOUBLE) - cum_before) / cnt), 6) AS est
+         SELECT q, ${sqlFq("lo + ((hi - lo) / 256) * (CAST(bin AS DOUBLE) + (CAST(ceil(q * n) AS DOUBLE) - cum_before) / cnt)", 6)} AS est
          FROM qs, cum, stats
          WHERE cum_before < ceil(q * n) AND ceil(q * n) <= cum_before + cnt
          ORDER BY q""")

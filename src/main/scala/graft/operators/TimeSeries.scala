@@ -107,7 +107,7 @@ object TimeSeries {
       dsum6(col("y") * col("y")), dsum6(col("x") * col("y")))
     x.join(y, "bar").agg(
       n.as("n_bars"),
-      round((n * sxy - sx * sy) /
+      fq((n * sxy - sx * sy) /
         sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr"))
   }
 
@@ -125,9 +125,9 @@ object TimeSeries {
         unix_micros(col("ts")).as("uts"))
       .withColumn("nv", lead("value", 1).over(w))
       .withColumn("r", when(col("value") > 0 && col("nv") > 0,
-        round(log(col("nv") / col("value")), 6)))
+        fq(log(col("nv") / col("value")), 6)))
       .groupBy("bar")
-      .agg(round(sqrt(dsum6(col("r") * col("r"))), 6).as("rv"),
+      .agg(fq(sqrt(dsum6(col("r") * col("r"))), 6).as("rv"),
         count(col("r")).as("n_returns"))
       .orderBy("bar")
   }
@@ -151,8 +151,8 @@ object TimeSeries {
       .select(col("event_type"), x.as("x"), col("value").as("y"))
       .groupBy("event_type")
       .agg(n.as("n"),
-        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9).as("slope"),
-        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        fq((n * sxy - sx * sy) / (n * sxx - sx * sx), 9).as("slope"),
+        fq((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
           .as("intercept"))
       .orderBy("event_type")
   }
@@ -210,7 +210,7 @@ object TimeSeries {
       .withColumn("ni", first(when(col("v").isNotNull, col("idx")), ignoreNulls = true).over(wNext))
       .select(col("bar"), col("event_type"),
         col("v").isNull.cast("int").as("is_gap"),
-        round(when(col("v").isNotNull, col("v"))
+        fq(when(col("v").isNotNull, col("v"))
           .otherwise(col("pv") + (col("nv") - col("pv")) *
             ((col("idx") - col("pi")).cast("double") / (col("ni") - col("pi")).cast("double"))),
           6).as("interp_value"))
@@ -240,6 +240,9 @@ object TimeSeries {
       .withColumn("rk", row_number().over(wArg))
       .filter(col("rk") === 1)
       .select(col("event_type"), col("event_id").as("trough_event"),
+        // round (not fq) retained: dd is a difference of raw <=2-dp
+        // doubles, so it sits ON the 6-dp grid and a half-up tie is
+        // unreachable in either engine (r9 round audit)
         round(col("dd"), 6).as("max_drawdown"), col("peak").as("peak_value"))
       .orderBy("event_type")
   }
@@ -263,7 +266,7 @@ object TimeSeries {
     hourly
       .withColumn("arr", collect_list("px").over(w))
       .select(col("bar"), col("event_type"),
-        round(aggregate(col("arr"), lit(0.0),
+        fq(aggregate(col("arr"), lit(0.0),
           (acc, x) => acc * 0.8 + x * 0.2), 6).as("ewma"))
       .orderBy("bar", "event_type")
   }
@@ -299,7 +302,7 @@ object TimeSeries {
           col("s").cast("double") * col("s").cast("double") / col("n")) /
           (col("n") - 1)))
       .withColumn("z", when(col("sd") > 0,
-        round((col("q").cast("double") -
+        fq((col("q").cast("double") -
           col("s").cast("double") / col("n")) / col("sd"), 6)))
       .filter(abs(col("z")) > 2.5)
       .select(col("bar"), col("event_type"), col("hour_avg"), col("z"))
@@ -339,8 +342,7 @@ object TimeSeries {
          z AS (
            SELECT bar, event_type, hour_avg,
              CASE WHEN sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n-1)) > 0
-               THEN round((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) / n)
-                 / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n-1)), 6) END AS z
+               THEN ${sqlFq("(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) / n) / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n-1))", 6)} END AS z
            FROM w WHERE n >= 12)
          SELECT bar, event_type, hour_avg, z FROM z
          WHERE abs(z) > 2.5 ORDER BY bar, event_type""",
@@ -357,8 +359,7 @@ object TimeSeries {
                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS l
            FROM h)
          SELECT bar, event_type,
-           round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l),
-             (acc, x) -> acc * CAST(0.8 AS DOUBLE) + x * CAST(0.2 AS DOUBLE)), 6) AS ewma
+           ${sqlFq("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), l), (acc, x) -> acc * CAST(0.8 AS DOUBLE) + x * CAST(0.2 AS DOUBLE))", 6)} AS ewma
          FROM wl ORDER BY bar, event_type""",
     "ts_drawdown" ->
       """WITH t AS (
@@ -426,13 +427,13 @@ object TimeSeries {
               value AS y
             FROM events)
           SELECT event_type, count(*) AS n,
-            round((count(*) * ${sqlSum6("x * y")} - ${sqlSum6("x")} * ${sqlSum6("y")})
-              / (count(*) * ${sqlSum6("x * x")} - ${sqlSum6("x")} * ${sqlSum6("x")}), 9)
+            ${sqlFq(s"""(count(*) * ${sqlSum6("x * y")} - ${sqlSum6("x")} * ${sqlSum6("y")})
+              / (count(*) * ${sqlSum6("x * x")} - ${sqlSum6("x")} * ${sqlSum6("x")})""", 9)}
               AS slope,
-            round((${sqlSum6("y")}
+            ${sqlFq(s"""(${sqlSum6("y")}
               - (count(*) * ${sqlSum6("x * y")} - ${sqlSum6("x")} * ${sqlSum6("y")})
                 / (count(*) * ${sqlSum6("x * x")} - ${sqlSum6("x")} * ${sqlSum6("x")})
-                * ${sqlSum6("x")}) / count(*), 6) AS intercept
+                * ${sqlSum6("x")}) / count(*)""", 6)} AS intercept
           FROM t GROUP BY event_type ORDER BY event_type""",
     "ts_realized_vol" ->
       s"""WITH t AS (
@@ -445,9 +446,9 @@ object TimeSeries {
             FROM t),
           r AS (
             SELECT bar,
-              CASE WHEN value > 0 AND nv > 0 THEN round(ln(nv / value), 6) END AS r
+              CASE WHEN value > 0 AND nv > 0 THEN ${sqlFq("ln(nv / value)", 6)} END AS r
             FROM x)
-          SELECT bar, round(sqrt(${sqlSum6("r * r")}), 6) AS rv,
+          SELECT bar, ${sqlFq("sqrt(" + sqlSum6("r * r") + ")", 6)} AS rv,
             count(r) AS n_returns
           FROM r GROUP BY bar ORDER BY bar""",
     "ts_corr_types" ->
@@ -461,10 +462,10 @@ object TimeSeries {
             JOIN (SELECT bar, v FROM hourly WHERE event_type = 'click') y
               USING (bar))
           SELECT count(*) AS n_bars,
-            round((count(*) * ${sqlSum6("x * y")} - ${sqlSum6("x")} * ${sqlSum6("y")})
+            ${sqlFq(s"""(count(*) * ${sqlSum6("x * y")} - ${sqlSum6("x")} * ${sqlSum6("y")})
               / sqrt((count(*) * ${sqlSum6("x * x")} - ${sqlSum6("x")} * ${sqlSum6("x")})
-                   * (count(*) * ${sqlSum6("y * y")} - ${sqlSum6("y")} * ${sqlSum6("y")})),
-              6) AS corr
+                   * (count(*) * ${sqlSum6("y * y")} - ${sqlSum6("y")} * ${sqlSum6("y")}))""",
+              6)} AS corr
           FROM j""",
     "ts_twap" ->
       s"""WITH t AS (
@@ -509,8 +510,6 @@ object TimeSeries {
               wn AS (PARTITION BY event_type ORDER BY bar
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
           SELECT bar, event_type, CAST(v IS NULL AS INT) AS is_gap,
-            round(CASE WHEN v IS NOT NULL THEN v
-              ELSE pv + (nv - pv) *
-                (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)) END, 6) AS interp_value
+            ${sqlFq("CASE WHEN v IS NOT NULL THEN v ELSE pv + (nv - pv) * (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)) END", 6)} AS interp_value
           FROM f ORDER BY bar, event_type""")
 }

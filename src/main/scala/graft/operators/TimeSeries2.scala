@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   * in the shipped data, so q ≤ 5.6e5, Σq² over a 24-bar frame
   * ≤ 2.3e14 and every n·Σ product stays ≤ ~1.6e17, far inside Long),
   * moments are exact integer sums, and the final statistic is ONE
-  * double expression over those identical integers, rounded.
+  * double expression over those identical integers, floor-quantized
+  * via [[graft.Det.fq]] (r9: round()'s tie behavior is engine-
+  * specific; floor of an identical double is not).
   *
   * Scale notes: every key is (pre-aggregate onto the bar grain →
   * bounded work per bar). The hourly aggregation is map-side
@@ -108,7 +110,7 @@ object TimeSeries2 {
         sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
-      .withColumn("autocorr", round(
+      .withColumn("autocorr", fq(
         (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
           (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
@@ -142,7 +144,7 @@ object TimeSeries2 {
       .withColumn("den", col("n") * col("smm") - col("sm") * col("sm"))
       .filter(col("den") > 0)
       .select(col("bar"), col("event_type"), col("n"),
-        round((col("n") * col("sxm") - col("sx") * col("sm")).cast("double") /
+        fq((col("n") * col("sxm") - col("sx") * col("sm")).cast("double") /
           col("den").cast("double"), 6).as("beta"))
       .orderBy("bar", "event_type")
   }
@@ -176,9 +178,9 @@ object TimeSeries2 {
       .groupBy("event_type")
       .agg(
         max(col("n")).as("n_returns"),
-        round(max(when(col("rk") === col("cut"), col("r"))).cast("double")
+        fq(max(when(col("rk") === col("cut"), col("r"))).cast("double")
           / 1000.0, 3).as("var95"),
-        round((sum("r").cast("double") / count(lit(1))) / 1000.0, 6).as("es95"))
+        fq((sum("r").cast("double") / count(lit(1))) / 1000.0, 6).as("es95"))
       .orderBy("event_type")
   }
 
@@ -235,7 +237,7 @@ object TimeSeries2 {
       .select(bar.as("bar"), (lit(2.0) * abs(col("value") - col("mid"))).as("es"))
       .groupBy("bar")
       .agg(count(lit(1)).as("n_trades"),
-        round(dsum4(col("es")) / count(lit(1)), 6).as("avg_eff_spread"))
+        fq(dsum4(col("es")) / count(lit(1)), 6).as("avg_eff_spread"))
       .orderBy("bar")
   }
 
@@ -297,7 +299,7 @@ object TimeSeries2 {
       .groupBy(hour(col("ts")).as("hour_of_day"), col("event_type"))
       .agg(
         count(lit(1)).as("n_ticks"),
-        round(davg2(col("value")), 6).as("avg_value"),
+        fq(davg2(col("value")), 6).as("avg_value"),
         sum(get_json_object(col("props"), "$.k").cast("long")).as("total_size"))
       .withColumn("activity_rank", row_number().over(
         Window.partitionBy("event_type")
@@ -320,7 +322,7 @@ object TimeSeries2 {
       s"""WITH prof AS (
             SELECT CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour_of_day,
               event_type, count(*) AS n_ticks,
-              round(${sqlAvg2("value")}, 6) AS avg_value,
+              ${sqlFq(sqlAvg2("value"), 6)} AS avg_value,
               CAST(sum(CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS total_size
             FROM events GROUP BY 1, 2)
           SELECT hour_of_day, event_type, n_ticks, avg_value, total_size,
@@ -375,9 +377,7 @@ object TimeSeries2 {
               CAST(sum(y * y) AS BIGINT) AS syy
             FROM pairs GROUP BY 1, 2)
           SELECT event_type, lag, n,
-            round(CAST(n * sxy - sx * sy AS DOUBLE) /
-              (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-               sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS autocorr
+            ${sqlFq("CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))", 6)} AS autocorr
           FROM m ORDER BY event_type, lag""",
     "ts_rolling_beta" ->
       s"""WITH hourly AS (
@@ -400,8 +400,7 @@ object TimeSeries2 {
             WINDOW win AS (PARTITION BY event_type ORDER BY bar
               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
           SELECT bar, event_type, n,
-            round(CAST(n * sxm - sx * sm AS DOUBLE) /
-              CAST(n * smm - sm * sm AS DOUBLE), 6) AS beta
+            ${sqlFq("CAST(n * sxm - sx * sm AS DOUBLE) / CAST(n * smm - sm * sm AS DOUBLE)", 6)} AS beta
           FROM w WHERE n >= 12 AND n * smm - sm * sm > 0
           ORDER BY bar, event_type""",
     "ts_var_es" ->
@@ -423,9 +422,9 @@ object TimeSeries2 {
               (n + 19) // 20 AS cut
             FROM ranked)
           SELECT event_type, max(n) AS n_returns,
-            round(CAST(max(CASE WHEN rk = cut THEN r END) AS DOUBLE) / 1000.0, 3)
+            ${sqlFq("CAST(max(CASE WHEN rk = cut THEN r END) AS DOUBLE) / 1000.0", 3)}
               AS var95,
-            round((CAST(sum(r) AS DOUBLE) / count(*)) / 1000.0, 6) AS es95
+            ${sqlFq("(CAST(sum(r) AS DOUBLE) / count(*)) / 1000.0", 6)} AS es95
           FROM tail WHERE rk <= cut
           GROUP BY event_type ORDER BY event_type""",
     "ts_effective_spread" ->
@@ -442,7 +441,7 @@ object TimeSeries2 {
                ORDER BY q.q_ts DESC LIMIT 1) AS mid
             FROM t)
           SELECT date_trunc('hour', ts) AS bar, count(*) AS n_trades,
-            round(${sqlSum4("2.0 * abs(value - mid)")} / count(*), 6)
+            ${sqlFq(sqlSum4("2.0 * abs(value - mid)") + " / count(*)", 6)}
               AS avg_eff_spread
           FROM j WHERE mid IS NOT NULL GROUP BY 1 ORDER BY bar""",
     "ts_trade_sign" ->

@@ -28,6 +28,12 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    # r8 lesson: a local "all green" contradicted the driver's artifact.
+    # The local DuckDB version is part of any gate claim — print it so
+    # a pass recorded in SURVEY/README is auditable against the
+    # driver's oracle version, and phrase close claims as "local gate
+    # (duckdb X)" rather than absolute.
+    print(f"preflight oracle: duckdb {duckdb.__version__} (driver artifact remains the gate of record)")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
