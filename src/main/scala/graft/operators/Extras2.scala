@@ -249,11 +249,18 @@ object Extras2 {
     * column, re-aggregated with `hll_union_agg` — THE pattern for
     * distinct counting at 100 TB (per-partition sketches persisted
     * once, any rollup answered by merging kilobyte sketch blobs
-    * instead of rescanning). Output: merged estimate vs
-    * direct-sketch estimate vs exact. The sketch-merge property
-    * (merged ≡ direct) and the ~2% HLL error contract are asserted
-    * in HllSketchSpec; no DuckDB oracle (different sketch
-    * implementation). */
+    * instead of rescanning). ORACLED through its CONTRACT since r9
+    * (the `agg_approx_quantile` pattern): the estimate itself is a
+    * DataSketches-specific value DuckDB can't reproduce, so the
+    * output carries the exact count plus two contract booleans —
+    * `merge_consistent` (unioned per-day sketches estimate exactly
+    * what the one-pass direct sketch estimates: merge
+    * distributivity) and `err_ok` (the estimate within 10% of exact;
+    * HLL at the default lgK=12 has RSE ≈ 1.6%, so 10% ≈ 6σ) — and
+    * the oracle emits literal TRUE for both: a hash mismatch means
+    * the sketch surface broke its published contract. HllSketchSpec
+    * re-derives both properties independently so the in-operator
+    * check can't self-certify. */
   val aggHllSketch: QFn = (s, d) => {
     val e = Tables.events(s, d)
     val daily = e.groupBy(to_date(col("ts")).as("day"))
@@ -264,6 +271,10 @@ object Extras2 {
       hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
       countDistinct(col("user_id")).as("exact_users"))
     merged.crossJoin(direct)
+      .select(col("exact_users"),
+        (col("est_merged") === col("est_direct")).as("merge_consistent"),
+        (abs(col("est_direct").cast("double") - col("exact_users").cast("double"))
+          / col("exact_users").cast("double") < 0.1).as("err_ok"))
   }
 
   /** Shuffle-hash join, hint-forced: at 100 TB the planner knob that
@@ -693,6 +704,13 @@ object Extras2 {
     "agg_string_agg" -> aggStringAgg)
 
   val oracles: Seq[(String, String)] = Seq(
+    // contract oracle (see aggHllSketch scaladoc): literal TRUE for
+    // the merge-distributivity and error-bound bits — hash mismatch
+    // ⇔ the DataSketches surface broke its contract
+    "agg_hll_sketch" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+           true AS merge_consistent, true AS err_ok
+         FROM events""",
     // identical moment extraction (exact decimal sums) and the same
     // double-arithmetic t / Welch-dof formulas, term for term
     "agg_ttest_welch" ->
