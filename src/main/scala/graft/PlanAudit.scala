@@ -124,7 +124,8 @@ object PlanAudit {
       "trades-with-mid enrichment (native as-of join) it then reads — " +
       "the production tick-store shape, shared with trade_sign/ofi"),
     "ts_trade_sign" -> "reads the shared staged trades-with-mid enrichment",
-    "ts_ofi" -> "reads the shared staged trades-with-mid enrichment")
+    "ts_ofi" -> "reads the shared staged trades-with-mid enrichment",
+    "ts_kyle_lambda" -> "reads the shared staged trades-with-mid enrichment")
 
   /** Count the shuffles (Exchange operators) the executed plan
     * actually ran, walking through AQE wrappers and query stages and
@@ -309,6 +310,13 @@ object ShuffleBudgets {
     "ts_ofi" -> 2,
     // hour-of-day pre-agg + the 24-row-per-symbol rank window + sort
     "ts_intraday_profile" -> 3,
+    // r9 microstructure estimators: bar pre-agg + per-symbol series
+    // window + grouped moments (Roll/Amihud); Kyle reads the staged
+    // enrichment, so its plan is two bar aggs + the 1-partition
+    // series window over the #bars joined frame
+    "ts_roll_spread" -> 3,
+    "ts_amihud" -> 3,
+    "ts_kyle_lambda" -> 3,
     // bigram count table + the vocab²-bounded marginal windows
     // (same-key windows share the exchange; top-50 is TakeOrdered)
     "llm_collocations" -> 2,

@@ -307,6 +307,112 @@ object TimeSeries2 {
       .orderBy("hour_of_day", "event_type")
   }
 
+  /** ROLL (1984) IMPLIED SPREAD — the classic estimator that recovers
+    * the effective bid/ask spread from trade prices ALONE: bid-ask
+    * bounce makes consecutive price changes negatively serially
+    * correlated, and spread = 2·√(−cov(Δp_t, Δp_{t−1})). Hourly bars
+    * quantize to milli-unit integers (the module recipe), both lag
+    * columns ride ONE window pass, the serial covariance derives from
+    * four exact integer sums, and the final sqrt is one double
+    * expression floor-quantized identically in both engines. A
+    * positive serial covariance (momentum regime) yields NULL spread,
+    * the standard treatment. Per-symbol series → bounded window
+    * partitions at any tick volume. */
+  val tsRollSpread: QFn = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(bar.as("bar"), col("event_type"))
+      .agg(davg2(col("value")).as("px"))
+      .withColumn("q", floor(col("px") * 1000.0).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("bar")
+    hourly
+      .withColumn("dp", col("q") - lag("q", 1).over(w))
+      .withColumn("dp1", lag("dp", 1).over(w))
+      .filter(col("dp").isNotNull && col("dp1").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("dp").as("sx"), sum("dp1").as("sy"),
+        sum(col("dp") * col("dp1")).as("sxy"))
+      .withColumn("cov_num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .select(col("event_type"), col("n"),
+        // serial covariance in value² units: cov_num/(n(n−1)) is in
+        // milli² → /1e6
+        fq(col("cov_num").cast("double")
+          / (col("n") * (col("n") - 1)).cast("double") / 1e6, 9)
+          .as("serial_cov"),
+        when(col("cov_num") < 0,
+          fq(lit(2.0) * sqrt(-col("cov_num").cast("double")
+            / (col("n") * (col("n") - 1)).cast("double")) / 1000.0, 6))
+          .as("roll_spread"))
+      .orderBy("event_type")
+  }
+
+  /** AMIHUD (2002) ILLIQUIDITY — mean |return|/volume, the price-
+    * impact-per-traded-size ratio every liquidity study starts from.
+    * Per bar: |Δq|/q_prev (integer milli-units) over the bar's total
+    * size (exact integer sum of JSON `props.k`) — one double
+    * expression over exact integers, floor-quantized at 12 dp so the
+    * per-bar terms sum EXACTLY as DECIMAL(30,12) in any reduction
+    * order; the published statistic is the per-symbol mean ×1e6.
+    * Zero-volume or zero-price bars drop (undefined impact). Same
+    * bounded shape as the rest of the module: bar-grain pre-agg →
+    * per-symbol series window → O(#bars) rows. */
+  val tsAmihud: QFn = (s, d) => {
+    val sz = get_json_object(col("props"), "$.k").cast("long")
+    val hourly = Tables.events(s, d)
+      .groupBy(bar.as("bar"), col("event_type"))
+      .agg(davg2(col("value")).as("px"), sum(sz).as("vol"))
+      .withColumn("q", floor(col("px") * 1000.0).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("bar")
+    hourly
+      .withColumn("qp", lag("q", 1).over(w))
+      .filter(col("qp").isNotNull && col("qp") > 0 && col("vol") > 0)
+      .withColumn("term", fq(abs(col("q") - col("qp")).cast("double")
+        / col("qp").cast("double") / col("vol").cast("double"), 12))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_bars"),
+        fq(sum(col("term").cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+          .cast("double") / count(lit(1)) * 1e6, 6).as("amihud_x1e6"))
+      .orderBy("event_type")
+  }
+
+  /** KYLE (1985) LAMBDA — the price-impact slope: regress the hourly
+    * mid-price change on the hour's SIGNED order flow (tick-rule
+    * signs from the staged trades-with-mid enrichment, sizes from
+    * `props.k`; mid series from the quote side). λ = cov(Δp, sv) /
+    * var(sv) over the joined hourly frame — the λ numerator/
+    * denominator derive from exact integer sums cast to double
+    * (deterministic per-engine for identical longs), one final
+    * expression, floor-quantized. The joined frame is #bars rows
+    * (both inputs are bar-grain aggregates), so the single-series
+    * window and the regression run on a bounded frame at any tick
+    * volume; emitted in value-per-unit-size ×1e6. */
+  val tsKyleLambda: QFn = (s, d) => {
+    val flow = tradesWithMid(s, d)
+      .filter(col("mid").isNotNull)
+      .groupBy(bar.as("bar"))
+      .agg(sum(when(col("value") > col("mid"), col("sz"))
+        .when(col("value") < col("mid"), -col("sz"))
+        .otherwise(0L)).as("sv"))
+    val mids = Tables.events(s, d).filter(col("event_type") === "view")
+      .groupBy(bar.as("bar"))
+      .agg(davg2(col("value")).as("px"))
+      .withColumn("q", floor(col("px") * 1000.0).cast("long"))
+    val w = Window.orderBy("bar") // single market series: #bars rows post-agg
+    mids.join(flow, "bar")
+      .withColumn("dp", col("q") - lag("q", 1).over(w))
+      .filter(col("dp").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum("sv").as("sx"), sum("dp").as("sy"),
+        sum(col("sv") * col("dp")).as("sxy"),
+        sum(col("sv") * col("sv")).as("sxx"))
+      .select(col("n"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+          // λ in milli-price per size → /1000 to value units, ×1e6 scale
+          fq((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            / 1000.0 * 1e6, 6)).as("kyle_lambda_x1e6"))
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "ts_intraday_profile" -> tsIntradayProfile,
     "ts_bidask_spread" -> tsBidaskSpread,
@@ -315,7 +421,10 @@ object TimeSeries2 {
     "ts_var_es" -> tsVarEs,
     "ts_effective_spread" -> tsEffectiveSpread,
     "ts_trade_sign" -> tsTradeSign,
-    "ts_ofi" -> tsOfi)
+    "ts_ofi" -> tsOfi,
+    "ts_roll_spread" -> tsRollSpread,
+    "ts_amihud" -> tsAmihud,
+    "ts_kyle_lambda" -> tsKyleLambda)
 
   val oracles: Seq[(String, String)] = Seq(
     "ts_intraday_profile" ->
@@ -493,5 +602,88 @@ object TimeSeries2 {
               CAST(floor(CAST(buy_size - sell_size AS DOUBLE) /
                 CAST(buy_size + sell_size AS DOUBLE) * 1000000.0) AS BIGINT)
             END AS imbalance_q
-          FROM agg ORDER BY bar""")
+          FROM agg ORDER BY bar""",
+    // Roll: same hourly milli-unit bars; both lags in one window pass
+    "ts_roll_spread" ->
+      s"""WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
+              CAST(floor(${sqlAvg2("value")} * 1000.0) AS BIGINT) AS q
+            FROM events GROUP BY 1, 2),
+          diffs AS (
+            SELECT event_type, bar,
+              q - lag(q, 1) OVER win AS dp
+            FROM hourly
+            WINDOW win AS (PARTITION BY event_type ORDER BY bar)),
+          lagged AS (
+            SELECT event_type, dp,
+              lag(dp, 1) OVER (PARTITION BY event_type ORDER BY bar) AS dp1
+            FROM diffs),
+          m AS (
+            SELECT event_type, count(*) AS n,
+              CAST(sum(dp) AS BIGINT) AS sx, CAST(sum(dp1) AS BIGINT) AS sy,
+              CAST(sum(dp * dp1) AS BIGINT) AS sxy
+            FROM lagged WHERE dp IS NOT NULL AND dp1 IS NOT NULL
+            GROUP BY event_type)
+          SELECT event_type, n,
+            ${sqlFq("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1e6", 9)} AS serial_cov,
+            CASE WHEN n * sxy - sx * sy < 0 THEN
+              ${sqlFq("2.0 * sqrt(-CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 1000.0", 6)}
+            END AS roll_spread
+          FROM m ORDER BY event_type""",
+    "ts_amihud" ->
+      s"""WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
+              CAST(floor(${sqlAvg2("value")} * 1000.0) AS BIGINT) AS q,
+              CAST(sum(CAST(props->>'$$.k' AS BIGINT)) AS BIGINT) AS vol
+            FROM events GROUP BY 1, 2),
+          lagged AS (
+            SELECT event_type, q, vol,
+              lag(q, 1) OVER (PARTITION BY event_type ORDER BY bar) AS qp
+            FROM hourly),
+          terms AS (
+            SELECT event_type,
+              ${sqlFq("CAST(abs(q - qp) AS DOUBLE) / CAST(qp AS DOUBLE) / CAST(vol AS DOUBLE)", 12)} AS term
+            FROM lagged WHERE qp IS NOT NULL AND qp > 0 AND vol > 0)
+          SELECT event_type, count(*) AS n_bars,
+            ${sqlFq("CAST(sum(CAST(term AS DECIMAL(30,12))) AS DOUBLE) / count(*) * 1e6", 6)} AS amihud_x1e6
+          FROM terms GROUP BY event_type ORDER BY event_type""",
+    // Kyle λ: the trades-with-mid enrichment (same correlated-subquery
+    // shape as ts_ofi) signs the flow; mid series from the view side
+    "ts_kyle_lambda" ->
+      s"""WITH q AS (
+            SELECT user_id AS q_uid, ts AS q_ts, max(value) AS qv
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          t AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+              CAST(props->>'$$.k' AS BIGINT) AS sz
+            FROM events WHERE event_type = 'click'),
+          j AS (
+            SELECT t.ts, t.value, t.sz,
+              (SELECT qv FROM q
+               WHERE q.q_uid = t.user_id AND q.q_ts <= t.ts
+               ORDER BY q.q_ts DESC LIMIT 1) AS mid
+            FROM t),
+          flow AS (
+            SELECT date_trunc('hour', ts) AS bar,
+              CAST(sum(CASE WHEN value > mid THEN sz
+                WHEN value < mid THEN -sz ELSE 0 END) AS BIGINT) AS sv
+            FROM j WHERE mid IS NOT NULL GROUP BY 1),
+          mids AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar,
+              CAST(floor(${sqlAvg2("value")} * 1000.0) AS BIGINT) AS q
+            FROM events WHERE event_type = 'view' GROUP BY 1),
+          dps AS (
+            SELECT sv, q - lag(q, 1) OVER (ORDER BY bar) AS dp
+            FROM mids JOIN flow USING (bar)),
+          m AS (
+            SELECT count(*) AS n,
+              CAST(sum(sv) AS BIGINT) AS sx, CAST(sum(dp) AS BIGINT) AS sy,
+              CAST(sum(sv * dp) AS BIGINT) AS sxy,
+              CAST(sum(sv * sv) AS BIGINT) AS sxx
+            FROM dps WHERE dp IS NOT NULL)
+          SELECT n,
+            CASE WHEN n * sxx - sx * sx > 0 THEN
+              ${sqlFq("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0 * 1e6", 6)}
+            END AS kyle_lambda_x1e6
+          FROM m""")
 }

@@ -87,6 +87,36 @@ class QuantCorpusSpec extends SparkTestBase {
     assert(b2.getAs[Long]("spread_bps_c") == -666666L)
   }
 
+  test("ts_roll_spread: spread only where serial covariance is negative, and equals 2*sqrt(-cov)") {
+    val rows = operators.TimeSeries2.tsRollSpread(spark, sfData).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getAs[Double]("serial_cov")
+      val spread = Option(r.getAs[Any]("roll_spread")).map(_.asInstanceOf[Double])
+      if (cov < -1e-12) {
+        assert(spread.isDefined, s"negative cov $cov must yield a spread")
+        // fq quantization makes both sides grid-adjacent, not exact
+        assert(math.abs(spread.get - 2.0 * math.sqrt(-cov)) < 1e-4,
+          s"spread ${spread.get} vs 2*sqrt(-cov) ${2.0 * math.sqrt(-cov)}")
+      } else assert(spread.isEmpty, "momentum regime must yield NULL spread")
+    }
+  }
+
+  test("ts_amihud: illiquidity is positive and scales like impact-per-size") {
+    val rows = operators.TimeSeries2.tsAmihud(spark, sfData).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bars") > 0)
+      assert(r.getAs[Double]("amihud_x1e6") >= 0.0)
+    }
+  }
+
+  test("ts_kyle_lambda: one regression row over the joined bar frame") {
+    val rows = operators.TimeSeries2.tsKyleLambda(spark, sfData).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("n") > 0)
+  }
+
   test("ts_var_es: expected shortfall is at most VaR and both sit in the loss tail") {
     val rows = operators.TimeSeries2.tsVarEs(spark, sf).collect()
     assert(rows.nonEmpty)
