@@ -14,11 +14,11 @@ class HllSketchSpec extends SparkTestBase {
   test("operator output: contract booleans true, exact count positive") {
     val row = operators.Extras2.aggHllSketch(spark, sf).collect().head
     assert(row.getAs[Long]("exact_users") > 0)
-    assert(row.getAs[Boolean]("merge_consistent"), "sketch merge is lossy")
-    assert(row.getAs[Boolean]("err_ok"), "HLL estimate off exact by >10%")
+    assert(row.getAs[Boolean]("direct_err_ok"), "direct HLL estimate off exact by >10%")
+    assert(row.getAs[Boolean]("merged_err_ok"), "unioned HLL estimate off exact by >10%")
   }
 
-  test("independent re-derivation: day-union estimates like a direct sketch, within 5% of exact") {
+  test("independent re-derivation: union and direct estimates both within 5% of exact") {
     val e = Tables.events(spark, sf)
     val merged = e.groupBy(to_date(col("ts")).as("day"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
@@ -28,8 +28,17 @@ class HllSketchSpec extends SparkTestBase {
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))),
         countDistinct(col("user_id")))
       .head().toSeq.map(_.asInstanceOf[Long]).toArray
-    assert(merged == direct, s"sketch merge is lossy: merged=$merged direct=$direct")
+    // merged == direct holds here (sparse-mode cardinalities) but is
+    // NOT a DataSketches guarantee — the r9 sf0.1 gate caught the
+    // union gadget estimating differently once per-day sketches
+    // densify, so the operator contract is the error bound, not
+    // bit-distributivity. Keep the sparse-mode equality pinned at
+    // this sf as documentation of where the boundary sits.
+    assert(merged == direct,
+      s"sparse-mode union no longer bit-equal: merged=$merged direct=$direct")
     assert(math.abs(direct - exact.toDouble) / exact < 0.05,
-      s"HLL estimate $direct off exact $exact by >5%")
+      s"direct HLL estimate $direct off exact $exact by >5%")
+    assert(math.abs(merged - exact.toDouble) / exact < 0.05,
+      s"unioned HLL estimate $merged off exact $exact by >5%")
   }
 }
