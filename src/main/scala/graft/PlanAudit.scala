@@ -317,6 +317,7 @@ object ShuffleBudgets {
     "ts_roll_spread" -> 3,
     "ts_amihud" -> 3,
     "ts_kyle_lambda" -> 3,
+    "ts_variance_ratio" -> 3,
     // bigram count table + the vocab²-bounded marginal windows
     // (same-key windows share the exchange; top-50 is TakeOrdered)
     "llm_collocations" -> 2,

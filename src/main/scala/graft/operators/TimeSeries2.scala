@@ -413,6 +413,42 @@ object TimeSeries2 {
             / 1000.0 * 1e6, 6)).as("kyle_lambda_x1e6"))
   }
 
+  /** LO–MACKINLAY VARIANCE RATIO VR(4) — the random-walk test that
+    * pairs with [[tsAutocorr]]: if prices follow a random walk,
+    * Var(r_t(4)) = 4·Var(r_t(1)); VR < 1 flags mean reversion, > 1
+    * momentum. Both horizons' returns (overlapping, the standard
+    * form) come from ONE lag-window pass over the milli-unit hourly
+    * series (lag 1 + lag 4 columns); each variance derives from exact
+    * integer (n, Σx, Σx²) moments, and VR is a single double
+    * expression over the six integers, floor-quantized. Emitted only
+    * where the 1-period variance is positive. Same bounded shape as
+    * the rest of the module. */
+  val tsVarianceRatio: QFn = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(bar.as("bar"), col("event_type"))
+      .agg(davg2(col("value")).as("px"))
+      .withColumn("q", floor(col("px") * 1000.0).cast("long"))
+    val w = Window.partitionBy("event_type").orderBy("bar")
+    hourly
+      .withColumn("r1", col("q") - lag("q", 1).over(w))
+      .withColumn("r4", col("q") - lag("q", 4).over(w))
+      .groupBy("event_type")
+      .agg(
+        count(col("r1")).as("n1"), sum("r1").as("s1"),
+        sum(col("r1") * col("r1")).as("ss1"),
+        count(col("r4")).as("n4"), sum("r4").as("s4"),
+        sum(col("r4") * col("r4")).as("ss4"))
+      .filter(col("n1") > 1 && col("n4") > 1 &&
+        col("n1") * col("ss1") - col("s1") * col("s1") > 0)
+      .select(col("event_type"), col("n1"), col("n4"),
+        fq((col("n4") * col("ss4") - col("s4") * col("s4")).cast("double")
+          * (col("n1") * col("n1")).cast("double")
+          / ((col("n1") * col("ss1") - col("s1") * col("s1")).cast("double")
+            * lit(4.0) * (col("n4") * col("n4")).cast("double")), 6)
+          .as("vr4"))
+      .orderBy("event_type")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "ts_intraday_profile" -> tsIntradayProfile,
     "ts_bidask_spread" -> tsBidaskSpread,
@@ -423,6 +459,7 @@ object TimeSeries2 {
     "ts_trade_sign" -> tsTradeSign,
     "ts_ofi" -> tsOfi,
     "ts_roll_spread" -> tsRollSpread,
+    "ts_variance_ratio" -> tsVarianceRatio,
     "ts_amihud" -> tsAmihud,
     "ts_kyle_lambda" -> tsKyleLambda)
 
@@ -630,6 +667,29 @@ object TimeSeries2 {
               ${sqlFq("2.0 * sqrt(-CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 1000.0", 6)}
             END AS roll_spread
           FROM m ORDER BY event_type""",
+    "ts_variance_ratio" ->
+      s"""WITH hourly AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
+              CAST(floor(${sqlAvg2("value")} * 1000.0) AS BIGINT) AS q
+            FROM events GROUP BY 1, 2),
+          lagged AS (
+            SELECT event_type,
+              q - lag(q, 1) OVER win AS r1,
+              q - lag(q, 4) OVER win AS r4
+            FROM hourly
+            WINDOW win AS (PARTITION BY event_type ORDER BY bar)),
+          m AS (
+            SELECT event_type,
+              count(r1) AS n1, CAST(sum(r1) AS BIGINT) AS s1,
+              CAST(sum(r1 * r1) AS BIGINT) AS ss1,
+              count(r4) AS n4, CAST(sum(r4) AS BIGINT) AS s4,
+              CAST(sum(r4 * r4) AS BIGINT) AS ss4
+            FROM lagged GROUP BY event_type)
+          SELECT event_type, n1, n4,
+            ${sqlFq("CAST(n4 * ss4 - s4 * s4 AS DOUBLE) * CAST(n1 * n1 AS DOUBLE) / (CAST(n1 * ss1 - s1 * s1 AS DOUBLE) * 4.0 * CAST(n4 * n4 AS DOUBLE))", 6)} AS vr4
+          FROM m
+          WHERE n1 > 1 AND n4 > 1 AND n1 * ss1 - s1 * s1 > 0
+          ORDER BY event_type""",
     "ts_amihud" ->
       s"""WITH hourly AS (
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,

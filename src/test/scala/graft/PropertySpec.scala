@@ -253,4 +253,31 @@ class PropertySpec extends SparkTestBase {
       assert(r.getInt(0) == r.getInt(1), s"a=$as b=$bs")
     }
   }
+
+  test("Det.fq: floor-quantization laws (idempotent, monotone, grid-bounded, sign-correct)") {
+    import spark.implicits._
+    val vals = Gen.listOfN(50, Gen.chooseNum(-1e6, 1e6))
+    forAll(vals) { xs =>
+      val df = xs.toDF("x").select(col("x"),
+        Det.fq(col("x"), 6).as("q"), Det.fq(Det.fq(col("x"), 6), 6).as("qq"))
+      df.collect().foreach { r =>
+        val x = r.getDouble(0); val q = r.getDouble(1); val qq = r.getDouble(2)
+        assert(q <= x, s"fq must never exceed its input: $q > $x")
+        assert(x - q < 1e-6 + 1e-9, s"fq must stay within one grid step: $x -> $q")
+        assert(qq == q, s"fq must be idempotent: $q -> $qq")
+        assert(math.signum(q) * math.signum(x) >= 0 || math.abs(x) < 1e-6,
+          s"fq must not flip sign: $x -> $q")
+      }
+    }
+    // the r8 boundary class, explicitly: values whose 6-dp decimal sits
+    // on a half-up tie (where round() was engine-specific) quantize to
+    // ONE deterministic double
+    val boundary = Seq(0.0000005, 1.0000015, -2.0000005, 0.015, -0.015)
+    val out = boundary.toDF("x").select(Det.fq(col("x"), 6).as("q"))
+      .collect().map(_.getDouble(0))
+    // the exact expected floors of the BINARY doubles (computed the
+    // same way any IEEE-754 engine would)
+    val want = boundary.map(x => math.floor(x * 1e6) / 1e6)
+    assert(out.toSeq == want, s"fq boundary rows: ${out.toSeq} vs $want")
+  }
 }

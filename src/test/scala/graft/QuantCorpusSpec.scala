@@ -117,6 +117,31 @@ class QuantCorpusSpec extends SparkTestBase {
     assert(rows.head.getAs[Long]("n") > 0)
   }
 
+  test("ts_variance_ratio: VR(4) is positive and matches a driver-side recomputation") {
+    val rows = operators.TimeSeries2.tsVarianceRatio(spark, sfData).collect()
+    assert(rows.nonEmpty)
+    // recompute one symbol's VR from raw hourly bars on the driver
+    val et = rows.head.getAs[String]("event_type")
+    import org.apache.spark.sql.functions._
+    val q = Tables.events(spark, sfData)
+      .filter(col("event_type") === et)
+      .groupBy(date_trunc("hour", col("ts")).as("bar"))
+      .agg(graft.Det.davg2(col("value")).as("px"))
+      .orderBy("bar")
+      .select(floor(col("px") * 1000.0).cast("long"))
+      .collect().map(_.getLong(0))
+    def varOf(rs: Seq[Long]): Double = {
+      val n = rs.length.toDouble
+      (n * rs.map(r => r.toDouble * r).sum - math.pow(rs.map(_.toDouble).sum, 2)) / (n * n)
+    }
+    val r1 = q.sliding(2).map(p => p(1) - p(0)).toSeq
+    val r4 = q.indices.drop(4).map(i => q(i) - q(i - 4))
+    val want = varOf(r4) / (4.0 * varOf(r1))
+    val got = rows.head.getAs[Double]("vr4")
+    assert(rows.forall(_.getAs[Double]("vr4") > 0.0))
+    assert(math.abs(got - want) < 1e-4, s"VR(4) $got vs recomputed $want")
+  }
+
   test("ts_var_es: expected shortfall is at most VaR and both sit in the loss tail") {
     val rows = operators.TimeSeries2.tsVarEs(spark, sf).collect()
     assert(rows.nonEmpty)
