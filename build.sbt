@@ -28,3 +28,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Driver bench artifact (r9 verdict #1): the driver parses the LAST
+// stdout line of `sbt "runMain graft.Bench"` as JSON. Nine rounds of
+// BENCH_r*.json recorded parsed:null because sbt wrapped the forked
+// program's output in a "[info] " logger prefix and appended a
+// "[success] Total time: …" epilogue. Route forked stdout RAW and
+// suppress the success line so graft.Bench's compact JSON really is
+// the final stdout line.
+outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

@@ -104,63 +104,115 @@ object Bench {
     case class Run(sec: Double, ok: Boolean, epoch: Long,
                    load0: Double, load1: Double, gcDeltaMs: Long,
                    cpuDeltaMs: Long, spillMemB: Long, spillDiskB: Long,
-                   shufWriteB: Long, peakExecMemB: Long, stateB: Long)
+                   shufWriteB: Long, peakExecMemB: Long, stateB: Long,
+                   pass: Int, pos: Int)
+    // WARM-UP (r9 verdict #2): several keys build machine-local staged
+    // artifacts on first touch (IndexStore: trades-with-mid layout,
+    // the three stream feed directories, IVF/PQ quantizers, BPE
+    // merges, near-dup pairs). In a fresh container that construction
+    // lands inside whichever timed run reaches it first — r9's driver
+    // artifact showed 8–19× driver-vs-quiet gaps on exactly those
+    // keys. Stage them ONCE, untimed, before any timed pass; the
+    // warm-up walls are recorded in env.warmup so the exclusion is
+    // auditable, not silent.
+    val stagingKeys = Seq(
+      "ts_effective_spread",    // trades_mid_v2 layout
+      "stream_tumbling",        // stream_feed_flush_v3
+      "stream_foreach_batch",   // stream_feed_plain_v3
+      "stream_late_data_final", // stream_feed_late_v1
+      "llm_knn_ivf",            // kmeans centroids + ivf_layout_v1
+      "llm_knn_pq",             // pq_books_v1
+      "llm_near_dedup",         // neardup_pairs_v1
+      "llm_bpe_encode")         // bpe_merges_v1
+    val warmup: Seq[(String, Double)] =
+      if (sys.env.contains("SPARK_GRAFT_NO_WARMUP")) Seq.empty
+      else stagingKeys.flatMap { name =>
+        SparkEntry.queries.get(name).map { fn =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+          }
+          (name, (System.nanoTime() - t0) / 1e9)
+        }
+      }
     val benchStart = System.currentTimeMillis()
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    // PASS ROTATION (r9 verdict #2): n timed passes over ALL keys,
+    // each pass visiting them in a deterministically ROTATED order
+    // (pass p starts at offset p·|keys|/n). With the old per-key
+    // consecutive-runs loop, alphabetically-late keys always ran at
+    // the end of the bench where end-of-run host load concentrates —
+    // best-of-n could not separate "slow key" from "slow time slot".
+    // Rotation gives every key at least one run in a different third
+    // of the wall-clock window, so its best-of-n dodges any localized
+    // contention, and the per-run (pass, pos) telemetry lets a reader
+    // correlate inflation with position post hoc.
+    val runsByKey = scala.collection.mutable.Map.empty[String, Vector[Run]]
+    for (p <- 0 until nRuns) {
+      val off = if (keys.isEmpty) 0 else (p * keys.size) / nRuns
+      val order = keys.drop(off) ++ keys.take(off)
+      order.zipWithIndex.foreach { case ((name, fn), pos) =>
+        val epoch = System.currentTimeMillis()
+        val l0 = loadAvg(); val g0 = gcMs(); val c0 = procCpuMs()
+        // counters are cumulative; peaks are per-run (reset) — the
+        // listener bus is drained before reading so deltas belong
+        // to THIS run, not a neighbor
+        val sm0 = spillMem.get(); val sd0 = spillDisk.get()
+        val sw0 = shufWrite.get()
+        peakExecMem.set(0); stateBytes.set(0)
+        val t0 = System.nanoTime()
         // a failed run's wall time must not win the best-of-n (a fast
         // crash would otherwise report a nonsense "best" for a key
         // that is also listed in failed)
-        val runs = (1 to nRuns).map { _ =>
-          val epoch = System.currentTimeMillis()
-          val l0 = loadAvg(); val g0 = gcMs(); val c0 = procCpuMs()
-          // counters are cumulative; peaks are per-run (reset) — the
-          // listener bus is drained before reading so deltas belong
-          // to THIS run, not a neighbor
-          val sm0 = spillMem.get(); val sd0 = spillDisk.get()
-          val sw0 = shufWrite.get()
-          peakExecMem.set(0); stateBytes.set(0)
-          val t0 = System.nanoTime()
-          val ok =
-            try { fn(spark, sfDir).count(); true }
-            catch { case e: Throwable =>
-              if (!failed.contains(name)) {
-                failed ::= name
-                System.err.println(s"[bench] $name failed: ${e.getMessage}")
-              }
-              false
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            if (!failed.contains(name)) {
+              failed ::= name
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
             }
-          val wall = (System.nanoTime() - t0) / 1e9
-          org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
-          Run(wall, ok, epoch, l0, loadAvg(),
-            gcMs() - g0, procCpuMs() - c0,
-            spillMem.get() - sm0, spillDisk.get() - sd0,
-            shufWrite.get() - sw0, peakExecMem.get(), stateBytes.get())
-        }
-        // a key with zero successful runs has no meaningful "best":
-        // emit null and keep it out of the headline total (r4 ADVICE —
-        // a fast crash was summed in and understated the metric)
-        val good = runs.collect { case r if r.ok => r.sec }.sorted
-        val best: Option[Double] = good.headOption
-        val median: Option[Double] =
-          if (good.isEmpty) None else Some(good(good.size / 2))
-        (name, best, median, runs)
+            false
+          }
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+        val run = Run(wall, ok, epoch, l0, loadAvg(),
+          gcMs() - g0, procCpuMs() - c0,
+          spillMem.get() - sm0, spillDisk.get() - sd0,
+          shufWrite.get() - sw0, peakExecMem.get(), stateBytes.get(),
+          p, pos)
+        runsByKey.updateWith(name)(v => Some(v.getOrElse(Vector.empty) :+ run))
       }
+    }
+    val results = keys.map { case (name, _) =>
+      val runs = runsByKey.getOrElse(name, Vector.empty)
+      // a key with zero successful runs has no meaningful "best":
+      // emit null and keep it out of the headline total (r4 ADVICE —
+      // a fast crash was summed in and understated the metric)
+      val good = runs.collect { case r if r.ok => r.sec }.sorted
+      val best: Option[Double] = good.headOption
+      val median: Option[Double] =
+        if (good.isEmpty) None else Some(good(good.size / 2))
+      (name, best, median, runs)
+    }
     def keyed(f: ((String, Option[Double], Option[Double], Seq[Run])) => String) =
       results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val qs = keyed(_._2.fold("null")(_.toString))
     val ms = keyed(_._3.fold("null")(_.toString))
     val rs = keyed(_._4.map(_.sec).mkString("[", ",", "]"))
     val tele = keyed(_._4.map(r =>
-      s"""{"epoch_ms":${r.epoch},"load_before":${r.load0},"load_after":${r.load1},"gc_delta_ms":${r.gcDeltaMs},"cpu_delta_ms":${r.cpuDeltaMs},"spill_mem_b":${r.spillMemB},"spill_disk_b":${r.spillDiskB},"shuf_write_b":${r.shufWriteB},"peak_exec_mem_b":${r.peakExecMemB},"state_b":${r.stateB}}""")
+      s"""{"epoch_ms":${r.epoch},"pass":${r.pass},"pos":${r.pos},"load_before":${r.load0},"load_after":${r.load1},"gc_delta_ms":${r.gcDeltaMs},"cpu_delta_ms":${r.cpuDeltaMs},"spill_mem_b":${r.spillMemB},"spill_disk_b":${r.spillDiskB},"shuf_write_b":${r.shufWriteB},"peak_exec_mem_b":${r.peakExecMemB},"state_b":${r.stateB}}""")
       .mkString("[", ",", "]"))
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     val totalMedian = results.flatMap(_._3).sum
+    val warmupJson = warmup
+      .map { case (n, s) => "\"" + n + "\":" + f"$s%.3f" }
+      .mkString("{", ",", "}")
     val env =
-      s"""{"cpus":"$cpus","start_epoch_ms":$benchStart,"end_epoch_ms":${System.currentTimeMillis()},"load_end":${loadAvg()},"gc_total_ms":${gcMs()}}"""
+      s"""{"cpus":"$cpus","start_epoch_ms":$benchStart,"end_epoch_ms":${System.currentTimeMillis()},"load_end":${loadAvg()},"gc_total_ms":${gcMs()},"warmup":$warmupJson}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"queries":$qs,"medians":$ms,"runs":$rs,"telemetry":$tele,"env":$env,"n":$nRuns,"failed":$fs,"sf":"$sfDir"}"""
     // durable copy: the round-2 driver artifact lost its tail to stdout

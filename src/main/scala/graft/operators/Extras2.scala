@@ -710,8 +710,10 @@ object Extras2 {
 
   val oracles: Seq[(String, String)] = Seq(
     // contract oracle (see aggHllSketch scaladoc): literal TRUE for
-    // the merge-distributivity and error-bound bits — hash mismatch
-    // ⇔ the DataSketches surface broke its contract
+    // the two error-bound bits (direct_err_ok / merged_err_ok — union
+    // distributivity is deliberately NOT the contract; it breaks once
+    // per-day sketches densify) — hash mismatch ⇔ the DataSketches
+    // surface broke its error contract
     "agg_hll_sketch" ->
       """SELECT count(DISTINCT user_id) AS exact_users,
            true AS direct_err_ok, true AS merged_err_ok

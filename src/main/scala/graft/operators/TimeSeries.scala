@@ -113,9 +113,14 @@ object TimeSeries {
 
   /** Hourly realized volatility — √Σr² over consecutive-tick log
     * returns within each bar, the microstructure statistic of an
-    * intraday store. Cross-engine determinism: each return rounds to
-    * 6 decimals FIRST (`fn_math` proves round-6 ln parity), so both
-    * engines square and decimal-sum identical doubles; non-positive
+    * intraday store. Cross-engine determinism: each return ROUNDS
+    * (not fq) to 6 decimals FIRST — ln is a transcendental, so Spark's
+    * Math.log and DuckDB's libm log can land an ulp apart and fq would
+    * split ulp-apart values across a grid edge (the r9 audit rule;
+    * round is the absorber here). Both engines then square and
+    * decimal-sum identical doubles; the OUTER fq on sqrt is safe
+    * because IEEE-754 sqrt is correctly rounded and its operand (the
+    * dsum6 decimal sum) is bit-identical cross-engine. Non-positive
     * prices yield null returns in both. One bar-partitioned window +
     * the same-key groupBy — a single shuffle, like [[tsTwap]]. */
   val tsRealizedVol: QFn = (s, d) => {
@@ -125,7 +130,7 @@ object TimeSeries {
         unix_micros(col("ts")).as("uts"))
       .withColumn("nv", lead("value", 1).over(w))
       .withColumn("r", when(col("value") > 0 && col("nv") > 0,
-        fq(log(col("nv") / col("value")), 6)))
+        round(log(col("nv") / col("value")), 6)))
       .groupBy("bar")
       .agg(fq(sqrt(dsum6(col("r") * col("r"))), 6).as("rv"),
         count(col("r")).as("n_returns"))
@@ -446,7 +451,7 @@ object TimeSeries {
             FROM t),
           r AS (
             SELECT bar,
-              CASE WHEN value > 0 AND nv > 0 THEN ${sqlFq("ln(nv / value)", 6)} END AS r
+              CASE WHEN value > 0 AND nv > 0 THEN round(ln(nv / value), 6) END AS r
             FROM x)
           SELECT bar, ${sqlFq("sqrt(" + sqlSum6("r * r") + ")", 6)} AS rv,
             count(r) AS n_returns

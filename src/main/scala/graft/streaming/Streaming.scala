@@ -284,6 +284,14 @@ object Streaming {
         Files.setLastModifiedTime(target,
           java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 2000L))
       }
+      // the multi-batch guarantee ("≥2 files, one micro-batch each")
+      // rests on repartitionByRange yielding ≥2 non-empty range
+      // partitions; with degenerate (near-constant) ts all rows could
+      // collapse into one and flush=false feeds would silently lose
+      // their mid-stream watermark advance — fail loudly instead
+      require(n < 2 || allFiles.size >= 2,
+        s"stagedFeed($tag): degenerate chunking — $n rows landed in " +
+          s"${allFiles.size} file(s); ts range cannot support ≥2 micro-batches")
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
     }
   }
@@ -579,14 +587,18 @@ object Streaming {
     }.select(col("window.start").as("w_start"), col("event_type"), col("n"))
       .orderBy("w_start", "event_type")
 
-  /** DISORDERED feed for the oracled late-data key: four files, four
+  /** DISORDERED feed for the oracled late-data key: five files, five
     * micro-batches.
     *   file0 — the "on-time" cohort (ts < S, S = day-truncated min ts
     *           + 15 days) PLUS every max-ts row (the fast arrival that
     *           races the watermark forward to M − 1h),
-    *   file1 — the LATE cohort (ts ∈ [S, M)), delivered after the
+    *   file1 — a one-row eviction TICK (ts = M, marker event_type):
+    *           end-of-batch eviction must run once against the M − 1h
+    *           watermark BEFORE the late rows arrive, or they merge
+    *           into still-live state and are never counted late,
+    *   file2 — the LATE cohort (ts ∈ [S, M)), delivered after the
     *           watermark has already passed most of it,
-    *   file2/3 — the usual two flush sentinels.
+    *   file3/4 — the usual two flush sentinels.
     * Each cohort is ONE file (one micro-batch): if file0 split, a
     * sub-batch after the max-ts row would itself be late-filtered and
     * the drop set would depend on chunking instead of the advertised
