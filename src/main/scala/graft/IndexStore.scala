@@ -101,11 +101,17 @@ object IndexStore {
     val tmp = Paths.get(root, s"$name.tmp.$uniqueSuffix")
     build(tmp.toString)
     try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-    catch { case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.AccessDeniedException |
-                 _: java.nio.file.DirectoryNotEmptyException =>
-      // another JVM published while we built: keep theirs, drop ours
-      deleteRecursively(tmp)
+    catch {
+      // another JVM published while we built: keep theirs, drop ours.
+      // Guarded on the TARGET existing, not on exception subtype: Linux
+      // rename(2) of a dir onto an existing non-empty dir surfaces as a
+      // RAW FileSystemException("Directory not empty") from ATOMIC_MOVE
+      // — not the DirectoryNotEmptyException the copy path throws — so
+      // subtype matching crashed the losing racer (caught by
+      // IndexStoreSpec's 4-thread race). FileAlreadyExists/AccessDenied/
+      // DirectoryNotEmpty are all FileSystemException subtypes.
+      case e: java.nio.file.FileSystemException if Files.exists(target) =>
+        deleteRecursively(tmp)
     }
     target.toString
   }

@@ -37,6 +37,7 @@ object SparkEntry {
       operators.TimeSeries.entries ++
       operators.TimeSeries2.entries ++
       operators.LlmCorpus.entries ++
+      operators.IndexStoreOp.entries ++
       plans.AsOfJoinPlans.entries ++
       streaming.Streaming.entries
 
@@ -62,6 +63,7 @@ object SparkEntry {
       operators.TimeSeries.oracles ++
       operators.TimeSeries2.oracles ++
       operators.LlmCorpus.oracles ++
+      operators.IndexStoreOp.oracles ++
       plans.AsOfJoinPlans.oracles ++
       streaming.Streaming.oracles
 
