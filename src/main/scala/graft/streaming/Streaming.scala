@@ -317,7 +317,22 @@ object Streaming {
     * production backend (bounded executor heap; state spills to local
     * disk + changelog), pinned here so every stateful key exercises
     * it. With `flush = true` the sentinel feed (above) seals all real
-    * event-time windows for Append-mode emission. */
+    * event-time windows for Append-mode emission.
+    *
+    * SINK CHOICE (r10, found by the 300× ladder rung): Append-mode
+    * queries write a PARQUET FILE SINK and the result is read back
+    * through its `_spark_metadata` log — never the memory sink. The
+    * memory sink accumulates every emitted row ON THE DRIVER, and
+    * Append output for keys like `stream_dedup` is proportional to
+    * EVENT VOLUME: at the 300× replica (30 M events) the read-back of
+    * the driver-held rows serialized an 88 MB ParallelCollection task,
+    * OOM'd a 24 g heap, killed the scheduler endpoint and hung AQE.
+    * The file sink is also the production shape — results land as an
+    * exactly-once parquet table, distributed end to end. Update-mode
+    * queries (the stateful quartet) keep the memory sink: file sinks
+    * don't support Update, and their output is bounded by STATE
+    * cardinality (users × batch count), not event volume — the same
+    * bound their state story already guarantees. */
   private def runStream(s: SparkSession, d: String,
       mode: OutputMode, name: String,
       extraConfs: Map[String, String] = Map.empty,
@@ -354,14 +369,28 @@ object Streaming {
     val prev = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
     confs.foreach { case (k, v) => s.conf.set(k, v) }
     val ckpt = scratchCkpt(sinkName)
+    val append = mode == OutputMode.Append()
+    // file-sink output path: keyed by (key, dataset, app) and cleared
+    // before start, so repeated runs in one session can't accumulate
+    // stale batches or unbounded tmp growth. NOT /dev/shm — at 300×
+    // an event-volume-proportional result is GBs, which on tmpfs is
+    // RAM. A var so the post-run read sees the path.
+    val outPath = s"${System.getProperty("java.io.tmpdir")}/graft_sink_" +
+      s"${name}_${d.hashCode & 0x7fffffff}_${s.sparkContext.applicationId}"
+    var outSchema: org.apache.spark.sql.types.StructType = null
     val q = try {
       val src = s.readStream.schema(Encoders.product[Ev].schema)
         .option("maxFilesPerTrigger", "1").parquet(feed)
-      build(src).writeStream
-        .format("memory").queryName(sinkName).outputMode(mode)
+      val streamed = build(src)
+      outSchema = streamed.schema
+      val w = streamed.writeStream.outputMode(mode)
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      if (append) {
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(outPath)).deleteRecursively()
+        w.format("parquet").option("path", outPath).start()
+      } else w.format("memory").queryName(sinkName).start()
     } finally prev.foreach {
       case (k, Some(v)) => s.conf.set(k, v)
       case (k, None)    => s.conf.unset(k)
@@ -380,7 +409,11 @@ object Streaming {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(ckpt)).deleteRecursively()
     }
-    s.table(sinkName)
+    // explicit schema: a key whose every batch emitted zero rows has a
+    // _spark_metadata log but no part files — schema inference would
+    // throw where "empty result" is the correct answer
+    if (append) s.read.schema(outSchema).parquet(outPath)
+    else s.table(sinkName)
   }
 
   private def dsum2(c: org.apache.spark.sql.Column) =
