@@ -569,7 +569,9 @@ object LlmSimilarity {
     * checks recall of high-Jaccard pairs and estimate error;
     * [[llmNearDedupExact]] is the oracle-checkable twin. */
   val llmNearDedup: QFn = (s, d) => {
-    val sigs = minhashSignatures(s, d)
+    // shuffle_hash on every signature/gram attachment — same payload-
+    // sort-spill reasoning as [[llmNearDedupExact]] (the 300× rung)
+    val sigs = minhashSignatures(s, d).hint("shuffle_hash")
     val cands = lshCandidates(sigs, MinhashBands)
     val est = cands
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
@@ -584,6 +586,7 @@ object LlmSimilarity {
     // gram pipeline), at a fraction of the compare cost
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.HashedBigrams(col("text")).as("grams"))
+      .hint("shuffle_hash")
     est.join(grams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
       .join(grams.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
       // |A∪B| = |A| + |B| − |A∩B| on these distinct gram sets: one
@@ -608,8 +611,17 @@ object LlmSimilarity {
     * oracle's cost, not the engine's. */
   val llmNearDedupExact: QFn = (s, d) => {
     val cands = lshCandidates(minhashSignatures(s, d), bands = 32)
+    // SHUFFLE_HASH on the gram attachment: sort-merge would SORT both
+    // sides carrying the full hashed-gram ARRAY payload (~KB/row) —
+    // at the 300× ladder rung (15 M docs, ~24 GB of gram arrays × two
+    // joins) the UnsafeExternalSorter spill exceeded local disk and
+    // killed the key. A hash join never sorts the payload; the build
+    // side is one partition's grams (bounded by the doc-id shuffle),
+    // which is also the right cluster shape — payload moves once,
+    // no sort files.
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.HashedBigrams(col("text")).as("grams"))
+      .hint("shuffle_hash")
     cands
       .join(grams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
       .join(grams.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
