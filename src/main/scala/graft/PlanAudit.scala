@@ -70,6 +70,8 @@ object PlanAudit {
     "llm_bpe_encode" -> ("reads the content-keyed stored merge table " +
       "(trains it on first touch of new content) + a 6-row collect — " +
       "the merge table IS the tokenizer"),
+    "llm_tokenizer_fertility" ->
+      "reads the same stored merge table + 6-row collect as llm_bpe_encode",
     "llm_dedup_cluster" -> "label-propagation rounds converge via count()",
     "graph_components" -> ("same CC kernel on the trade subgraph — " +
       "per-round localCheckpoint + 1-value convergence count"),
@@ -125,7 +127,11 @@ object PlanAudit {
       "the production tick-store shape, shared with trade_sign/ofi"),
     "ts_trade_sign" -> "reads the shared staged trades-with-mid enrichment",
     "ts_ofi" -> "reads the shared staged trades-with-mid enrichment",
-    "ts_kyle_lambda" -> "reads the shared staged trades-with-mid enrichment")
+    "ts_kyle_lambda" -> "reads the shared staged trades-with-mid enrichment",
+    // the store-contract key IS a write-then-read: first touch of new
+    // content publishes the K-row rollup artifact it then reads back
+    "etl_index_store" -> ("stages the fingerprint-keyed rollup artifact " +
+      "it then reads — the staged-artifact contract is the operator"))
 
   /** Count the shuffles (Exchange operators) the executed plan
     * actually ran, walking through AQE wrappers and query stages and
@@ -316,6 +322,10 @@ object ShuffleBudgets {
     // series window over the #bars joined frame
     "ts_roll_spread" -> 3,
     "ts_amihud" -> 3,
+    // hi/lo bar pre-agg + per-symbol lag window + grouped means + sort
+    "ts_corwin_schultz" -> 4,
+    // per-row encode fold + ONE |langs|-grain agg + presentation sort
+    "llm_tokenizer_fertility" -> 2,
     "ts_kyle_lambda" -> 3,
     "ts_variance_ratio" -> 3,
     // bigram count table + the vocab²-bounded marginal windows
@@ -407,6 +417,8 @@ object ShuffleBudgets {
     "join_asof_nearest_native" -> 3,
     "join_asof_tolerance_native" -> 3,
     "etl_snapshot_log" -> 1,
+    // reads the K-row staged rollup + presentation sort
+    "etl_index_store" -> 1,
     "join_asof_nearest" -> 2,
     "join_asof_tolerance" -> 2,
     "join_bloom_prefilter" -> 2,
@@ -449,8 +461,14 @@ object ShuffleBudgets {
     "llm_lang_id" -> 1,
     "llm_lm_score" -> 4,
     "llm_multimodal_join" -> 1,
-    "llm_near_dedup" -> 2,
-    "llm_near_dedup_exact" -> 2,
+    // +7/+3 in r10: shuffle_hash hints on every signature/gram payload
+    // attachment (the 300× rung showed SMJ sort-spilling the array
+    // payload past local disk) pin those joins as hash exchanges —
+    // they no longer fold to broadcasts at audit scale. The payload
+    // still moves exactly once per attachment; the extra exchanges
+    // ARE the declared plan shape, not a regression.
+    "llm_near_dedup" -> 9,
+    "llm_near_dedup_exact" -> 5,
     "llm_ngram_jaccard" -> 3,
     "llm_ngram_lm" -> 2,
     "llm_ngram_windows" -> 1,
