@@ -322,8 +322,9 @@ object ShuffleBudgets {
     // series window over the #bars joined frame
     "ts_roll_spread" -> 3,
     "ts_amihud" -> 3,
-    // hi/lo bar pre-agg + per-symbol lag window + grouped means + sort
-    "ts_corwin_schultz" -> 4,
+    // hi/lo bar pre-agg + per-symbol lag window + grouped means (AQE
+    // folds the 5-row presentation sort)
+    "ts_corwin_schultz" -> 3,
     // per-row encode fold + ONE |langs|-grain agg + presentation sort
     "llm_tokenizer_fertility" -> 2,
     "ts_kyle_lambda" -> 3,

@@ -257,10 +257,44 @@ object Clustering {
       .orderBy("doc_id")
   }
 
+  /** TOKENIZER FERTILITY by language — the multilingual-curation
+    * metric a corpus team reads before fixing a sampling mix: tokens
+    * emitted per character, per language, under the trained tokenizer
+    * (a language the tokenizer serves badly shows high fertility, i.e.
+    * its text costs more sequence length per character of content).
+    * Composes two verified pieces: the stored BPE merge table
+    * ([[bpeMergesStored]] — train-once/encode-everywhere artifact) and
+    * the per-doc encode fold of [[llmBpeEncode]], then ONE map-side-
+    * combinable aggregation onto the |langs| grain. All outputs are
+    * exact integers (fertility in micro-tokens-per-char via truncating
+    * `div`), so the key is hash-exact; the oracle re-derives the
+    * merges and replays the fuse chain exactly as `llm_bpe_encode`'s
+    * does, then aggregates per language. */
+  val llmTokenizerFertility: QFn = (s, d) => {
+    val merges = bpeMergesStored(s, d)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val encoded = merges.foldLeft(col("text")) { case (t, (a, b)) =>
+      val pat = s"(?<=^| )${java.util.regex.Pattern.quote(a)} ${java.util.regex.Pattern.quote(b)}(?=$$| )"
+      regexp_replace(t, pat, s"${a}_$b")
+    }
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        size(split(encoded, " ")).cast("long").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tok"),
+        sum("n_chars").as("total_chars"))
+      .withColumn("fert_micro",
+        expr("(total_tok * 1000000L) div total_chars"))
+      .orderBy("lang")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "llm_kmeans" -> llmKmeans,
     "llm_bpe_train" -> llmBpeTrain,
-    "llm_bpe_encode" -> llmBpeEncode)
+    "llm_bpe_encode" -> llmBpeEncode,
+    "llm_tokenizer_fertility" -> llmTokenizerFertility)
 
   /** DuckDB twin of the D2 assignment kernel: squared euclidean over
     * the zipped (float-cast-to-double, centroid) lists, summed in list
@@ -431,9 +465,31 @@ object Clustering {
           ORDER BY f.doc_id"""
   }
 
+  /** Fertility oracle: the encode oracle's train+apply replay, with
+    * the final projection aggregated per language in exact integers. */
+  private def tokenizerFertilityOracleSql: String = {
+    val trainRounds = (1 to BpeMerges).map(bpeRoundSql).mkString(",\n          ")
+    val applyRounds = (1 to BpeMerges).map(applyRoundSql).mkString(",\n          ")
+    s"""WITH corpus0 AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE doc_id % 10 = 0),
+          $trainRounds,
+          fcorpus0 AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+          $applyRounds
+          SELECT d.lang, count(*) AS n_docs,
+            CAST(sum(len(f.toks)) AS BIGINT) AS total_tok,
+            CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+            CAST((CAST(sum(len(f.toks)) AS BIGINT) * 1000000)
+              // CAST(sum(d.n_chars) AS BIGINT) AS BIGINT) AS fert_micro
+          FROM fcorpus$BpeMerges f JOIN documents d USING (doc_id)
+          GROUP BY d.lang ORDER BY d.lang"""
+  }
+
   val oracles: Seq[(String, String)] = Seq(
     "llm_bpe_train" -> bpeOracleSql,
     "llm_bpe_encode" -> bpeEncodeOracleSql,
+    "llm_tokenizer_fertility" -> tokenizerFertilityOracleSql,
     "llm_kmeans" ->
       s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
           seed_src AS (

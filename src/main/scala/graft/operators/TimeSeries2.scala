@@ -375,6 +375,61 @@ object TimeSeries2 {
       .orderBy("event_type")
   }
 
+  /** 3 − 2√2, the Corwin–Schultz denominator. `math.sqrt` is IEEE
+    * correctly-rounded and the subtraction is exact, so this double is
+    * bit-identical to DuckDB's `3 - 2*sqrt(2)`; the oracle embeds the
+    * round-tripping literal below instead of re-deriving it so the two
+    * sides cannot even in principle drift. */
+  private val CsDen = 3.0 - 2.0 * math.sqrt(2.0)
+  private val CsDenLit = java.lang.Double.toString(CsDen)
+
+  /** CORWIN–SCHULTZ (2012) HIGH–LOW SPREAD — the estimator that
+    * recovers the bid/ask spread from bar HIGHS AND LOWS alone: the
+    * high–low range of a single bar reflects variance PLUS spread
+    * while the range of two joined bars reflects two-bar variance
+    * plus the same one spread, so the two ranges separate the
+    * components. Per consecutive-bar pair: β = ln²(H₀/L₀) + ln²(H₁/L₁),
+    * γ = ln²(max(H)/min(L)), α = (√(2β)−√β)/(3−2√2) − √(γ/(3−2√2)),
+    * S = 2(eᵅ−1)/(eᵅ+1); per-symbol output is the mean raw S and the
+    * mean of max(S, 0) (negative estimates floor to zero per the
+    * paper's treatment).
+    *
+    * Determinism: H/L are max/min of RAW prices (both engines pick the
+    * same stored double — no arithmetic), the ln/sqrt/exp chain is
+    * transcendental so the per-pair S takes round(6) as the ulp
+    * absorber (the retained-round taxonomy — same class as fn_math and
+    * llm_lm_score; fq would split ulp-apart values across a grid
+    * edge), and the means are exact DECIMAL(30,6) sums of the rounded
+    * terms divided by the count — order-independent, final fq for
+    * presentation. Same bounded shape as the rest of the module:
+    * map-side-combinable bar pre-agg → per-symbol series window →
+    * O(#bars) rows at any tick volume. */
+  val tsCorwinSchultz: QFn = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(bar.as("bar"), col("event_type"))
+      .agg(max(col("value")).as("hi"), min(col("value")).as("lo"))
+    val w = Window.partitionBy("event_type").orderBy("bar")
+    val l0 = log(col("hp") / col("lp"))
+    val l1 = log(col("hi") / col("lo"))
+    val lg = log(greatest(col("hi"), col("hp")) / least(col("lo"), col("lp")))
+    val beta = l0 * l0 + l1 * l1
+    val gamma = lg * lg
+    val alpha = (sqrt(lit(2.0) * beta) - sqrt(beta)) / lit(CsDen) -
+      sqrt(gamma / lit(CsDen))
+    val sRaw = lit(2.0) * (exp(alpha) - lit(1.0)) / (exp(alpha) + lit(1.0))
+    hourly
+      .withColumn("hp", lag("hi", 1).over(w))
+      .withColumn("lp", lag("lo", 1).over(w))
+      .filter(col("hp").isNotNull && col("lp") > 0 && col("lo") > 0)
+      .withColumn("s6", round(sRaw, 6))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        fq(dsum6(col("s6")) / count(lit(1)), 9).as("cs_spread_raw"),
+        fq(dsum6(greatest(col("s6"), lit(0.0))) / count(lit(1)), 9)
+          .as("cs_spread"))
+      .orderBy("event_type")
+  }
+
   /** KYLE (1985) LAMBDA — the price-impact slope: regress the hourly
     * mid-price change on the hour's SIGNED order flow (tick-rule
     * signs from the staged trades-with-mid enrichment, sizes from
@@ -461,6 +516,7 @@ object TimeSeries2 {
     "ts_roll_spread" -> tsRollSpread,
     "ts_variance_ratio" -> tsVarianceRatio,
     "ts_amihud" -> tsAmihud,
+    "ts_corwin_schultz" -> tsCorwinSchultz,
     "ts_kyle_lambda" -> tsKyleLambda)
 
   val oracles: Seq[(String, String)] = Seq(
@@ -667,6 +723,37 @@ object TimeSeries2 {
               ${sqlFq("2.0 * sqrt(-CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 1000.0", 6)}
             END AS roll_spread
           FROM m ORDER BY event_type""",
+    // Corwin–Schultz: raw max/min bars (no arithmetic → identical
+    // doubles), per-pair transcendental chain with round(6) as the ulp
+    // absorber, DECIMAL(30,6)-exact means; the denominator 3−2√2 is
+    // embedded as the Scala-computed literal so both engines evaluate
+    // the identical double
+    "ts_corwin_schultz" ->
+      s"""WITH h AS (
+            SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,
+              max(value) AS hi, min(value) AS lo
+            FROM events GROUP BY 1, 2),
+          p AS (
+            SELECT event_type, hi, lo,
+              lag(hi, 1) OVER win AS hp, lag(lo, 1) OVER win AS lp
+            FROM h
+            WINDOW win AS (PARTITION BY event_type ORDER BY bar)),
+          b AS (
+            SELECT event_type,
+              ln(hp/lp)*ln(hp/lp) + ln(hi/lo)*ln(hi/lo) AS beta,
+              ln(greatest(hi,hp)/least(lo,lp)) * ln(greatest(hi,hp)/least(lo,lp)) AS gamma
+            FROM p WHERE hp IS NOT NULL AND lp > 0 AND lo > 0),
+          al AS (
+            SELECT event_type,
+              (sqrt(2.0*beta) - sqrt(beta))/$CsDenLit - sqrt(gamma/$CsDenLit) AS a
+            FROM b),
+          t AS (
+            SELECT event_type,
+              round(2.0*(exp(a) - 1.0)/(exp(a) + 1.0), 6) AS s6 FROM al)
+          SELECT event_type, count(*) AS n_pairs,
+            ${sqlFq(s"${sqlSum6("s6")} / count(*)", 9)} AS cs_spread_raw,
+            ${sqlFq(s"${sqlSum6("greatest(s6, 0.0)")} / count(*)", 9)} AS cs_spread
+          FROM t GROUP BY event_type ORDER BY event_type""",
     "ts_variance_ratio" ->
       s"""WITH hourly AS (
             SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bar, event_type,

@@ -1,0 +1,78 @@
+package graft
+
+/** Semantic invariants for the round-10 additions (`ts_corwin_schultz`,
+  * `llm_tokenizer_fertility`) — as with QuantCorpusSpec, the DuckDB
+  * oracle proves cross-engine hash equality; these prove the
+  * statistics MEAN what they claim, independently recomputed in plain
+  * Scala / through the already-oracled sibling key. */
+class R10AdditionsSpec extends SparkTestBase {
+
+  test("ts_corwin_schultz: per-symbol estimate matches a plain-Scala replay of the formula") {
+    import org.apache.spark.sql.functions._
+    val out = operators.TimeSeries2.tsCorwinSchultz(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Double]("cs_spread_raw"),
+          r.getAs[Double]("cs_spread"))).toMap
+    assert(out.nonEmpty)
+
+    // independent replay: hourly hi/lo bars per symbol, consecutive
+    // pairs, the published formula, round(6), exact decimal mean
+    val bars = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("bar"), col("event_type"))
+      .agg(max("value").as("hi"), min("value").as("lo"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("bar").getTime,
+        r.getAs[Double]("hi"), r.getAs[Double]("lo")))
+      .groupBy(_._1)
+    val den = 3.0 - 2.0 * math.sqrt(2.0)
+    bars.foreach { case (sym, rows) =>
+      val series = rows.sortBy(_._2).map(t => (t._3, t._4))
+      val s6s = series.sliding(2).collect { case Array((hp, lp), (hi, lo)) =>
+        val beta = math.pow(math.log(hp / lp), 2) + math.pow(math.log(hi / lo), 2)
+        val gamma = math.pow(math.log(math.max(hi, hp) / math.min(lo, lp)), 2)
+        val a = (math.sqrt(2 * beta) - math.sqrt(beta)) / den - math.sqrt(gamma / den)
+        val sRaw = 2.0 * (math.exp(a) - 1.0) / (math.exp(a) + 1.0)
+        BigDecimal(sRaw).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.toSeq
+      if (s6s.isEmpty) assert(!out.contains(sym), s"$sym: no pairs, no row")
+      else {
+        val (n, raw, clamped) = out(sym)
+        assert(n == s6s.length, s"$sym pair count")
+        // mirror the engine: exact decimal sum -> double, THEN divide
+        def fq9(x: Double) = math.floor(x * 1e9) / 1e9
+        assert(raw == fq9(s6s.sum.toDouble / n), s"$sym raw mean")
+        assert(clamped ==
+          fq9(s6s.map(_.max(BigDecimal(0))).sum.toDouble / n), s"$sym clamped mean")
+        // the clamped estimator dominates the raw one by construction
+        assert(clamped >= raw && clamped >= 0.0)
+      }
+    }
+  }
+
+  test("llm_tokenizer_fertility: per-lang totals equal the oracled encode key's sums") {
+    import org.apache.spark.sql.functions._
+    val fert = operators.Clustering.llmTokenizerFertility(spark, sf).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tok"),
+          r.getAs[Long]("total_chars"), r.getAs[Long]("fert_micro"))).toMap
+    assert(fert.nonEmpty)
+    // llm_bpe_encode is hash-oracled; summing ITS per-doc token counts
+    // per language must reproduce the fertility totals exactly
+    val viaEncode = operators.Clustering.llmBpeEncode(spark, sf)
+      .join(Tables.documents(spark, sf), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok").cast("long")).as("tok"),
+        sum("n_chars").as("chars"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("tok"), r.getAs[Long]("chars")))
+    assert(viaEncode.nonEmpty && viaEncode.map(_._1).toSet == fert.keySet)
+    viaEncode.foreach { case (lang, nd, tok, chars) =>
+      val (n, t, c, f) = fert(lang)
+      assert(n == nd && t == tok && c == chars, s"$lang totals")
+      assert(f == t * 1000000L / c, s"$lang truncating fertility division")
+      assert(f > 0 && f < 1000000L, "fertility: tokens per char in (0, 1)")
+    }
+  }
+}
