@@ -490,6 +490,9 @@ object ShuffleBudgets {
     "mm_decode_features" -> 1,
     "mm_frame_sample" -> 1,
     "mm_audio_window" -> 1,
+    // band self-join exchange + pair distinct (hash attachments fold
+    // to broadcasts at audit scale; the sort rides the distinct)
+    "mm_phash_neardup" -> 2,
     "mm_modality_dispatch" -> 1,
     "project_arith" -> 1,
     "q10_returned_items" -> 1,

@@ -157,16 +157,121 @@ object Multimodal {
       .orderBy("doc_id", "win_idx")
   }
 
+  /** 32-block AVERAGE-HASH of a byte payload — the perceptual-hash
+    * (aHash) stub: block k spans bytes [k·L/32, (k+1)·L/32); bit k is
+    * set iff the block's byte mean exceeds the payload mean, tested by
+    * integer CROSS-MULTIPLY (blockSum·L > total·blockLen — no
+    * division, engine-exact). With a real image decoder the blocks
+    * would be 8×8 luma cells of the resized raster; the banding, pair
+    * join, and Hamming verify below are the production pipeline
+    * either way. Factored out so the spec can drive crafted payloads
+    * through the exact production kernel. */
+  def ahash32(payload: Array[Byte]): Long = {
+    val L = payload.length
+    if (L == 0) return 0L
+    var tot = 0L
+    var i = 0
+    while (i < L) { tot += payload(i) & 0xff; i += 1 }
+    var h = 0L
+    var k = 0
+    while (k < 32) {
+      val lo = k * L / 32; val hi = (k + 1) * L / 32
+      var bs = 0L; var j = lo
+      while (j < hi) { bs += payload(j) & 0xff; j += 1 }
+      if (bs * L > tot * (hi - lo)) h |= 1L << k
+      k += 1
+    }
+    h
+  }
+
+  /** Band layout for the Hamming-ball candidate join: 32 bits split
+    * into 6 bands (6,6,6,6,4,4). PIGEONHOLE EXACTNESS: ≤ 5 bit flips
+    * cannot touch all 6 bands, so every pair at Hamming ≤ 5 shares at
+    * least one full band — the banded equi-join provably yields ALL
+    * such pairs, making the key's output EQUAL to the oracle's
+    * all-pairs formulation (unlike probabilistic MinHash banding,
+    * there is no recall caveat to document). */
+  private val phashBands = Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 4), (28, 4))
+  private val PhashTau = 5
+
+  /** Perceptual-hash NEAR-DUP over binary media payloads — the image-
+    * dedup shape of a multimodal training pipeline (the dedup ×
+    * multimodal intersection): stub-decode each payload to its 32-bit
+    * average-hash inside `mapPartitions` (payloads never leave their
+    * partition), generate candidates by the 6-band Hamming-ball
+    * equi-join above (only 10-byte (doc_id, band, value) rows
+    * shuffle), verify with an exact `bit_count(xor)` popcount, emit
+    * pairs at Hamming ≤ 5. At 100 TB: narrow decode over the media
+    * bytes, then all joins run on doc-id/band-sized rows — the media
+    * itself is read once and never shuffled. Fully hash-exact oracle
+    * (integer hash + exact banding). */
+  val mmPhashNeardup: QFn = (s, d) => {
+    val hashSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("phash", LongType)))
+    val hashes = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), ahash32(r.getAs[Array[Byte]](1))))
+      }(RowEncoder.encoderFor(hashSchema))
+    val bandCols = phashBands.map { case (off, w) =>
+      shiftrightunsigned(col("phash"), off).bitwiseAND(lit((1L << w) - 1))
+    }
+    val bands = hashes.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cands
+      .join(hashes.select(col("doc_id").as("a"), col("phash").as("ha")), "a")
+      .join(hashes.select(col("doc_id").as("b"), col("phash").as("hb")), "b")
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= PhashTau)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_frame_sample" -> mmFrameSample,
     "mm_audio_window" -> mmAudioWindow,
+    "mm_phash_neardup" -> mmPhashNeardup,
     "mm_modality_dispatch" -> mmModalityDispatch)
+
+  /** The aHash oracle re-derives every block's cross-multiply bit in
+    * SQL (generated per block, like the BPE/Lloyd unrolls — the SAME
+    * 32/band constants the engine runs with), then computes the
+    * ALL-PAIRS Hamming filter; pigeonhole exactness of the 6-band
+    * join means the engine's banded output equals it bit-for-bit.
+    * The n² join is the oracle's cost, not the engine's. */
+  private def phashOracleSql: String = {
+    def blockLen(k: Int) = s"(($k + 1) * L // 32 - $k * L // 32)"
+    def blockSum(k: Int) =
+      s"""COALESCE(list_sum(list_transform(regexp_extract_all(
+           substr(text, $k * L // 32 + 1, ${blockLen(k)}), '.'),
+           c -> CAST(ascii(c) AS BIGINT))), 0)"""
+    val bits = (0 until 32).map { k =>
+      s"(CASE WHEN ${blockSum(k)} * L > tot * CAST(${blockLen(k)} AS BIGINT) THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" +\n           ")
+    s"""WITH t AS (
+           SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+             COALESCE(list_sum(list_transform(regexp_extract_all(text, '.'),
+               c -> CAST(ascii(c) AS BIGINT))), 0) AS tot
+           FROM documents),
+         h AS (SELECT doc_id, $bits AS phash FROM t)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
+         FROM h x JOIN h y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.phash, y.phash)) <= $PhashTau
+         ORDER BY a, b"""
+  }
 
   /** Text payloads are pure ASCII, so the byte histogram/checksums are
     * SQL-expressible: bucket = ascii(char) >> 4, checksum = sum of
     * codes. The oracle proves the distributed decode path byte-exact. */
   val oracles: Seq[(String, String)] = Seq(
+    "mm_phash_neardup" -> phashOracleSql,
     "mm_audio_window" ->
       """SELECT doc_id, CAST(k AS INT) AS win_idx,
            CAST(length(substr(text, k * 64 + 1, 128)) AS INT) AS n_samples,

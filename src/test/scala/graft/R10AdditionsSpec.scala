@@ -50,6 +50,40 @@ class R10AdditionsSpec extends SparkTestBase {
     }
   }
 
+  test("mm_phash_neardup: banded output equals brute-force all-pairs (pigeonhole exactness)") {
+    import org.apache.spark.sql.functions._
+    val out = operators.Multimodal.mmPhashNeardup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) -> r.getAs[Int]("hamming"))
+      .toMap
+    assert(out.nonEmpty, "the corpus should yield at least one Hamming<=5 pair")
+    // brute force through the SAME kernel: every pair at Hamming <= 5
+    // must appear (banding is exact for tau <= 5 by pigeonhole), with
+    // the same distance, and nothing else
+    val hs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        operators.Multimodal.ahash32(r.getString(1).getBytes("UTF-8")))
+      .sortBy(_._1)
+    val brute = (for {
+      i <- hs.indices.iterator; j <- (i + 1) until hs.length
+      h = java.lang.Long.bitCount(hs(i)._2 ^ hs(j)._2) if h <= 5
+    } yield (hs(i)._1, hs(j)._1) -> h).toMap
+    assert(out == brute, s"banded ${out.size} pairs vs brute ${brute.size}")
+  }
+
+  test("ahash32 kernel: known payloads hash as constructed") {
+    // 32 equal blocks of 4 bytes: block mean > payload mean exactly
+    // where the block carries the high byte
+    val base = Array.fill(128)(10.toByte)
+    assert(operators.Multimodal.ahash32(base) == 0L, "uniform payload: no bit set")
+    val spiked = base.clone(); spiked(0) = 100.toByte // block 0 above mean
+    assert(operators.Multimodal.ahash32(spiked) == 1L, "only block 0 set")
+    val two = spiked.clone(); two(127) = 100.toByte   // + block 31
+    assert(operators.Multimodal.ahash32(two) == (1L | (1L << 31)))
+    assert(java.lang.Long.bitCount(
+      operators.Multimodal.ahash32(spiked) ^ operators.Multimodal.ahash32(two)) == 1)
+    assert(operators.Multimodal.ahash32(Array.emptyByteArray) == 0L)
+  }
+
   test("llm_tokenizer_fertility: per-lang totals equal the oracled encode key's sums") {
     import org.apache.spark.sql.functions._
     val fert = operators.Clustering.llmTokenizerFertility(spark, sf).collect()
