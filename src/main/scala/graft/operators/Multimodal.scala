@@ -204,7 +204,19 @@ object Multimodal {
     * pairs at Hamming ≤ 5. At 100 TB: narrow decode over the media
     * bytes, then all joins run on doc-id/band-sized rows — the media
     * itself is read once and never shuffled. Fully hash-exact oracle
-    * (integer hash + exact banding). */
+    * (integer hash + exact banding).
+    *
+    * Scale parameters: 32 bits / 6-bit bands are sized for the shipped
+    * corpus (expected bucket ~N/64); a billion-item corpus uses the
+    * same pipeline with a wider hash and wider bands (e.g. 256-bit
+    * pHash, 32-bit bands) so buckets stay bounded — band width is the
+    * knob, the plan shape does not change. NOT measured on the replica
+    * ladder: the replicator's word-tag scheme keeps gram vocabularies
+    * disjoint across replicas (protecting the MinHash keys) but barely
+    * moves byte-level block means, so every doc gains ~R cross-replica
+    * Hamming twins and the TRUE pair set grows quadratically in the
+    * replica factor — the rung would measure that replica artifact,
+    * not the operator (the `llm_embed_neardup` precedent). */
   val mmPhashNeardup: QFn = (s, d) => {
     val hashSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("phash", LongType)))
