@@ -115,27 +115,51 @@ object Bench {
     // keys. Stage them ONCE, untimed, before any timed pass; the
     // warm-up walls are recorded in env.warmup so the exclusion is
     // auditable, not silent.
-    val stagingKeys = Seq(
-      "ts_effective_spread",    // trades_mid_v2 layout
-      "stream_tumbling",        // stream_feed_flush_v3
-      "stream_foreach_batch",   // stream_feed_plain_v3
-      "stream_late_data_final", // stream_feed_late_v1
-      "llm_knn_ivf",            // kmeans centroids + ivf_layout_v1
-      "llm_knn_pq",             // pq_books_v1
-      "llm_near_dedup",         // neardup_pairs_v1
-      "llm_bpe_encode")         // bpe_merges_v1
+    // Each staging key paired with the predicate "does this SELECTED
+    // key read that artifact" — a key-subset run (`only`) warms only
+    // the artifacts its keys actually touch instead of all eight
+    // (r10 review finding: a 1-key iterate loop paid minutes of
+    // unrelated staging per invocation).
+    val stagingKeys: Seq[(String, String => Boolean)] = Seq(
+      // trades_mid_v2 layout
+      "ts_effective_spread" -> ((k: String) => Set("ts_effective_spread",
+        "ts_trade_sign", "ts_ofi", "ts_kyle_lambda").contains(k)),
+      // the three stream feed directories
+      "stream_tumbling" -> ((k: String) => k.startsWith("stream_")),
+      "stream_foreach_batch" -> ((k: String) => k.startsWith("stream_")),
+      "stream_late_data_final" -> ((k: String) => k.startsWith("stream_")),
+      // kmeans centroids + ivf_layout_v1 / pq_books_v1
+      "llm_knn_ivf" -> ((k: String) => k.startsWith("llm_knn_ivf")),
+      "llm_knn_pq" -> ((k: String) => k == "llm_knn_pq"),
+      // neardup_pairs_v1
+      "llm_near_dedup" -> ((k: String) => k.startsWith("llm_near_dedup") ||
+        k == "llm_dedup_cluster"),
+      // bpe_merges_v1
+      "llm_bpe_encode" -> ((k: String) => k.startsWith("llm_bpe") ||
+        k == "llm_tokenizer_fertility"))
+    // a renamed staging key must fail LOUDLY, not silently skip the
+    // warm-up it exists for (the r9 artifact-skew bug would return
+    // silently otherwise)
+    stagingKeys.foreach { case (name, _) =>
+      require(SparkEntry.queries.contains(name),
+        s"bench staging key '$name' not in the registry — renamed?")
+    }
     val warmup: Seq[(String, Double)] =
       if (sys.env.contains("SPARK_GRAFT_NO_WARMUP")) Seq.empty
-      else stagingKeys.flatMap { name =>
-        SparkEntry.queries.get(name).map { fn =>
+      else stagingKeys.collect {
+        case (name, needed) if only.forall(_.exists(needed)) =>
+          val fn = SparkEntry.queries(name)
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()
           catch { case e: Throwable =>
             System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
           }
           (name, (System.nanoTime() - t0) / 1e9)
-        }
       }
+    // drain warm-up's in-flight task-end events so the first timed
+    // run's spill/shuffle baselines aren't polluted by warm-up
+    // stragglers (r10 review finding)
+    org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
     val benchStart = System.currentTimeMillis()
     var failed = List.empty[String]
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)

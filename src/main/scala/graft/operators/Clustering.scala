@@ -238,15 +238,24 @@ object Clustering {
     * the merges with the trainer's unrolled rounds, then replays the
     * fuse chain on token lists with the same gaps-and-islands greedy
     * equivalence bpeRoundSql establishes). */
-  val llmBpeEncode: QFn = (s, d) => {
-    // 6-row bounded driver state — the merge table IS the tokenizer
+  /** The stored merge table's rank-ordered greedy fuse chain as ONE
+    * Column over `text` — the tokenizer APPLY step, factored so
+    * [[llmBpeEncode]] and [[llmTokenizerFertility]] share the exact
+    * fuse regex (a future regex fix cannot desynchronize the fertility
+    * key from the encode key its spec is pinned against). The collect
+    * is 6-row bounded driver state — the merge table IS the tokenizer. */
+  private def bpeEncodedCol(s: SparkSession, d: String): org.apache.spark.sql.Column = {
     val merges = bpeMergesStored(s, d)
       .orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2)))
-    val encoded = merges.foldLeft(col("text")) { case (t, (a, b)) =>
+    merges.foldLeft(col("text")) { case (t, (a, b)) =>
       val pat = s"(?<=^| )${java.util.regex.Pattern.quote(a)} ${java.util.regex.Pattern.quote(b)}(?=$$| )"
       regexp_replace(t, pat, s"${a}_$b")
     }
+  }
+
+  val llmBpeEncode: QFn = (s, d) => {
+    val encoded = bpeEncodedCol(s, d)
     Tables.documents(s, d)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_raw"),
         encoded.as("enc"))
@@ -271,13 +280,7 @@ object Clustering {
     * merges and replays the fuse chain exactly as `llm_bpe_encode`'s
     * does, then aggregates per language. */
   val llmTokenizerFertility: QFn = (s, d) => {
-    val merges = bpeMergesStored(s, d)
-      .orderBy("rank").collect()
-      .map(r => (r.getString(1), r.getString(2)))
-    val encoded = merges.foldLeft(col("text")) { case (t, (a, b)) =>
-      val pat = s"(?<=^| )${java.util.regex.Pattern.quote(a)} ${java.util.regex.Pattern.quote(b)}(?=$$| )"
-      regexp_replace(t, pat, s"${a}_$b")
-    }
+    val encoded = bpeEncodedCol(s, d)
     Tables.documents(s, d)
       .select(col("lang"), col("n_chars"),
         size(split(encoded, " ")).cast("long").as("n_tok"))

@@ -64,10 +64,23 @@ object IndexStoreOp {
     // contract working
     val reuseOk = p1 == p2 && builds.get() <= 1
     val atomicOk = {
+      // a tmp dir is CRASH RESIDUE only if its owning pid (first
+      // field of the `.tmp.<pid>_<tid>_<nanos>` suffix) is dead — a
+      // live concurrent builder (bench + test JVMs race by contract)
+      // is mid-publish, not a violation (r10 review finding)
       val root = Paths.get(IndexStore.root)
       val l = Files.list(root)
-      try !l.iterator().asScala
-        .exists(_.getFileName.toString.startsWith(s"$name.tmp."))
+      try !l.iterator().asScala.exists { p =>
+        val fn = p.getFileName.toString
+        fn.startsWith(s"$name.tmp.") && {
+          val pid = fn.stripPrefix(s"$name.tmp.").takeWhile(_.isDigit)
+          val ownerAlive = pid.nonEmpty && {
+            val oh = ProcessHandle.of(pid.toLong)
+            oh.isPresent && oh.get.isAlive
+          }
+          !ownerAlive
+        }
+      }
       finally l.close()
     }
     val invalidationOk = {

@@ -374,9 +374,14 @@ object Streaming {
     // before start, so repeated runs in one session can't accumulate
     // stale batches or unbounded tmp growth. NOT /dev/shm — at 300×
     // an event-volume-proportional result is GBs, which on tmpfs is
-    // RAM. A var so the post-run read sees the path.
+    // RAM. The dir must OUTLIVE this call (the returned DataFrame
+    // reads it lazily), so cleanup is a JVM shutdown hook over every
+    // sink dir this session created — without it each session leaked
+    // its app-id-keyed dirs forever (unreachable by the next app's
+    // pre-start clear; r10 review finding).
     val outPath = s"${System.getProperty("java.io.tmpdir")}/graft_sink_" +
       s"${name}_${d.hashCode & 0x7fffffff}_${s.sparkContext.applicationId}"
+    registerSinkDirCleanup(outPath)
     var outSchema: org.apache.spark.sql.types.StructType = null
     val q = try {
       val src = s.readStream.schema(Encoders.product[Ev].schema)
@@ -414,6 +419,19 @@ object Streaming {
     // throw where "empty result" is the correct answer
     if (append) s.read.schema(outSchema).parquet(outPath)
     else s.table(sinkName)
+  }
+
+  // Sink dirs created this session, deleted at JVM exit (one hook,
+  // registered on first use). Live read-backs are session-scoped, so
+  // exit is the earliest safe point; other concurrent JVMs' dirs are
+  // never touched (their app id differs).
+  private val sinkDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val sinkHook: Unit = sys.addShutdownHook {
+    import scala.reflect.io.Directory
+    sinkDirs.forEach(p => new Directory(new java.io.File(p)).deleteRecursively())
+  }
+  private def registerSinkDirCleanup(p: String): Unit = {
+    sinkHook; sinkDirs.add(p)
   }
 
   private def dsum2(c: org.apache.spark.sql.Column) =

@@ -23,8 +23,9 @@ class IndexStoreSpec extends SparkTestBase {
       Array(java.lang.Double.NaN, 1e308, -math.E))
     val builds = new AtomicInteger(0)
     // exercise cached() against the real store root with a
-    // collision-proof name (no root override exists — by design, the
-    // store is a machine-local singleton)
+    // collision-proof name (the root IS overridable via
+    // SPARK_GRAFT_INDEX_DIR — this spec deliberately probes the real
+    // machine-local store to test the production singleton path)
     val name = s"spec_probe_${System.nanoTime()}"
     def train(): Array[Array[Double]] = { builds.incrementAndGet(); payload }
     IndexStore.cached(name)(train())

@@ -28,7 +28,10 @@ class R10AdditionsSpec extends SparkTestBase {
     val den = 3.0 - 2.0 * math.sqrt(2.0)
     bars.foreach { case (sym, rows) =>
       val series = rows.sortBy(_._2).map(t => (t._3, t._4))
-      val s6s = series.sliding(2).collect { case Array((hp, lp), (hi, lo)) =>
+      // mirror the engine's lp>0/lo>0 guard: a regenerated fixture
+      // with a non-positive bar price must not NaN the replay
+      val s6s = series.sliding(2).collect {
+          case Array((hp, lp), (hi, lo)) if lp > 0 && lo > 0 =>
         val beta = math.pow(math.log(hp / lp), 2) + math.pow(math.log(hi / lo), 2)
         val gamma = math.pow(math.log(math.max(hi, hp) / math.min(lo, lp)), 2)
         val a = (math.sqrt(2 * beta) - math.sqrt(beta)) / den - math.sqrt(gamma / den)
