@@ -325,6 +325,9 @@ object ShuffleBudgets {
     // hi/lo bar pre-agg + per-symbol lag window + grouped means (AQE
     // folds the 5-row presentation sort)
     "ts_corwin_schultz" -> 3,
+    // one per-symbol tick window (both lag scales) + grouped sums
+    // (AQE folds the 5-row presentation sort)
+    "ts_tsrv" -> 2,
     // per-row encode fold + ONE |langs|-grain agg + presentation sort
     "llm_tokenizer_fertility" -> 2,
     "ts_kyle_lambda" -> 3,

@@ -375,6 +375,51 @@ object TimeSeries2 {
       .orderBy("event_type")
   }
 
+  /** TSRV subsample scale K (ticks). The oracle below embeds the same
+    * constant via string interpolation, so changing it re-derives both
+    * sides (the KmeansIters/BpeMerges precedent). */
+  val TsrvK = 5
+
+  /** TWO-SCALE REALIZED VARIANCE (Zhang–Mykland–Aït-Sahalia 2005) —
+    * the noise-robust volatility estimator: all-tick realized variance
+    * is dominated by microstructure noise (bid/ask bounce adds 2nσ²
+    * bias), so TSRV averages the K-spaced subsample RVs and removes
+    * the remaining bias with the all-tick RV:
+    * TSRV = (1/K)·Σᵢ(pᵢ−pᵢ₋K)² − (n̄/n)·Σᵢ(pᵢ−pᵢ₋₁)², n̄ = (n−K+1)/K.
+    * The identity Σₖ RV⁽ᵏ⁾ = Σᵢ(pᵢ−pᵢ₋K)² collapses the K-offset loop
+    * into ONE extra lag column, so both scales ride a single window
+    * pass per symbol.
+    *
+    * Determinism: prices quantize to milli-unit integers at the tick
+    * (raw 2-decimal values — exact), both squared-diff sums are exact
+    * integer aggregates, and the two emitted statistics are single
+    * double expressions over those identical integers, floor-
+    * quantized ([[graft.Det.fq]] recipe — no transcendental anywhere).
+    * Scale: per-symbol series window over the tick stream — the
+    * per-instrument shard layout; sums are map-side combinable. */
+  val tsTsrv: QFn = (s, d) => {
+    val ticks = Tables.events(s, d)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 1000.0).cast("long").as("q"))
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ticks
+      .withColumn("d1", col("q") - lag("q", 1).over(w))
+      .withColumn("dk", col("q") - lag("q", TsrvK).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("d1") * col("d1")).as("rv_all_m2"),
+        sum(col("dk") * col("dk")).as("rv_k_m2"))
+      .filter(col("n") > TsrvK)
+      .select(col("event_type"), col("n"),
+        // milli² → value² units (/1e6); exact-integer operands → fq
+        fq(col("rv_all_m2").cast("double") / 1e6, 9).as("rv_all"),
+        fq((col("rv_k_m2").cast("double") / lit(TsrvK.toDouble)
+          - ((col("n") - TsrvK + 1).cast("double") / lit(TsrvK.toDouble)
+            / col("n").cast("double")) * col("rv_all_m2").cast("double"))
+          / 1e6, 9).as("tsrv"))
+      .orderBy("event_type")
+  }
+
   /** 3 − 2√2, the Corwin–Schultz denominator. `math.sqrt` is IEEE
     * correctly-rounded and the subtraction is exact, so this double is
     * bit-identical to DuckDB's `3 - 2*sqrt(2)`; the oracle embeds the
@@ -517,6 +562,7 @@ object TimeSeries2 {
     "ts_variance_ratio" -> tsVarianceRatio,
     "ts_amihud" -> tsAmihud,
     "ts_corwin_schultz" -> tsCorwinSchultz,
+    "ts_tsrv" -> tsTsrv,
     "ts_kyle_lambda" -> tsKyleLambda)
 
   val oracles: Seq[(String, String)] = Seq(
@@ -723,6 +769,28 @@ object TimeSeries2 {
               ${sqlFq("2.0 * sqrt(-CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) / 1000.0", 6)}
             END AS roll_spread
           FROM m ORDER BY event_type""",
+    // TSRV: tick-grain milli-unit prices, both lag scales in one
+    // window, exact integer squared-diff sums, fq on the two ratios
+    "ts_tsrv" ->
+      s"""WITH ticks AS (
+            SELECT event_type, ts, event_id,
+              CAST(floor(value * 1000.0) AS BIGINT) AS q
+            FROM events),
+          lagged AS (
+            SELECT event_type,
+              q - lag(q, 1) OVER win AS d1,
+              q - lag(q, $TsrvK) OVER win AS dk
+            FROM ticks
+            WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)),
+          m AS (
+            SELECT event_type, count(*) AS n,
+              CAST(sum(d1 * d1) AS BIGINT) AS rv_all_m2,
+              CAST(sum(dk * dk) AS BIGINT) AS rv_k_m2
+            FROM lagged GROUP BY event_type)
+          SELECT event_type, n,
+            ${sqlFq("CAST(rv_all_m2 AS DOUBLE) / 1e6", 9)} AS rv_all,
+            ${sqlFq(s"(CAST(rv_k_m2 AS DOUBLE) / $TsrvK.0 - (CAST(n - $TsrvK + 1 AS DOUBLE) / $TsrvK.0 / CAST(n AS DOUBLE)) * CAST(rv_all_m2 AS DOUBLE)) / 1e6", 9)} AS tsrv
+          FROM m WHERE n > $TsrvK ORDER BY event_type""",
     // Corwin–Schultz: raw max/min bars (no arithmetic → identical
     // doubles), per-pair transcendental chain with round(6) as the ulp
     // absorber, DECIMAL(30,6)-exact means; the denominator 3−2√2 is

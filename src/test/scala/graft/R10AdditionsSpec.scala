@@ -53,6 +53,40 @@ class R10AdditionsSpec extends SparkTestBase {
     }
   }
 
+  test("ts_tsrv: per-symbol statistics match a plain-Scala replay of the two-scale formula") {
+    import org.apache.spark.sql.functions.{col, floor}
+    val K = operators.TimeSeries2.TsrvK
+    val out = operators.TimeSeries2.tsTsrv(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("rv_all"), r.getAs[Double]("tsrv")))
+      .toMap
+    assert(out.nonEmpty)
+    val ticks = Tables.events(spark, sf)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 1000.0).cast("long").as("q"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("ts").getTime, r.getAs[Long]("event_id"),
+        r.getAs[Long]("q")))
+      .groupBy(_._1)
+    def fq9(x: Double) = math.floor(x * 1e9) / 1e9
+    ticks.foreach { case (sym, rows) =>
+      val q = rows.sortBy(t => (t._2, t._3)).map(_._4)
+      val n = q.length
+      if (n <= K) assert(!out.contains(sym))
+      else {
+        val rvAll = (1 until n).map(i => { val d = q(i) - q(i - 1); d * d }).sum
+        val rvK = (K until n).map(i => { val d = q(i) - q(i - K); d * d }).sum
+        val (no, ra, ts) = out(sym)
+        assert(no == n, s"$sym tick count")
+        assert(ra == fq9(rvAll.toDouble / 1e6), s"$sym rv_all")
+        assert(ts == fq9((rvK.toDouble / K -
+          ((n - K + 1).toDouble / K / n) * rvAll.toDouble) / 1e6), s"$sym tsrv")
+        assert(ra >= 0.0, s"$sym: realized variance is a sum of squares")
+      }
+    }
+  }
+
   test("mm_phash_neardup: banded output equals brute-force all-pairs (pigeonhole exactness)") {
     import org.apache.spark.sql.functions._
     val out = operators.Multimodal.mmPhashNeardup(spark, sf).collect()
