@@ -337,20 +337,42 @@ object Clustering {
         ON p.cluster = m.cluster AND p.pos = m.pos
         GROUP BY p.cluster"""
 
-  /** The full Lloyd oracle, unrolled from [[KmeansIters]]/[[KmeansK]]
-    * (the SAME constants `llm_kmeans` runs with — the unroll is
-    * string-generated, not hand-written, so the two cannot drift):
-    * seeds → (assign, update) ×iters → final assignment → per-cluster
-    * (n, WSSSE). Every float step is either order-pinned list
-    * arithmetic or exact integer math, so the oracle is bit-exact
-    * against the distributed run — which is the point:
-    * executor-count-invariant k-means, provable in SQL. */
-  private val lloydRounds: String = (1 to KmeansIters).map { i =>
-    val prev = if (i == 1) "seeds" else s"cent${i - 1}"
-    s"""asg$i AS (${assignSql(prev)}),
+  /** The full Lloyd training chain as a (K, iters)-parameterized CTE
+    * unroll (the unroll is string-generated from the SAME constants
+    * each caller runs with, so engine and oracle cannot drift):
+    * seeds → (assign, update) ×iters. Every float step is either
+    * order-pinned list arithmetic or exact integer math, so the
+    * trained centroids are bit-exact against the distributed run —
+    * which is the point: executor-count-invariant k-means, provable
+    * in SQL. Shared by the `llm_kmeans` oracle ([[KmeansK]]/
+    * [[KmeansIters]]) and the IVF quantizer oracle
+    * (LlmSimilarity.IvfK, 6 rounds — r10 verdict #1). Expects an
+    * `emb(vec_id, embedding)` CTE already in scope; returns the CTE
+    * chain and the name of the final-centroids CTE
+    * `(cluster, cent double[])`. */
+  private[operators] def lloydCtes(k: Int, iters: Int): (String, String) = {
+    val rounds = (1 to iters).map { i =>
+      val prev = if (i == 1) "seeds" else s"cent${i - 1}"
+      s"""asg$i AS (${assignSql(prev)}),
           cent$i AS (${updateSql(s"asg$i", prev)})"""
-  }.mkString(",\n          ")
-  private val lastCents = s"cent$KmeansIters"
+    }.mkString(",\n          ")
+    val ctes =
+      s"""seed_src AS (
+            -- same fallback as kmeansOn: if the arithmetic subsample is
+            -- empty (corpus smaller than the stride), seed from the
+            -- first K vec_ids instead
+            SELECT vec_id, embedding FROM emb WHERE vec_id % 17 = 3
+            UNION ALL
+            SELECT vec_id, embedding FROM emb
+            WHERE NOT EXISTS (SELECT 1 FROM emb WHERE vec_id % 17 = 3)),
+          seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+            FROM seed_src ORDER BY vec_id LIMIT $k),
+          $rounds"""
+    (ctes, s"cent$iters")
+  }
+  private val lloydKmeans = lloydCtes(KmeansK, KmeansIters)
 
   /** Full BPE-training oracle (r6 verdict #6 asked for merge round 1;
     * all [[BpeMerges]] rounds turned out expressible, so the whole key
@@ -495,24 +517,12 @@ object Clustering {
     "llm_tokenizer_fertility" -> tokenizerFertilityOracleSql,
     "llm_kmeans" ->
       s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
-          seed_src AS (
-            -- same fallback as kmeansOn: if the arithmetic subsample is
-            -- empty (corpus smaller than the stride), seed from the
-            -- first K vec_ids instead
-            SELECT vec_id, embedding FROM emb WHERE vec_id % 17 = 3
-            UNION ALL
-            SELECT vec_id, embedding FROM emb
-            WHERE NOT EXISTS (SELECT 1 FROM emb WHERE vec_id % 17 = 3)),
-          seeds AS (
-            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
-              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-            FROM seed_src ORDER BY vec_id LIMIT $KmeansK),
-          $lloydRounds,
+          ${lloydKmeans._1},
           final AS (
             SELECT vec_id, cluster, d2 FROM (
               SELECT e.vec_id, c.cluster, $d2Sql AS d2,
                 row_number() OVER (PARTITION BY e.vec_id ORDER BY $d2Sql, c.cluster) AS rk
-              FROM emb e CROSS JOIN $lastCents c) WHERE rk = 1)
+              FROM emb e CROSS JOIN ${lloydKmeans._2} c) WHERE rk = 1)
           SELECT CAST(cluster AS INT) AS cluster, count(*) AS n_points,
             CAST(sum(CAST(floor(d2 * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS wssse
           FROM final GROUP BY cluster ORDER BY cluster""")

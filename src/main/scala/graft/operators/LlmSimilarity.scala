@@ -1080,6 +1080,69 @@ object LlmSimilarity {
     * Spark's [[graft.functions]] cosine performs — shared by the
     * brute-force key and the exact-mode (nProbe = K) IVF key, which
     * must produce the identical result set. */
+  /** DuckDB twin of the FULL approximate IVF path (r10 verdict #1 —
+    * the emit-the-training-into-the-SQL move that oracled
+    * `llm_knn_signlsh`): the coarse quantizer's six Lloyd rounds are
+    * unrolled via [[Clustering.lloydCtes]] (exact micro-unit integer
+    * means, so the trained centroids are engine-reproducible
+    * constants DERIVED inside the oracle rather than pasted), the
+    * trained double centroids are cast to FLOAT exactly as
+    * [[ivfQuantizer]] does (IEEE round-to-nearest in both engines),
+    * and then the probe routing (top-nProbe lists by round-6 cosine),
+    * the corpus assignment (top-1 list by the same cosine), the
+    * candidate equi-join, and the round-6 float-cosine re-rank are
+    * replayed verbatim. Every double is an order-pinned list fold
+    * (the proven signlsh/brute-force pattern), so the APPROXIMATE
+    * result itself hash-matches — nProbe is a constant in the SQL,
+    * not a tolerance. */
+  private def ivfOracleSql(nProbe: Int, iters: Int): String = {
+    val (lloyd, lastCents) = Clustering.lloydCtes(IvfK, iters)
+    // cosine(float-array e, double-from-float centroid c) — the exact
+    // CosineSimF fold: per-element float→double, sequential sum
+    def centCos(e: String, c: String): String =
+      s"""round(
+            list_sum(list_transform(range(64), i -> CAST($e.embedding[i+1] AS DOUBLE) * $c.cvec[i+1]))
+            / (sqrt(list_sum(list_transform(range(64), i -> CAST($e.embedding[i+1] AS DOUBLE) * CAST($e.embedding[i+1] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(range(64), i -> $c.cvec[i+1] * $c.cvec[i+1])))), 6)"""
+    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+          $lloyd,
+          centf AS (
+            SELECT cluster AS cent_id,
+              list_transform(cent, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS cvec
+            FROM $lastCents),
+          csim AS (
+            SELECT e.vec_id, c.cent_id, ${centCos("e", "c")} AS cs
+            FROM emb e CROSS JOIN centf c),
+          assign AS (
+            SELECT vec_id, cent_id AS cluster FROM (
+              SELECT vec_id, cent_id,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rk
+              FROM csim) WHERE rk = 1),
+          plists AS (
+            SELECT vec_id AS probe_id, cent_id AS search_cluster FROM (
+              SELECT vec_id, cent_id,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id) AS rk
+              FROM csim WHERE vec_id IN (1, 2, 3, 4, 5)) WHERE rk <= $nProbe),
+          cand AS (
+            SELECT DISTINCT p.probe_id, a.vec_id
+            FROM plists p JOIN assign a ON a.cluster = p.search_cluster
+            WHERE a.vec_id <> p.probe_id),
+          sims AS (
+            SELECT cand.probe_id, cand.vec_id,
+              round(
+                list_sum(list_transform(range(64), i -> CAST(p.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(range(64), i -> CAST(p.embedding[i+1] AS DOUBLE) * CAST(p.embedding[i+1] AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))), 6) AS sim
+            FROM cand
+            JOIN emb p ON p.vec_id = cand.probe_id
+            JOIN emb e ON e.vec_id = cand.vec_id)
+          SELECT probe_id, rk, vec_id, sim FROM (
+            SELECT probe_id, vec_id, sim,
+              CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS INT) AS rk
+            FROM sims)
+          WHERE rk <= 5 ORDER BY probe_id, rk"""
+  }
+
   private val bruteForceTopKSql: String =
     """WITH sims AS (
            SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
@@ -1261,6 +1324,10 @@ object LlmSimilarity {
             round_even(mmr * 1000000.0, 0) / 1000000.0 AS mmr
           FROM sel ORDER BY probe_id, rk""",
     "llm_knn_cosine" -> bruteForceTopKSql,
+    // the APPROXIMATE default (nProbe = 20) is itself oracled: the
+    // quantizer training is unrolled inside the SQL, so the oracle
+    // derives the same centroids and replays the same pruned search
+    "llm_knn_ivf" -> ivfOracleSql(IvfNProbe, 6),
     // nProbe = K searches every list, so the IVF path must equal the
     // brute-force oracle exactly — same SQL, zero tolerance
     "llm_knn_ivf_exact" -> bruteForceTopKSql,
