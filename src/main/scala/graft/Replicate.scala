@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -53,6 +53,7 @@ object Replicate {
     val dst = if (args.length > 1) args(1) else
       s"${System.getProperty("java.io.tmpdir")}/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
+    val skew = args.length > 3 && args(3) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,12 +63,34 @@ object Replicate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, factor)
+    run(spark, src, dst, factor, skew)
     spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  /** SKEWED rung (r10 verdict #2): every uniform replica is zipf-less
+    * by construction — real 100 TB corpora are not. With `skew = true`
+    * the replica plants one dominant key per axis, each on a
+    * deterministic ~30% slice of rows (`pmod(id, 10) < 3`), so the
+    * skew-sensitive keys see a hot reducer/window/state partition:
+    *  - events: user 7 absorbs ~30% of ALL rows (stream_session /
+    *    stream_dedup state skew, per-user windows), and event_type
+    *    'view' absorbs an extra 30% slice (~44% total — hot window
+    *    partition for the ts keys);
+    *  - orders: customer 1 holds ~30% of orders (hot graph hub, hot
+    *    groupBy key in the composite queries);
+    *  - lineitem: supplier 1 holds ~30% of line items (the second
+    *    graph hub — ~9% of edges collapse onto the (1, 1) pair);
+    *  - documents: source 'src1' holds ~30% of docs (temperature /
+    *    stratified sampling weight skew).
+    * FKs stay valid — every dominant key exists in replica 0's
+    * domain and is NOT stride-shifted on either side of the join.
+    * Results legitimately differ from the uniform replica; the spot
+    * oracles run DuckDB ON the skewed replica itself. */
+  def run(spark: SparkSession, src: String, dst: String, factor: Int,
+      skew: Boolean = false): Unit = {
     val t0 = System.nanoTime()
+    /** ~30% deterministic slice of any integral id column. */
+    def hot(id: Column): Column = pmod(id, lit(10)) < 3
     // fixed dims: single copy
     Seq("region", "nation").foreach { t =>
       Tables.load(spark, src, t).write.mode("overwrite")
@@ -89,8 +112,14 @@ object Replicate {
     shifted("customer", Seq("c_custkey"))
     shifted("supplier", Seq("s_suppkey"))
     shifted("part", Seq("p_partkey"))
-    shifted("orders", Seq("o_orderkey", "o_custkey"))
-    shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    shifted("orders", Seq("o_orderkey", "o_custkey"), (df, _) =>
+      if (!skew) df
+      else df.withColumn("o_custkey",
+        when(hot(col("o_orderkey")), lit(1L)).otherwise(col("o_custkey"))))
+    shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), (df, _) =>
+      if (!skew) df
+      else df.withColumn("l_suppkey",
+        when(hot(col("l_orderkey")), lit(1L)).otherwise(col("l_suppkey"))))
 
     // events: load through the unit-adaptive [[Tables.loadEvents]] and
     // write ts as TimestampNTZ µs — the exact footer shape the driver
@@ -100,8 +129,17 @@ object Replicate {
     val ev = Tables.events(spark, src)
       .withColumn("ts", col("ts").cast(TimestampNTZType))
     (0 until factor).map { r =>
-      ev.withColumn("event_id", col("event_id") + lit(r * KeyStride))
+      val base = ev.withColumn("event_id", col("event_id") + lit(r * KeyStride))
         .withColumn("user_id", col("user_id") + lit(r * UserStride))
+      if (!skew) base
+      // KeyStride % 10 == 0, so the hot slice is the same ~30% of
+      // every replica — user 7 / 'view' go truly global, not per-copy
+      else base
+        .withColumn("user_id",
+          when(hot(col("event_id")), lit(7L)).otherwise(col("user_id")))
+        .withColumn("event_type",
+          when(pmod(col("event_id"), lit(10)) >= 7, lit("view"))
+            .otherwise(col("event_type")))
     }.reduce(_.unionAll(_)).write.mode("overwrite")
       .parquet(s"$dst/events.parquet")
 
@@ -113,11 +151,16 @@ object Replicate {
     // inflated intra-replica similarity superlinearly: sorting every
     // doc's words by one hash puts shared vocabulary into one canonical
     // order, manufacturing shared bigrams between unrelated docs.)
-    shifted("documents", Seq("doc_id"), (df, r) =>
-      if (r == 0) df
-      else df.withColumn("text", array_join(
-        transform(split(col("text"), " "),
-          w => concat(w, lit(s"~$r"))), " ")))
+    shifted("documents", Seq("doc_id"), (df, r) => {
+      val tagged =
+        if (r == 0) df
+        else df.withColumn("text", array_join(
+          transform(split(col("text"), " "),
+            w => concat(w, lit(s"~$r"))), " "))
+      if (!skew) tagged
+      else tagged.withColumn("source",
+        when(hot(col("doc_id")), lit("src1")).otherwise(col("source")))
+    })
 
     shifted("embeddings", Seq("vec_id"), (df, r) =>
       if (r == 0) df

@@ -165,6 +165,43 @@ object SnapshotTable {
     commit(root, epoch.toInt, (prev :+ unit).distinct, replace = true)
   }
 
+  /** OPTIMISTIC transactional append — the writer-facing half of the
+    * commit protocol documented on [[commit]] (r10 verdict #5): stage
+    * `df` as an immutable unit (named by the caller's tag, so
+    * concurrent writers never collide on storage), then claim version
+    * tail+1. Losing the claim (FileAlreadyExistsException — another
+    * committer published that version first) is NOT an error: the
+    * loser REBASES — re-reads the new log tail, whose unit list now
+    * includes the winner's unit — and retries at the next version, so
+    * both writers' rows land and no committed version is ever lost or
+    * overwritten (Delta's conflict rule for blind appends: always
+    * mergeable, rebase is just "adopt the winner's unit list").
+    * Non-append transactions (a COW upsert) would additionally have
+    * to re-check predicate overlap with the winner's delta before
+    * retrying — that check is the caller's, not the log's. Returns
+    * the version actually committed. Bounded retries: pathological
+    * contention fails loudly rather than spinning. */
+  def commitAppendTx(df: DataFrame, root: String, tag: String,
+      maxRetries: Int = 20): Int = {
+    val unit = s"data/tx_$tag"
+    df.coalesce(1).write.mode("overwrite").parquet(s"$root/$unit")
+    var attempt = 0
+    var committed = -1
+    while (committed < 0) {
+      val tail = latestVersionOpt(root)
+      val prevUnits = tail.map(v => unitsOf(root, v)).getOrElse(Nil)
+      val next = tail.map(_ + 1).getOrElse(0)
+      try { commit(root, next, prevUnits :+ unit); committed = next }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          require(attempt <= maxRetries,
+            s"lost $maxRetries consecutive commit races at $root — aborting")
+      }
+    }
+    committed
+  }
+
   /** Reconstruct snapshot `version`: resolve the manifest to its unit
     * list (driver-side metadata read), scan those units in parallel. */
   def readSnapshot(s: SparkSession, root: String, version: Int): DataFrame = {

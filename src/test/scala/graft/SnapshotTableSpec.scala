@@ -265,6 +265,64 @@ class SnapshotTableSpec extends SparkTestBase {
     } finally pool.shutdownNow()
   }
 
+  test("two concurrent transactional appenders: loser rebases, no row or version lost") {
+    // r10 verdict #5 — the WRITER-LOOP half of the OCC story: the raw
+    // claim race above proves one link() wins; this proves the full
+    // transaction (stage unit → claim tail+1 → on loss REBASE onto
+    // the winner's unit list → retry) loses the race GRACEFULLY. Two
+    // committers race from the same observed tail, repeatedly; every
+    // round must end with both rows in the final snapshot, contiguous
+    // versions, and each intermediate manifest a superset of its
+    // parent (nothing overwritten).
+    import operators.SnapshotTable
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    import spark.implicits._
+    val root = Tables.sinkPath(spark, sf, "snaptx")
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    // v0 base: one row, so the table starts with a committed tail
+    SnapshotTable.commitAppendTx(
+      Seq((0L, "base")).toDF("id", "who"), root, "base")
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      for (round <- 1 to 5) {
+        val start = new CountDownLatch(1)
+        val vs = Seq("a", "b").map { w =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            override def call(): Int = {
+              start.await()
+              SnapshotTable.commitAppendTx(
+                Seq((round.toLong, w)).toDF("id", "who"),
+                root, s"r${round}_$w")
+            }
+          })
+        }
+        start.countDown()
+        val committed = vs.map(_.get(60, TimeUnit.SECONDS))
+        // both landed, at distinct versions, and the log tail moved
+        // by exactly 2 — the loser retried at N+1 instead of failing
+        // or silently overwriting the winner
+        assert(committed.distinct.size == 2,
+          s"round $round: both writers claim version ${committed.head}")
+        assert(committed.toSet == Set(2 * round - 1, 2 * round),
+          s"round $round: versions $committed not contiguous after tail ${2 * round - 2}")
+      }
+      val latest = SnapshotTable.latestVersion(root)
+      assert(latest == 10, s"log tail $latest after 1 base + 5×2 appends")
+      val all = SnapshotTable.readSnapshot(spark, root, latest)
+        .as[(Long, String)].collect().toSet
+      val want = Set((0L, "base")) ++
+        (1 to 5).flatMap(r => Seq((r.toLong, "a"), (r.toLong, "b"))).toSet
+      assert(all == want, s"rows lost or duplicated: ${all.diff(want)} / ${want.diff(all)}")
+      // every version's unit list is a superset of its parent's — the
+      // rebase adopted the winner's units instead of clobbering them
+      (1 to latest).foreach { v =>
+        val prev = SnapshotTable.readSnapshot(spark, root, v - 1).count()
+        val cur = SnapshotTable.readSnapshot(spark, root, v).count()
+        assert(cur == prev + 1, s"v$v holds $cur rows after parent's $prev")
+      }
+    } finally pool.shutdownNow()
+  }
+
   test("unknown version fails fast with a diagnosable error") {
     import operators.SnapshotTable
     SnapshotTable.etlSnapshotRead(spark, sf).count()
