@@ -496,6 +496,9 @@ object ShuffleBudgets {
     // band self-join exchange + pair distinct (hash attachments fold
     // to broadcasts at audit scale; the sort rides the distinct)
     "mm_phash_neardup" -> 2,
+    // same pipeline at the 128-bit operating point — same two
+    // exchanges (band self-join + pair distinct)
+    "mm_phash_wide" -> 2,
     "mm_modality_dispatch" -> 1,
     "project_arith" -> 1,
     "q10_returned_items" -> 1,

@@ -244,11 +244,106 @@ object Multimodal {
       .orderBy("a", "b")
   }
 
+  /** Generalized multi-word average-hash — the "wider hash" half of
+    * the scale knob documented on [[mmPhashNeardup]]: `bits` blocks,
+    * bit k landing in word k/64. Same integer cross-multiply bit test
+    * as [[ahash32]] (which stays the shipped 32-bit key's kernel). */
+  def ahashWide(payload: Array[Byte], bits: Int): Array[Long] = {
+    val L = payload.length
+    val words = new Array[Long]((bits + 63) / 64)
+    if (L == 0) return words
+    var tot = 0L
+    var i = 0
+    while (i < L) { tot += payload(i) & 0xff; i += 1 }
+    var k = 0
+    while (k < bits) {
+      val lo = k * L / bits; val hi = (k + 1) * L / bits
+      var bs = 0L; var j = lo
+      while (j < hi) { bs += payload(j) & 0xff; j += 1 }
+      if (bs * L > tot * (hi - lo)) words(k / 64) |= 1L << (k % 64)
+      k += 1
+    }
+    words
+  }
+
+  /** Parameterized Hamming-ball near-dup over pre-hashed
+    * (doc_id, ws: array&lt;long&gt;) rows — the banding + verify tail
+    * of [[mmPhashNeardup]] factored over any hash width, so the
+    * wide variant and the distinct-payload scale probe drive the
+    * production pipeline, not a copy. `bands` are (word, bitOffset,
+    * width) triples; pigeonhole exactness needs bands.size ≥ tau+1. */
+  def phashPairs(hashes: DataFrame,
+      bands: Seq[(Int, Int, Int)], tau: Int): DataFrame = {
+    require(bands.size >= tau + 1,
+      s"${bands.size} bands cannot pigeonhole Hamming ≤ $tau")
+    val bandCols = bands.map { case (w, off, wd) =>
+      shiftrightunsigned(element_at(col("ws"), w + 1), off)
+        .bitwiseAND(lit((1L << wd) - 1))
+    }
+    val bandRows = hashes.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    val cands = bandRows.as("x").join(bandRows.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    cands
+      .join(hashes.select(col("doc_id").as("a"), col("ws").as("wa")), "a")
+      .join(hashes.select(col("doc_id").as("b"), col("ws").as("wb")), "b")
+      .withColumn("hamming",
+        aggregate(zip_with(col("wa"), col("wb"),
+          (x, y) => bit_count(x.bitwiseXOR(y))), lit(0), (acc, v) => acc + v))
+      .filter(col("hamming") <= tau)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
+  /** 128-bit / 6-band configuration — what [[mmPhashNeardup]]'s
+    * scaladoc prescribes for large corpora: 21-22-bit bands keep the
+    * expected bucket at N/2²¹ (random-ish hashes), so candidate
+    * volume stays near-linear to ~10⁸ items where the 6-bit bands of
+    * the 32-bit key would collapse into quadratic buckets. The scale
+    * probe (PhashScaleSpec) measures exactly this on distinct random
+    * payloads. */
+  val PhashWideBits = 128
+  val phashWideBands: Seq[(Int, Int, Int)] = Seq(
+    (0, 0, 22), (0, 22, 21), (0, 43, 21),
+    (1, 0, 22), (1, 22, 21), (1, 43, 21))
+
+  private val wideHashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ws", ArrayType(LongType, containsNull = false))))
+
+  /** (doc_id, 128-bit hash words) of a documents-shaped frame —
+    * shared by the registered wide key and the scale probe. */
+  def wideHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0),
+          ahashWide(r.getAs[Array[Byte]](1), PhashWideBits).toSeq))
+      }(RowEncoder.encoderFor(wideHashSchema))
+
+  /** The wide-hash near-dup as a first-class key: same pipeline shape
+    * as `mm_phash_neardup` (narrow decode in mapPartitions, band
+    * equi-join on 10-byte rows, exact popcount verify) at the 128-bit
+    * / 21-22-bit-band operating point. Oracled by the same generated
+    * all-pairs SQL, extended to two words. Corpus note: Hamming ≤ 5
+    * of 128 bits is a much tighter relative radius than 5 of 32, so
+    * on the shipped data this finds exactly the planted EXACT
+    * duplicates (8 hamming-0 pairs at sf0.1; sf0.01 plants none and
+    * the result is legitimately empty — the oracle still verifies the
+    * full 128-block hash derivation over every document either way).
+    * The scale story (bounded buckets, ~linear candidates on 150k
+    * DISTINCT random payloads) is measured in PhashScaleSpec. */
+  val mmPhashWide: QFn = (s, d) =>
+    phashPairs(wideHashes(Tables.documents(s, d)), phashWideBands, PhashTau)
+
   val entries: Seq[(String, QFn)] = Seq(
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_frame_sample" -> mmFrameSample,
     "mm_audio_window" -> mmAudioWindow,
     "mm_phash_neardup" -> mmPhashNeardup,
+    "mm_phash_wide" -> mmPhashWide,
     "mm_modality_dispatch" -> mmModalityDispatch)
 
   /** The aHash oracle re-derives every block's cross-multiply bit in
@@ -279,11 +374,44 @@ object Multimodal {
          ORDER BY a, b"""
   }
 
+  /** 128-block twin of [[phashOracleSql]]: the per-char code list is
+    * materialized once per doc, each block bit is a generated
+    * list-slice sum with the same cross-multiply test, and the two
+    * 64-bit words assemble from generated power-of-two terms (bit 63's
+    * term is Long.MinValue — the signed two's-complement value Spark
+    * holds; the BIGINT sum never overflows because the positive terms
+    * cap at 2⁶³−1). All-pairs Hamming over both words; pigeonhole
+    * 6-banding makes the engine equal it exactly. */
+  private def phashWideOracleSql: String = {
+    def term(k: Int): String = {
+      val j = k % 64
+      s"""(CASE WHEN COALESCE(list_sum(cs[$k * L // $PhashWideBits + 1 : ($k + 1) * L // $PhashWideBits]), 0) * L > tot * CAST((($k + 1) * L // $PhashWideBits - $k * L // $PhashWideBits) AS BIGINT) THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+    }
+    val w0 = (0 until 64).map(term).mkString(" +\n           ")
+    val w1 = (64 until PhashWideBits).map(term).mkString(" +\n           ")
+    s"""WITH t AS (
+           SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+             list_transform(regexp_extract_all(text, '.'),
+               c -> CAST(ascii(c) AS BIGINT)) AS cs
+           FROM documents),
+         t2 AS (SELECT doc_id, L, cs, COALESCE(list_sum(cs), 0) AS tot FROM t),
+         h AS (SELECT doc_id,
+           $w0 AS w0,
+           $w1 AS w1
+           FROM t2)
+         SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.w0, y.w0)) + bit_count(xor(x.w1, y.w1)) AS INT) AS hamming
+         FROM h x JOIN h y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.w0, y.w0)) + bit_count(xor(x.w1, y.w1)) <= $PhashTau
+         ORDER BY a, b"""
+  }
+
   /** Text payloads are pure ASCII, so the byte histogram/checksums are
     * SQL-expressible: bucket = ascii(char) >> 4, checksum = sum of
     * codes. The oracle proves the distributed decode path byte-exact. */
   val oracles: Seq[(String, String)] = Seq(
     "mm_phash_neardup" -> phashOracleSql,
+    "mm_phash_wide" -> phashWideOracleSql,
     "mm_audio_window" ->
       """SELECT doc_id, CAST(k AS INT) AS win_idx,
            CAST(length(substr(text, k * 64 + 1, 128)) AS INT) AS n_samples,

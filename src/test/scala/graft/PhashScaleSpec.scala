@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Measured scale evidence for the phash near-dup family (r10 verdict
+  * #4): the word-tag replica ladder legitimately excludes these keys
+  * (tag suffixes barely move byte-level block means, so replicas
+  * manufacture quadratic Hamming twins), so this probe synthesizes a
+  * corpus of DISTINCT pseudo-random payloads — no planted twins, no
+  * replica artifact — and drives the PRODUCTION pipeline
+  * ([[graft.operators.Multimodal.phashPairs]] over
+  * [[graft.operators.Multimodal.wideHashes]]) at 10× the sf0.1
+  * document count (override with SPARK_GRAFT_PHASH_PROBE_N), recording
+  * the band bucket-size distribution and candidate volume that the
+  * "band width is the knob" scaladoc claims bound the cost.
+  *
+  * What is asserted (not just printed): with 21-22-bit bands on
+  * random-ish 128-bit hashes the max band bucket stays in the tens
+  * (balls-in-bins, N/2²¹ ≪ 1) and candidate volume stays ~linear —
+  * the banded join provably never degrades toward the all-pairs n²
+  * the 6-bit-band 32-bit key would hit at this corpus size. */
+class PhashScaleSpec extends SparkTestBase {
+
+  import operators.Multimodal
+
+  private val N: Int =
+    sys.env.getOrElse("SPARK_GRAFT_PHASH_PROBE_N", "50000").toInt
+
+  /** N distinct 256-char printable-ASCII payloads, generated
+    * distributedly (one splitmix64 stream per doc_id; generator lives
+    * in the companion so the closure doesn't capture the suite). */
+  private def syntheticDocs =
+    spark.range(N.toLong).toDF("doc_id")
+      .repartition(8)
+      .mapPartitions(PhashScaleSpec.gen)(
+        RowEncoder.encoderFor(PhashScaleSpec.docSchema))
+
+  test(s"wide-band phash probe: bounded buckets and ~linear candidates on $N distinct payloads") {
+    val t0 = System.nanoTime()
+    val hashes = Multimodal.wideHashes(syntheticDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // band bucket-size distribution — the quantity the band-width
+      // knob bounds. Rebuilt here with the SAME band constants the
+      // pipeline uses.
+      val bandCols = Multimodal.phashWideBands.map { case (w, off, wd) =>
+        shiftrightunsigned(element_at(col("ws"), w + 1), off)
+          .bitwiseAND(lit((1L << wd) - 1))
+      }
+      val buckets = hashes
+        .select(posexplode(array(bandCols: _*)))
+        .groupBy("pos", "col").count()
+      val (maxBucket, nBuckets, candVolume) = {
+        val agg = buckets.agg(max("count"), count(lit(1)),
+          sum((col("count") * (col("count") - 1) / 2).cast("long"))).first()
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      }
+      val pairs = Multimodal.phashPairs(
+        hashes, Multimodal.phashWideBands, tau = 5)
+      val nPairs = pairs.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"N=$N%d docs, wall $secs%.1f s: max band bucket $maxBucket%d " +
+        f"across $nBuckets%d buckets, candidate volume $candVolume%d " +
+        f"(${candVolume.toDouble / N}%.2f per doc), $nPairs%d pairs at tau<=5")
+      // balls-in-bins at N/2^21 load: a bucket in the hundreds means
+      // the hash is badly non-uniform or the bands are too narrow for
+      // this corpus — the exact failure the knob exists to prevent
+      assert(maxBucket < 100,
+        s"max band bucket $maxBucket — banding collapsing toward all-pairs")
+      // candidate volume (Σ C(bucket,2)) must stay near-linear in N;
+      // 10 per doc is ~40× the uniform expectation — generous headroom
+      // without admitting quadratic growth (all-pairs would be N/2
+      // per doc = 25,000 here)
+      assert(candVolume < 10L * N,
+        s"candidate volume $candVolume superlinear for N=$N")
+      // distinct random payloads: genuine Hamming<=5 twins in a
+      // 128-bit space are vanishingly rare — near-zero pairs expected
+      assert(nPairs < 100, s"$nPairs pairs among random payloads")
+    } finally hashes.unpersist()
+  }
+}
+
+object PhashScaleSpec {
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** splitmix64 — deterministic per-doc randomness. */
+  private def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  val gen: Iterator[Row] => Iterator[Row] = rows =>
+    rows.map { r =>
+      val id = r.getLong(0)
+      val sb = new StringBuilder(256)
+      var s = mix(id)
+      var i = 0
+      while (i < 256) {
+        s = mix(s)
+        sb.append((33 + ((s >>> 8) % 94)).toChar) // printable ASCII
+        i += 1
+      }
+      Row(id, sb.toString)
+    }
+}
