@@ -144,17 +144,23 @@ object Bench {
       require(SparkEntry.queries.contains(name),
         s"bench staging key '$name' not in the registry — renamed?")
     }
-    val warmup: Seq[(String, Double)] =
+    // each entry carries ok=false when the staging build itself failed
+    // (r10 ADVICE: a failed warm-up printed to stderr but recorded a
+    // short wall, so the artifact claimed the exclusion worked while
+    // the first timed run silently absorbed the staging cost)
+    val warmup: Seq[(String, Double, Boolean)] =
       if (sys.env.contains("SPARK_GRAFT_NO_WARMUP")) Seq.empty
       else stagingKeys.collect {
         case (name, needed) if only.forall(_.exists(needed)) =>
           val fn = SparkEntry.queries(name)
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
-          }
-          (name, (System.nanoTime() - t0) / 1e9)
+          val ok =
+            try { fn(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+              false
+            }
+          (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     // drain warm-up's in-flight task-end events so the first timed
     // run's spill/shuffle baselines aren't polluted by warm-up
@@ -233,7 +239,8 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val totalMedian = results.flatMap(_._3).sum
     val warmupJson = warmup
-      .map { case (n, s) => "\"" + n + "\":" + f"$s%.3f" }
+      .map { case (n, s, ok) =>
+        "\"" + n + "\":" + f"""{"sec":$s%.3f,"ok":$ok}""" }
       .mkString("{", ",", "}")
     val env =
       s"""{"cpus":"$cpus","start_epoch_ms":$benchStart,"end_epoch_ms":${System.currentTimeMillis()},"load_end":${loadAvg()},"gc_total_ms":${gcMs()},"warmup":$warmupJson}"""

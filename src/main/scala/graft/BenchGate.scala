@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** In-tree wall-time regression gate (r10 verdict #6): the
+  * shuffle-budget ledger pins every key's PLAN shape, but nothing
+  * pinned its RATE — a regression surfaced only at the next driver
+  * bench. This main compares each key's best-of-n wall against the
+  * COMMITTED per-key medians in `tools/bench_baseline.json` (distilled
+  * from the round-10 close run, sf0.1, local[32]) and fails loudly on
+  * any key slower than `SPARK_GRAFT_GATE_FACTOR`× its baseline
+  * (default 3×, the same threshold the verdict named).
+  *
+  * Opt-in by construction (a main, never part of `sbt test`):
+  *
+  *   sbt "runMain graft.BenchGate [key1,key2,...]"   # default: all
+  *
+  * Quiet-window discipline: the gate is only meaningful on an
+  * otherwise idle machine — it prints the 1-min loadavg next to every
+  * verdict and refuses to FAIL (downgrades to WARN) when loadavg at
+  * key start exceeded the allocated cores, so ambient contention
+  * can't mint false regressions. First run of each key is UNTIMED
+  * (covers IndexStore staging and JIT — the same exclusion the bench
+  * warm-up performs); the gate then takes best-of-2.
+  *
+  * Refreshing the baseline after a DELIBERATE perf change: run the
+  * full Bench, then copy bench_last.json's `medians` into
+  * tools/bench_baseline.json (tools/distill_baseline.py does this)
+  * and commit it with the change that moved the numbers. */
+object BenchGate {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_GATE_FACTOR", "3.0").toDouble
+    val only: Option[Set[String]] =
+      args.headOption.map(_.split(",").toSet)
+    val baselinePath = sys.env.getOrElse(
+      "SPARK_GRAFT_GATE_BASELINE", "tools/bench_baseline.json")
+    // minimal flat {"key": secs} parse — no JSON library in the build
+    val baseline: Map[String, Double] = {
+      val txt = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(baselinePath))
+      """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    require(baseline.nonEmpty, s"empty baseline at $baselinePath")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.catalogImplementation", "in-memory")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    var fails = List.empty[String]
+    var warns = List.empty[String]
+    var skipped = List.empty[String]
+    keys.foreach { case (name, fn) =>
+      baseline.get(name) match {
+        case None =>
+          // a key newer than the committed baseline: not gateable yet
+          skipped ::= name
+        case Some(base) =>
+          val l0 = loadAvg()
+          try {
+            fn(spark, sfDir).count() // untimed: staging + JIT
+            val best = (1 to 2).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            val ratio = best / base
+            // absolute slack: sub-100ms keys sit on a fixed JIT /
+            // task-scheduling floor that trivially exceeds any ratio —
+            // a regression must be BOTH >factor× and >0.3s absolute
+            val verdict =
+              if (ratio <= factor || best - base < 0.3) "ok"
+              else if (l0 > cpus.toDouble) { warns ::= name; "WARN(load)" }
+              else { fails ::= name; "FAIL" }
+            println(f"[gate] $name%-28s base $base%7.3f s  best $best%7.3f s" +
+              f"  ratio $ratio%5.2fx  load $l0%5.2f  $verdict")
+          } catch { case e: Throwable =>
+            fails ::= name
+            println(s"[gate] $name ERROR: ${e.getMessage}")
+          }
+      }
+    }
+    spark.stop()
+    if (skipped.nonEmpty)
+      println(s"[gate] no baseline (new keys, not gated): ${skipped.sorted.mkString(", ")}")
+    if (warns.nonEmpty)
+      println(s"[gate] over threshold but machine loaded — rerun quiet: ${warns.sorted.mkString(", ")}")
+    if (fails.nonEmpty) {
+      println(s"GATE FAIL (> ${factor}x committed median): ${fails.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
+    println(s"GATE OK: ${keys.size - skipped.size} keys within ${factor}x of the r10 baseline")
+  }
+}
