@@ -73,10 +73,20 @@ object IndexStoreOp {
       try !l.iterator().asScala.exists { p =>
         val fn = p.getFileName.toString
         fn.startsWith(s"$name.tmp.") && {
+          // Try-guarded parse (r10 ADVICE): a digit run longer than
+          // Long, or a foreign/legacy tmp name with no pid field,
+          // must classify as residue with the real diagnosis — not
+          // throw NumberFormatException out of the operator
           val pid = fn.stripPrefix(s"$name.tmp.").takeWhile(_.isDigit)
-          val ownerAlive = pid.nonEmpty && {
-            val oh = ProcessHandle.of(pid.toLong)
-            oh.isPresent && oh.get.isAlive
+          val ownerAlive = scala.util.Try {
+            pid.nonEmpty && {
+              val oh = ProcessHandle.of(pid.toLong)
+              oh.isPresent && oh.get.isAlive
+            }
+          }.getOrElse {
+            System.err.println(
+              s"[index_store] unparseable tmp suffix '$fn' — counting as residue")
+            false
           }
           !ownerAlive
         }

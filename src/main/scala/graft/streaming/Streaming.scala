@@ -333,6 +333,17 @@ object Streaming {
     * don't support Update, and their output is bounded by STATE
     * cardinality (users × batch count), not event volume — the same
     * bound their state story already guarantees. */
+  /** SINGLE-LIVE-HANDLE constraint (r10 ADVICE): the Append-mode sink
+    * dir is keyed by (key, dataset, app) and deleteRecursively'd
+    * before each start, so the DataFrame returned by an EARLIER
+    * runStream call for the same triple is invalidated the moment the
+    * key reruns in-session — hold at most one live read-back per
+    * (key, dataset) and materialize it before rerunning the key.
+    * Every current caller (Verify's immediate write, Bench's
+    * immediate count, the specs' collect) does; a per-invocation dir
+    * would lift the constraint but accumulates event-volume-sized
+    * results per rerun until JVM exit (GBs × passes at the 300×
+    * rung), which is the wrong trade for a bench harness. */
   private def runStream(s: SparkSession, d: String,
       mode: OutputMode, name: String,
       extraConfs: Map[String, String] = Map.empty,
