@@ -139,8 +139,15 @@ object Graph {
     var ranks = deg.crossJoin(broadcast(nn))
       .select(col("u").as("node"), expr(s"${Scale}L div n").as("pr"))
     for (_ <- 1 to iters) {
+      // shuffle_hash on the NODE-sized rank table: sort-merge would
+      // re-SORT the cached edge side (the 100 TB side) every
+      // iteration — at the 300× rung that sort was the 18 GB disk
+      // spill the r10 verdict named. Hash-building on ranks streams
+      // the edges unsorted; the cached hash partitioning on u is
+      // still reused, so the edge side never re-shuffles either.
       ranks = contribBase.as("cb")
-        .join(ranks.as("rk"), col("cb.u") === col("rk.node"))
+        .join(ranks.as("rk").hint("shuffle_hash"),
+          col("cb.u") === col("rk.node"))
         .select(col("cb.v").as("v"), expr("rk.pr div cb.dg").as("contrib"))
         .groupBy("v")
         .agg(sum("contrib").as("sc"))
