@@ -67,6 +67,13 @@ object Graph {
   /** Degree distribution of the customer side: how many distinct
     * suppliers each customer bought from, histogrammed. */
   val graphDegree: QFn = (s, d) => {
+    // deliberately UN-hinted (unlike the pagerank loop): a
+    // shuffle_hash hint was A/B'd at the 100x rung — 11.5s/14GB
+    // mem-spill -> 10.4s/9.7GB — but it forces a shuffle join at
+    // EVERY scale, denying Catalyst the broadcast it correctly picks
+    // when orders fits the threshold (and costing +2 exchanges in the
+    // audited plan). A 10% gain on the cold rung doesn't buy that;
+    // the remaining spill is the inherent 60M-row pair dedup.
     Tables.orders(s, d).select("o_orderkey", "o_custkey")
       .join(Tables.lineitem(s, d).select("l_orderkey", "l_suppkey"),
         col("o_orderkey") === col("l_orderkey"))
