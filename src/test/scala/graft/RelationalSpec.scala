@@ -8,10 +8,20 @@ import org.apache.spark.sql.functions._
   * cover the no-oracle keys with self-consistency / error-bound checks. */
 class RelationalSpec extends SparkTestBase {
 
+  // Keys whose EMPTY result at smoke scale is the correct answer, not
+  // a bug — each with the reason. They must still RUN cleanly.
+  private val emptyOkAtSmoke = Map(
+    // Hamming ≤ 5 of 128 bits only admits (near-)exact duplicates and
+    // sf0.001/sf0.01 plant none (sf0.1 yields the 8 planted exact-dup
+    // pairs — see the key's scaladoc)
+    "mm_phash_wide" -> "128-bit radius finds only exact dups; none planted below sf0.1")
+
   test("every registered query runs and returns rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
-      assert(n > 0, s"$name returned 0 rows")
+      if (emptyOkAtSmoke.contains(name))
+        info(s"$name: ${n} rows (empty-ok: ${emptyOkAtSmoke(name)})")
+      else assert(n > 0, s"$name returned 0 rows")
     }
   }
 
