@@ -60,6 +60,12 @@ object BenchGate {
       catch { case _: Throwable => -1.0 }
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // AMBIENT load, captured before the gate does any work: loadavg
+    // sampled mid-run is contaminated by the gate's own previous keys
+    // (a 32-core key pushes the 1-min average over `cpus` for the next
+    // minute on an otherwise idle box), which would systematically
+    // downgrade real FAILs to WARN
+    val ambientLoad = loadAvg()
     var fails = List.empty[String]
     var warns = List.empty[String]
     var skipped = List.empty[String]
@@ -69,24 +75,29 @@ object BenchGate {
           // a key newer than the committed baseline: not gateable yet
           skipped ::= name
         case Some(base) =>
-          val l0 = loadAvg()
           try {
             fn(spark, sfDir).count() // untimed: staging + JIT
-            val best = (1 to 2).map { _ =>
+            def timed(): Double = {
               val t0 = System.nanoTime()
               fn(spark, sfDir).count()
               (System.nanoTime() - t0) / 1e9
-            }.min
-            val ratio = best / base
+            }
+            var best = (1 to 2).map(_ => timed()).min
             // absolute slack: sub-100ms keys sit on a fixed JIT /
             // task-scheduling floor that trivially exceeds any ratio —
             // a regression must be BOTH >factor× and >0.3s absolute
+            def over = best / base > factor && best - base >= 0.3
+            // one retry before any verdict: a transient stall (GC,
+            // page cache miss, a neighbor's tail) shouldn't mint a
+            // FAIL; a real regression reproduces
+            if (over) best = math.min(best, timed())
+            val ratio = best / base
             val verdict =
-              if (ratio <= factor || best - base < 0.3) "ok"
-              else if (l0 > cpus.toDouble) { warns ::= name; "WARN(load)" }
+              if (!over) "ok"
+              else if (ambientLoad > cpus.toDouble) { warns ::= name; "WARN(ambient-load)" }
               else { fails ::= name; "FAIL" }
             println(f"[gate] $name%-28s base $base%7.3f s  best $best%7.3f s" +
-              f"  ratio $ratio%5.2fx  load $l0%5.2f  $verdict")
+              f"  ratio $ratio%5.2fx  $verdict")
           } catch { case e: Throwable =>
             fails ::= name
             println(s"[gate] $name ERROR: ${e.getMessage}")
@@ -97,11 +108,14 @@ object BenchGate {
     if (skipped.nonEmpty)
       println(s"[gate] no baseline (new keys, not gated): ${skipped.sorted.mkString(", ")}")
     if (warns.nonEmpty)
-      println(s"[gate] over threshold but machine loaded — rerun quiet: ${warns.sorted.mkString(", ")}")
+      println(s"[gate] OVER THRESHOLD under ambient load $ambientLoad — rerun quiet: ${warns.sorted.mkString(", ")}")
     if (fails.nonEmpty) {
       println(s"GATE FAIL (> ${factor}x committed median): ${fails.sorted.mkString(", ")}")
       sys.exit(1)
     }
-    println(s"GATE OK: ${keys.size - skipped.size} keys within ${factor}x of the r10 baseline")
+    val ok = keys.size - skipped.size - warns.size
+    println(s"GATE OK: $ok keys within ${factor}x of the r10 baseline" +
+      (if (warns.nonEmpty) s"; ${warns.size} UNRESOLVED under load (not within)" else "") +
+      (if (skipped.isEmpty) "" else s"; ${skipped.size} ungated"))
   }
 }

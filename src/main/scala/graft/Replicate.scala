@@ -79,7 +79,10 @@ object Replicate {
     *  - orders: customer 1 holds ~30% of orders (hot graph hub, hot
     *    groupBy key in the composite queries);
     *  - lineitem: supplier 1 holds ~30% of line items (the second
-    *    graph hub — ~9% of edges collapse onto the (1, 1) pair);
+    *    graph hub; both hot slices key on the SAME orderkey pmod, so
+    *    they are fully correlated — the hot ~30% of joined rows ALL
+    *    map to the single (customer 1, supplier 1) edge, not the
+    *    ~9% an independent 0.3 × 0.3 would give);
     *  - documents: source 'src1' holds ~30% of docs (temperature /
     *    stratified sampling weight skew).
     * FKs stay valid — every dominant key exists in replica 0's

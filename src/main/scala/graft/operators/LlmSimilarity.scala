@@ -281,8 +281,12 @@ object LlmSimilarity {
     * lands recall@5 ≈ 0.28 on this corpus; the 100-candidate exact
     * re-rank recovers what the shortlist retains — recall@5 0.92
     * (spec-gated ≥ 0.85). Approximate by construction (quantization
-    * error), so no oracle; the spec measures recall@5 against exact
-    * L2. */
+    * error) — but since r11 FULLY ORACLED anyway: the codebook
+    * training is exact integer arithmetic and the ADC fold is
+    * order-pinned, so [[pqOracleSql]] re-derives the same approximate
+    * two-stage ranking in DuckDB and the key hash-matches. The spec
+    * additionally measures recall@5 against exact L2 (the quality
+    * gate the hash-match can't express). */
   /** PQ tuning: m subspaces × dsub dims, `codes`-entry codebooks,
     * [[PqRounds]] joint Lloyd rounds, [[PqShortlist]] ADC candidates
     * re-ranked exactly. Object-scoped so the DuckDB oracle below is

@@ -219,29 +219,20 @@ object Multimodal {
     * not the operator (the `llm_embed_neardup` precedent). */
   val mmPhashNeardup: QFn = (s, d) => {
     val hashSchema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("phash", LongType)))
+      StructField("doc_id", LongType),
+      StructField("ws", ArrayType(LongType, containsNull = false))))
+    // 1-element ws array: the 32-bit key runs the SAME banding +
+    // verify pipeline as the wide key ([[phashPairs]]) — one tail,
+    // two operating points (r11 review finding: the duplicated copy
+    // could drift)
     val hashes = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       .mapPartitions { rows =>
-        rows.map(r => Row(r.getLong(0), ahash32(r.getAs[Array[Byte]](1))))
+        rows.map(r =>
+          Row(r.getLong(0), Seq(ahash32(r.getAs[Array[Byte]](1)))))
       }(RowEncoder.encoderFor(hashSchema))
-    val bandCols = phashBands.map { case (off, w) =>
-      shiftrightunsigned(col("phash"), off).bitwiseAND(lit((1L << w) - 1))
-    }
-    val bands = hashes.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    cands
-      .join(hashes.select(col("doc_id").as("a"), col("phash").as("ha")), "a")
-      .join(hashes.select(col("doc_id").as("b"), col("phash").as("hb")), "b")
-      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
-      .filter(col("hamming") <= PhashTau)
-      .select("a", "b", "hamming")
-      .orderBy("a", "b")
+    phashPairs(hashes,
+      phashBands.map { case (off, w) => (0, off, w) }, PhashTau)
   }
 
   /** Generalized multi-word average-hash — the "wider hash" half of
@@ -276,9 +267,25 @@ object Multimodal {
       bands: Seq[(Int, Int, Int)], tau: Int): DataFrame = {
     require(bands.size >= tau + 1,
       s"${bands.size} bands cannot pigeonhole Hamming ≤ $tau")
+    // pigeonhole exactness also needs DISJOINT bands: if one bit sat
+    // in two bands, a single flip would touch both and tau flips
+    // could touch all tau+1 — a true pair silently lost. (Coverage is
+    // NOT required: a flip in an unbanded bit changes no band value,
+    // so the pair still collides and the exact verify scores it.)
+    bands.groupBy(_._1).foreach { case (w, bs) =>
+      var mask = 0L
+      bs.foreach { case (_, off, wd) =>
+        require(off >= 0 && wd > 0 && off + wd <= 64,
+          s"band (word $w, off $off, width $wd) exceeds the 64-bit word")
+        val m = (if (wd == 64) -1L else (1L << wd) - 1) << off
+        require((mask & m) == 0L,
+          s"bands overlap in word $w — pigeonhole exactness lost")
+        mask |= m
+      }
+    }
     val bandCols = bands.map { case (w, off, wd) =>
       shiftrightunsigned(element_at(col("ws"), w + 1), off)
-        .bitwiseAND(lit((1L << wd) - 1))
+        .bitwiseAND(lit(if (wd == 64) -1L else (1L << wd) - 1))
     }
     val bandRows = hashes.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
@@ -333,8 +340,11 @@ object Multimodal {
     * duplicates (8 hamming-0 pairs at sf0.1; sf0.01 plants none and
     * the result is legitimately empty — the oracle still verifies the
     * full 128-block hash derivation over every document either way).
-    * The scale story (bounded buckets, ~linear candidates on 150k
-    * DISTINCT random payloads) is measured in PhashScaleSpec. */
+    * The scale story (bounded buckets, ~linear candidates on DISTINCT
+    * random payloads) is measured in PhashScaleSpec — 50k docs (10×
+    * the sf0.1 corpus) on every `sbt test` run; the 150k (30×) rung
+    * is env-raised (SPARK_GRAFT_PHASH_PROBE_N) and recorded in
+    * ARCHIVE.md's round-11 delta. */
   val mmPhashWide: QFn = (s, d) =>
     phashPairs(wideHashes(Tables.documents(s, d)), phashWideBands, PhashTau)
 

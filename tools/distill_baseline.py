@@ -13,5 +13,17 @@ dst = sys.argv[2] if len(sys.argv) > 2 else "tools/bench_baseline.json"
 d = json.load(open(src))
 good = {k: v for k, v in (d.get("medians") or {}).items() if v is not None}
 assert good, f"no medians in {src}"
-json.dump(dict(sorted(good.items())), open(dst, "w"), indent=0)
-print(f"{dst}: {len(good)} keys from {src} (sf={d.get('sf')})")
+# refuse to silently SHRINK gate coverage: a key-subset bench run
+# (SPARK_GRAFT_BENCH_ONLY) produces a medians map with only those keys,
+# and overwriting the baseline with it would leave every other key
+# permanently ungated. Merge instead: subset runs refresh their keys,
+# full runs refresh everything; keys can only be REMOVED by editing
+# the baseline by hand.
+try:
+    prev = json.load(open(dst))
+except (FileNotFoundError, json.JSONDecodeError):
+    prev = {}
+merged = {**prev, **good}
+json.dump(dict(sorted(merged.items())), open(dst, "w"), indent=0)
+print(f"{dst}: {len(merged)} keys ({len(good)} refreshed from {src}, "
+      f"sf={d.get('sf')})")
