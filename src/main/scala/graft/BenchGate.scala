@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   * pinned its RATE — a regression surfaced only at the next driver
   * bench. This main compares each key's best-of-n wall against the
   * COMMITTED per-key medians in `tools/bench_baseline.json` (distilled
-  * from the round-10 close run, sf0.1, local[32]) and fails loudly on
+  * from the latest committed full-run medians — r11 close at the
+  * time of writing; sf0.1, local[32]) and fails loudly on
   * any key slower than `SPARK_GRAFT_GATE_FACTOR`× its baseline
   * (default 3×, the same threshold the verdict named).
   *
@@ -16,12 +17,17 @@ import org.apache.spark.sql.SparkSession
   *   sbt "runMain graft.BenchGate [key1,key2,...]"   # default: all
   *
   * Quiet-window discipline: the gate is only meaningful on an
-  * otherwise idle machine — it prints the 1-min loadavg next to every
-  * verdict and refuses to FAIL (downgrades to WARN) when loadavg at
-  * key start exceeded the allocated cores, so ambient contention
-  * can't mint false regressions. First run of each key is UNTIMED
-  * (covers IndexStore staging and JIT — the same exclusion the bench
-  * warm-up performs); the gate then takes best-of-2.
+  * otherwise idle machine — AMBIENT loadavg is captured once, before
+  * the gate does any work (mid-run loadavg is contaminated by the
+  * gate's own previous keys), and an over-threshold key under
+  * ambient load > cores downgrades to WARN rather than FAIL, counted
+  * separately from the OK line. An over-threshold key also gets one
+  * retry before any verdict — a transient stall shouldn't mint a
+  * FAIL; a real regression reproduces. First run of each key is
+  * UNTIMED (covers IndexStore staging and JIT — the same exclusion
+  * the bench warm-up performs); the gate then takes best-of-2, and a
+  * FAIL requires both >factor× and >0.3 s absolute over the baseline
+  * (sub-100 ms keys sit on a fixed scheduling floor).
   *
   * Refreshing the baseline after a DELIBERATE perf change: run the
   * full Bench, then copy bench_last.json's `medians` into
@@ -114,7 +120,7 @@ object BenchGate {
       sys.exit(1)
     }
     val ok = keys.size - skipped.size - warns.size
-    println(s"GATE OK: $ok keys within ${factor}x of the r10 baseline" +
+    println(s"GATE OK: $ok keys within ${factor}x of the committed baseline" +
       (if (warns.nonEmpty) s"; ${warns.size} UNRESOLVED under load (not within)" else "") +
       (if (skipped.isEmpty) "" else s"; ${skipped.size} ungated"))
   }
