@@ -1072,6 +1072,13 @@ object LlmSimilarity {
     "llm_knn_ivf" -> llmKnnIvf,
     "llm_knn_ivf_exact" -> llmKnnIvfExact,
     "llm_knn_ivf_pruned" -> llmKnnIvfPrunedExact,
+    // the APPROXIMATE pruned path (nProbe = IvfNProbe) as a
+    // first-class oracled key: the partition-filtered layout read at
+    // the production operating point, against the same unrolled-
+    // training oracle as llm_knn_ivf — its result is spec-pinned
+    // identical, so the SQL twin is shared (r11: the last spec-only
+    // ANN physical path becomes driver-oracled)
+    "llm_knn_ivf_pruned20" -> llmKnnIvfPruned,
     "llm_knn_pq" -> llmKnnPq,
     "llm_hybrid_search" -> llmHybridSearch,
     "llm_rerank_mmr" -> llmRerankMmr,
@@ -1447,6 +1454,9 @@ object LlmSimilarity {
     // quantizer training is unrolled inside the SQL, so the oracle
     // derives the same centroids and replays the same pruned search
     "llm_knn_ivf" -> ivfOracleSql(IvfNProbe, 6),
+    // the pruned-layout physical path at the same nProbe: identical
+    // result by construction (LlmSpec pins it), identical oracle
+    "llm_knn_ivf_pruned20" -> ivfOracleSql(IvfNProbe, 6),
     // the APPROXIMATE IVF-PQ two-stage ranking is itself oracled: the
     // codebook training and the pinned-order ADC fold are unrolled in
     // the SQL (see pqOracleSql)
