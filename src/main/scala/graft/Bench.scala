@@ -148,6 +148,13 @@ object Bench {
     // (r10 ADVICE: a failed warm-up printed to stderr but recorded a
     // short wall, so the artifact claimed the exclusion worked while
     // the first timed run silently absorbed the staging cost)
+    // AMBIENT load, sampled before the bench does ANY work (warm-up
+    // included): every later sample is contaminated by the bench's own
+    // threads, so this is the one number that can distinguish "this
+    // window was dirty" from "this code is slow" (r11: the driver
+    // artifact started at loadavg 3.66 and read 1.38x uniform over the
+    // quiet run at the same HEAD). Feeds BenchAmbient.contaminated.
+    val loadStart = loadAvg()
     val warmup: Seq[(String, Double, Boolean)] =
       if (sys.env.contains("SPARK_GRAFT_NO_WARMUP")) Seq.empty
       else stagingKeys.collect {
@@ -181,39 +188,65 @@ object Bench {
     // contention, and the per-run (pass, pos) telemetry lets a reader
     // correlate inflation with position post hoc.
     val runsByKey = scala.collection.mutable.Map.empty[String, Vector[Run]]
+    def timedRun(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        p: Int, pos: Int): Unit = {
+      val epoch = System.currentTimeMillis()
+      val l0 = loadAvg(); val g0 = gcMs(); val c0 = procCpuMs()
+      // counters are cumulative; peaks are per-run (reset) — the
+      // listener bus is drained before reading so deltas belong
+      // to THIS run, not a neighbor
+      val sm0 = spillMem.get(); val sd0 = spillDisk.get()
+      val sw0 = shufWrite.get()
+      peakExecMem.set(0); stateBytes.set(0)
+      val t0 = System.nanoTime()
+      // a failed run's wall time must not win the best-of-n (a fast
+      // crash would otherwise report a nonsense "best" for a key
+      // that is also listed in failed)
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed ::= name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          false
+        }
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      val run = Run(wall, ok, epoch, l0, loadAvg(),
+        gcMs() - g0, procCpuMs() - c0,
+        spillMem.get() - sm0, spillDisk.get() - sd0,
+        shufWrite.get() - sw0, peakExecMem.get(), stateBytes.get(),
+        p, pos)
+      runsByKey.updateWith(name)(v => Some(v.getOrElse(Vector.empty) :+ run))
+    }
     for (p <- 0 until nRuns) {
       val off = if (keys.isEmpty) 0 else (p * keys.size) / nRuns
       val order = keys.drop(off) ++ keys.take(off)
       order.zipWithIndex.foreach { case ((name, fn), pos) =>
-        val epoch = System.currentTimeMillis()
-        val l0 = loadAvg(); val g0 = gcMs(); val c0 = procCpuMs()
-        // counters are cumulative; peaks are per-run (reset) — the
-        // listener bus is drained before reading so deltas belong
-        // to THIS run, not a neighbor
-        val sm0 = spillMem.get(); val sd0 = spillDisk.get()
-        val sw0 = shufWrite.get()
-        peakExecMem.set(0); stateBytes.set(0)
-        val t0 = System.nanoTime()
-        // a failed run's wall time must not win the best-of-n (a fast
-        // crash would otherwise report a nonsense "best" for a key
-        // that is also listed in failed)
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            if (!failed.contains(name)) {
-              failed ::= name
-              System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            }
-            false
-          }
-        val wall = (System.nanoTime() - t0) / 1e9
-        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
-        val run = Run(wall, ok, epoch, l0, loadAvg(),
-          gcMs() - g0, procCpuMs() - c0,
-          spillMem.get() - sm0, spillDisk.get() - sd0,
-          shufWrite.get() - sw0, peakExecMem.get(), stateBytes.get(),
-          p, pos)
-        runsByKey.updateWith(name)(v => Some(v.getOrElse(Vector.empty) :+ run))
+        timedRun(name, fn, p, pos)
+      }
+    }
+    // TAIL RE-RUN (r11 verdict #1): a key whose best-of-n still sits
+    // >1.3x over its COMMITTED quiet-window median gets one extra run
+    // at the very end of the bench. A localized-contention victim
+    // (all n runs landed in a dirty slot) gets a final chance to dodge
+    // it; a real regression reproduces and keeps its inflated best.
+    // The re-run list is recorded in env.tail_rerun so the extra pass
+    // is auditable, not silent. Opt-out: SPARK_GRAFT_NO_TAIL.
+    val baseline = BenchAmbient.readBaseline(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BASELINE", "tools/bench_baseline.json"))
+    val tail: Seq[String] =
+      if (sys.env.contains("SPARK_GRAFT_NO_TAIL")) Seq.empty
+      else {
+        val bests = runsByKey.toMap.flatMap { case (n, rs) =>
+          rs.collect { case r if r.ok => r.sec }.minOption.map(n -> _) }
+        BenchAmbient.tailKeys(bests, baseline)
+      }
+    tail.zipWithIndex.foreach { case (name, pos) =>
+      keys.find(_._1 == name).foreach { case (_, fn) =>
+        timedRun(name, fn, nRuns, pos)
       }
     }
     val results = keys.map { case (name, _) =>
@@ -242,10 +275,22 @@ object Bench {
       .map { case (n, s, ok) =>
         "\"" + n + "\":" + f"""{"sec":$s%.3f,"ok":$ok}""" }
       .mkString("{", ",", "}")
+    // SELF-ANNOTATION (r11 verdict #1): the artifact carries its own
+    // adjudication — ambient_load (was the window dirty at start?),
+    // rate_vs_baseline (sum of best over the committed quiet medians,
+    // intersecting keys only), and the tail re-run list. A reader of
+    // BENCH_r{N}.json decides "environment vs regression" from the
+    // artifact alone; thresholds live in BenchAmbient (spec'd).
+    val ambient = BenchAmbient.contaminated(loadStart, cpus.toInt)
+    val bestsMap: Map[String, Double] =
+      results.collect { case (n, Some(b), _, _) => n -> b }.toMap
+    val rateVsBase = BenchAmbient.rateVsBaseline(bestsMap, baseline)
+    val rateJson = rateVsBase.fold("null")(r => f"$r%.4f")
+    val tailJson = tail.map("\"" + _ + "\"").mkString("[", ",", "]")
     val env =
-      s"""{"cpus":"$cpus","start_epoch_ms":$benchStart,"end_epoch_ms":${System.currentTimeMillis()},"load_end":${loadAvg()},"gc_total_ms":${gcMs()},"warmup":$warmupJson}"""
+      s"""{"cpus":"$cpus","start_epoch_ms":$benchStart,"end_epoch_ms":${System.currentTimeMillis()},"load_start":$loadStart,"ambient_load":$ambient,"rate_vs_baseline":$rateJson,"tail_rerun":$tailJson,"load_end":${loadAvg()},"gc_total_ms":${gcMs()},"warmup":$warmupJson}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"queries":$qs,"medians":$ms,"runs":$rs,"telemetry":$tele,"env":$env,"n":$nRuns,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"ambient_load":$ambient,"rate_vs_baseline":$rateJson,"queries":$qs,"medians":$ms,"runs":$rs,"telemetry":$tele,"env":$env,"n":$nRuns,"failed":$fs,"sf":"$sfDir"}"""
     // durable copy: the round-2 driver artifact lost its tail to stdout
     // truncation — persist the full per-key JSON alongside the repo too.
     // Default is cwd-relative so a foreign checkout doesn't crash on a
@@ -276,7 +321,7 @@ object Bench {
       if (qbuf.length + piece.length < 900) { qbuf.append(piece); taken += 1 }
     }
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_median":${r3(totalMedian)},"n":$nRuns,"keys":${results.size},"failed":$fs,"sf":"$sfDir","queries":{${qbuf.result()}},"queries_note":"slowest subset; full per-key map in bench_last.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_median":${r3(totalMedian)},"n":$nRuns,"keys":${results.size},"ambient_load":$ambient,"load_start":$loadStart,"rate_vs_baseline":$rateJson,"tail_rerun_n":${tail.size},"failed":$fs,"sf":"$sfDir","queries":{${qbuf.result()}},"queries_note":"slowest subset; full per-key map in bench_last.json"}"""
     println(compact)
     System.out.flush()
   }

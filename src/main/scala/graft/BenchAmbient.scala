@@ -1,0 +1,67 @@
+package graft
+
+/** Pure decision logic for Bench's ambient-load self-annotation (r11
+  * verdict #1). Three driver rounds produced bench artifacts inflated
+  * by decaying co-runner load (the r11 artifact of record: 184.2 s vs
+  * 141.4 s quiet at the SAME HEAD — a uniform ~1.38× with no per-key
+  * outlier), and nothing in the artifact itself said so; a reader had
+  * to cross-reference ARCHIVE.md. These predicates make the artifact
+  * self-adjudicating: contamination is judged from the loadavg
+  * sampled BEFORE the bench does any work (mid-run loadavg is the
+  * bench's own), inflated keys are re-run in a tail pass against the
+  * COMMITTED quiet baseline, and the headline rate is reported as a
+  * ratio to that baseline so "0.78 s/key under ambient_load:true"
+  * can never masquerade as a code regression.
+  *
+  * Kept free of Spark and of Bench's mutable state so the thresholds
+  * are unit-testable ([[BenchAmbientSpec]]) without a session. */
+object BenchAmbient {
+
+  /** Ambient contamination: 1-min loadavg at bench start (before
+    * warm-up) above what an idle box shows. Threshold is
+    * max(1.0, 5% of allocated cores): a quiet 32-core host sits well
+    * under 1.0; the r11 contaminated window started at 3.66 (> 1.6).
+    * A negative sample (loadavg unreadable) is treated as clean —
+    * the annotation must never invent contamination it cannot show. */
+  def contaminated(loadStart: Double, cpus: Int): Boolean =
+    loadStart >= 0.0 && loadStart > math.max(1.0, 0.05 * cpus)
+
+  /** Keys whose best-of-n exceeds the committed quiet baseline enough
+    * to warrant one tail re-run: BOTH >factor× (default 1.3×, the
+    * r11 verdict's number) AND >absSlack s absolute over (sub-100 ms
+    * keys sit on a fixed scheduling floor that trivially exceeds any
+    * ratio — same rule BenchGate applies). Keys without a baseline
+    * entry (newer than the committed file) or without a successful
+    * run are not re-runnable. Returned sorted for a stable artifact. */
+  def tailKeys(best: Map[String, Double], baseline: Map[String, Double],
+      factor: Double = 1.3, absSlack: Double = 0.15): Seq[String] =
+    best.collect { case (k, b) if baseline.get(k).exists(base =>
+      b > base * factor && b - base > absSlack) => k }.toSeq.sorted
+
+  /** Headline rate vs the committed quiet baseline, over the keys
+    * PRESENT IN BOTH maps (a key subset run, or keys newer than the
+    * baseline file, must not skew the ratio): Σ best / Σ baseline.
+    * None when the intersection is empty (no committed baseline —
+    * nothing to normalize against). */
+  def rateVsBaseline(best: Map[String, Double],
+      baseline: Map[String, Double]): Option[Double] = {
+    val common = best.keySet intersect baseline.keySet
+    if (common.isEmpty) None
+    else {
+      val denom = common.toSeq.map(baseline).sum
+      if (denom <= 0.0) None else Some(common.toSeq.map(best).sum / denom)
+    }
+  }
+
+  /** Minimal flat {"key": secs} parse for the committed baseline —
+    * same no-JSON-library approach as BenchGate (the build has no
+    * JSON dependency by contract). Missing/unreadable file → empty
+    * map (the bench still runs; the artifact annotates
+    * rate_vs_baseline as null). */
+  def readBaseline(path: String): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
+}

@@ -40,6 +40,16 @@ object BenchGate {
     val factor = sys.env.getOrElse("SPARK_GRAFT_GATE_FACTOR", "3.0").toDouble
     val only: Option[Set[String]] =
       args.headOption.map(_.split(",").toSet)
+    // Mirror the Bench staging-key check (r11 ADVICE): a typo'd key
+    // would filter the registry to zero gated keys and exit 0 with
+    // "GATE OK: 0 keys" — a misspelled CI invocation silently
+    // disabling the gate. Every requested name must exist.
+    only.foreach { s =>
+      val unknown = s -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown gate key(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+          "not in SparkEntry.queries (renamed?)")
+    }
     val baselinePath = sys.env.getOrElse(
       "SPARK_GRAFT_GATE_BASELINE", "tools/bench_baseline.json")
     // minimal flat {"key": secs} parse — no JSON library in the build

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QFn, Tables}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -263,6 +263,19 @@ object Multimodal {
     * wide variant and the distinct-payload scale probe drive the
     * production pipeline, not a copy. `bands` are (word, bitOffset,
     * width) triples; pigeonhole exactness needs bands.size ≥ tau+1. */
+  /** Band-value extraction over a `ws: array&lt;long&gt;` hash column —
+    * one Column per (word, bitOffset, width) band, including the
+    * wd == 64 full-word case ((1L &lt;&lt; 64) wraps to 1, so the mask must
+    * be -1L there). Public so probes ([[graft.PhashScaleSpec]])
+    * measure the EXACT extraction the production pipeline runs
+    * instead of re-deriving the mask expression (r11 ADVICE: a spec
+    * copy omitted the full-word case). */
+  def bandColumns(bands: Seq[(Int, Int, Int)]): Seq[Column] =
+    bands.map { case (w, off, wd) =>
+      shiftrightunsigned(element_at(col("ws"), w + 1), off)
+        .bitwiseAND(lit(if (wd == 64) -1L else (1L << wd) - 1))
+    }
+
   def phashPairs(hashes: DataFrame,
       bands: Seq[(Int, Int, Int)], tau: Int): DataFrame = {
     require(bands.size >= tau + 1,
@@ -283,11 +296,8 @@ object Multimodal {
         mask |= m
       }
     }
-    val bandCols = bands.map { case (w, off, wd) =>
-      shiftrightunsigned(element_at(col("ws"), w + 1), off)
-        .bitwiseAND(lit(if (wd == 64) -1L else (1L << wd) - 1))
-    }
-    val bandRows = hashes.select(col("doc_id"), posexplode(array(bandCols: _*)))
+    val bandRows = hashes.select(col("doc_id"),
+      posexplode(array(bandColumns(bands): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
     val cands = bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&

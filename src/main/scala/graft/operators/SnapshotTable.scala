@@ -184,6 +184,19 @@ object SnapshotTable {
   def commitAppendTx(df: DataFrame, root: String, tag: String,
       maxRetries: Int = 20): Int = {
     val unit = s"data/tx_$tag"
+    // Tag reuse is a protocol violation, not a retry: the staged write
+    // below is mode("overwrite"), so a tag already referenced by the
+    // committed tail would silently REWRITE the bytes of a unit that
+    // historical manifests point at (mutating committed snapshots) and
+    // then list it twice. Fail fast before touching storage. (An
+    // orphan unit dir from a crashed earlier attempt with this tag is
+    // fine — it was never committed, and the overwrite is the
+    // idempotent retry path the scaladoc promises.)
+    latestVersionOpt(root).foreach { v =>
+      require(!unitsOf(root, v).contains(unit),
+        s"tag '$tag' already committed at $root v$v — a reused tag would " +
+          "overwrite bytes referenced by historical snapshots")
+    }
     df.coalesce(1).write.mode("overwrite").parquet(s"$root/$unit")
     var attempt = 0
     var committed = -1
@@ -191,7 +204,10 @@ object SnapshotTable {
       val tail = latestVersionOpt(root)
       val prevUnits = tail.map(v => unitsOf(root, v)).getOrElse(Nil)
       val next = tail.map(_ + 1).getOrElse(0)
-      try { commit(root, next, prevUnits :+ unit); committed = next }
+      // distinct mirrors commitAppend: if a rebase tail somehow already
+      // carries our unit (e.g. our own prior attempt won the rename but
+      // failed after), never double-list it in the new manifest
+      try { commit(root, next, (prevUnits :+ unit).distinct); committed = next }
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           attempt += 1

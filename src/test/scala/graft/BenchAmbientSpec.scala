@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the ambient-load adjudication thresholds (r11 verdict #1) the
+  * bench artifact now self-annotates with. The values encode the two
+  * observed regimes: the r11 contaminated driver window started at
+  * loadavg 3.66 on 32 allocated cores (must flag), while every quiet
+  * close-bench window started well under 1.0 (must not flag). */
+class BenchAmbientSpec extends AnyFunSuite {
+
+  test("contaminated: r11 driver window flags, quiet windows don't") {
+    assert(BenchAmbient.contaminated(3.66, 32)) // the r11 artifact
+    assert(BenchAmbient.contaminated(2.3, 32)) // r11 run end, decayed
+    assert(!BenchAmbient.contaminated(0.4, 32)) // quiet close window
+    assert(!BenchAmbient.contaminated(1.0, 32)) // boundary: > not >=
+    assert(!BenchAmbient.contaminated(1.5, 32)) // under 5% of 32 cores
+    assert(BenchAmbient.contaminated(1.7, 32)) // over 5% of 32 cores
+  }
+
+  test("contaminated: threshold floors at 1.0 for small core counts") {
+    // 4 cores: 5% = 0.2 would flag any living machine — floor wins
+    assert(!BenchAmbient.contaminated(0.9, 4))
+    assert(BenchAmbient.contaminated(1.1, 4))
+  }
+
+  test("contaminated: unreadable loadavg (-1) never invents contamination") {
+    assert(!BenchAmbient.contaminated(-1.0, 32))
+  }
+
+  test("tailKeys: needs BOTH >1.3x ratio and >0.15s absolute") {
+    val baseline = Map("big" -> 2.0, "small" -> 0.05, "fine" -> 1.0)
+    val best = Map(
+      "big" -> 3.0, // 1.5x and +1.0s → re-run
+      "small" -> 0.12, // 2.4x but only +0.07s → scheduling floor, skip
+      "fine" -> 1.1) // 1.1x → skip
+    assert(BenchAmbient.tailKeys(best, baseline) == Seq("big"))
+  }
+
+  test("tailKeys: keys without a committed baseline are not re-runnable") {
+    val best = Map("new_key" -> 9.0)
+    assert(BenchAmbient.tailKeys(best, Map("other" -> 1.0)).isEmpty)
+  }
+
+  test("tailKeys: output is sorted for a stable artifact") {
+    val baseline = Map("b" -> 1.0, "a" -> 1.0, "c" -> 1.0)
+    val best = Map("c" -> 2.0, "a" -> 2.0, "b" -> 2.0)
+    assert(BenchAmbient.tailKeys(best, baseline) == Seq("a", "b", "c"))
+  }
+
+  test("rateVsBaseline: intersecting keys only, sum-over-sum") {
+    val baseline = Map("a" -> 1.0, "b" -> 3.0, "gone" -> 100.0)
+    val best = Map("a" -> 1.5, "b" -> 4.5, "new" -> 100.0)
+    // (1.5+4.5)/(1.0+3.0) = 1.5 — 'gone' and 'new' excluded
+    assert(BenchAmbient.rateVsBaseline(best, baseline).contains(1.5))
+  }
+
+  test("rateVsBaseline: empty intersection or zero denominator -> None") {
+    assert(BenchAmbient.rateVsBaseline(Map("a" -> 1.0), Map("b" -> 1.0)).isEmpty)
+    assert(BenchAmbient.rateVsBaseline(Map.empty, Map("b" -> 1.0)).isEmpty)
+    assert(BenchAmbient.rateVsBaseline(Map("a" -> 1.0), Map("a" -> 0.0)).isEmpty)
+  }
+
+  test("readBaseline: parses the committed flat map; missing file -> empty") {
+    val m = BenchAmbient.readBaseline("tools/bench_baseline.json")
+    assert(m.size > 200, s"committed baseline unexpectedly small: ${m.size}")
+    assert(m.values.forall(_ > 0.0))
+    assert(BenchAmbient.readBaseline("/nonexistent/x.json").isEmpty)
+  }
+}

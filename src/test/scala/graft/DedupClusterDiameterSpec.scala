@@ -70,6 +70,43 @@ class DedupClusterDiameterSpec extends SparkTestBase {
     assert(br <= 2 * log2n, s"bridge took $br rounds (> ${2 * log2n})")
   }
 
+  test("fused convergence: one action per round, not two (r11 verdict #3)") {
+    import spark.implicits._
+    // The changed-label tally rides the checkpoint-materialization
+    // action via an accumulator; the old separate per-round agg would
+    // show up here as ~2 SQL executions per round. Raw Spark JOBS are
+    // the wrong unit (AQE materializes each shuffle stage as its own
+    // job, ~6/round for the two joins); one ACTION = one
+    // SQLExecutionStart event, which nested AQE stage jobs share.
+    // Expected: 1 per round (the localCheckpoint) + 1 for the edges
+    // checkpoint + 1 for the final collect, with small slack.
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execs.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    val nodes = (0L until 128L).toDF("doc_id")
+    val edges = (0L until 127L).map(i => (i, i + 1)).toDF("a", "b")
+    spark.sparkContext.addSparkListener(listener)
+    val rounds =
+      try {
+        val (labels, r) =
+          operators.LlmSimilarity.connectedComponents(spark, nodes, edges)
+        assert(labels.collect().forall(_.getLong(1) == 0L))
+        // drain the listener bus so every execution-start is counted
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val n = execs.get()
+    assert(n <= rounds + 3,
+      s"$n SQL executions for $rounds rounds — convergence no longer fused?")
+    assert(n >= rounds, s"sanity: $n executions cannot cover $rounds rounds")
+  }
+
   test("disjoint components keep distinct minimum labels") {
     import spark.implicits._
     // two triangles + one isolated node

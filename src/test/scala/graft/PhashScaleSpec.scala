@@ -44,12 +44,10 @@ class PhashScaleSpec extends SparkTestBase {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // band bucket-size distribution — the quantity the band-width
-      // knob bounds. Rebuilt here with the SAME band constants the
-      // pipeline uses.
-      val bandCols = Multimodal.phashWideBands.map { case (w, off, wd) =>
-        shiftrightunsigned(element_at(col("ws"), w + 1), off)
-          .bitwiseAND(lit((1L << wd) - 1))
-      }
+      // knob bounds. Uses the PRODUCTION extraction (r11 ADVICE: a
+      // local copy of the mask expression omitted the wd == 64
+      // full-word case phashPairs handles).
+      val bandCols = Multimodal.bandColumns(Multimodal.phashWideBands)
       val buckets = hashes
         .select(posexplode(array(bandCols: _*)))
         .groupBy("pos", "col").count()
