@@ -704,7 +704,20 @@ object LlmSimilarity {
     * plain propagation, fewer rounds. Per-round cost: two joins + one
     * groupBy, all on (doc, label) — no driver-side graph; driver state
     * is the 1-value convergence count. `edges0` is undirected input as
-    * (a, b) pairs; returns (labels(doc_id, label), rounds). */
+    * (a, b) pairs; returns (labels(doc_id, label), rounds).
+    *
+    * r12 A/B record (don't re-run): at test scale the per-round wall
+    * is ~90% AQE stage-JOB scheduling latency (measured: 82 one-stage
+    * jobs / 7 rounds, 6.0 s of task time spread over a 4.3 s wall on
+    * 32 threads). Two levers were measured NEGATIVE: (1) AQE off for
+    * the loop only (edges pre-checkpointed) = 17–25 s vs 4.3–5.6 s on
+    * — without runtime broadcast conversion every round pays 32-task
+    * SMJ sorts; (2) AQE off globally via the bench knob = 14.7 s.
+    * The two kept wins: the convergence agg fused into the checkpoint
+    * action (−1 action/round, pinned by spec), and the own-label
+    * union fold below (3 joins/round → 2; neutral at test scale where
+    * scheduling dominates, kept because at real data sizes one fewer
+    * node-sized exchange per round is the term that matters). */
   def connectedComponents(s: SparkSession, nodes: DataFrame,
       edges0: DataFrame, maxRounds: Int = 64,
       shortcutFrom: Int = 3): (DataFrame, Int) = {
@@ -721,13 +734,22 @@ object LlmSimilarity {
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
-      val neighborMin = edges
+      // one groupBy, one join (r12): the node's OWN label rides the
+      // candidate union tagged `own`, so the aggregate yields both the
+      // propagated min (l1 = min over own + neighbor labels) and the
+      // previous label (old = the sole own row) — folding what used to
+      // be a separate labels ⨝ neighborMin left-join into the same
+      // shuffle. Two fewer exchanges per round; identical fixpoint.
+      val nm = edges
         .join(labels.select(col("doc_id").as("y"), col("label").as("nl")), "y")
-        .groupBy(col("x").as("doc_id")).agg(min("nl").as("neighbor_label"))
-      val prop = labels.select(col("doc_id"), col("label").as("old"))
-        .join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("old"),
-          least(col("old"), coalesce(col("neighbor_label"), col("old"))).as("l1"))
+        .select(col("x").as("doc_id"), col("nl").as("cl"),
+          lit(false).as("own"))
+      val prop = labels
+        .select(col("doc_id"), col("label").as("cl"), lit(true).as("own"))
+        .unionByName(nm)
+        .groupBy("doc_id")
+        .agg(min("cl").as("l1"),
+          min(when(col("own"), col("cl"))).as("old"))
       // pointer shortcut: follow the label one hop (label is itself a
       // doc_id of the same component, so its current label is a valid —
       // and no larger — label for this node). Default: enabled from
