@@ -353,12 +353,18 @@ object Streaming {
     val sinkName = s"${name}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // fewer state partitions: each stateful operator commits one state
     // store per shuffle partition per micro-batch; at this volume the
-    // per-store checkpoint overhead dominates, so 8 beats 32. Pinned at
+    // per-store checkpoint overhead dominates, so 8 beats 32 — and the
+    // r12 A/B took it further: a stream-stream join holds FOUR store
+    // instances per partition, so 8 partitions = 32 per-batch changelog
+    // commits + loads; at 4 that halves and the family benched 67.6 →
+    // 55.0 s (stream_join_semi warm 8.1 → 4.6 s in StreamProf), while
+    // 2 went CPU-bound (5.8 s) — 4 is the measured knee. Pinned at
     // query start (state partitioning is fixed for the query's life);
-    // previous values restored immediately after start.
+    // previous values restored immediately after start. A production
+    // deployment sizes this to state volume, not harness latency.
     val confs = Map(
       "spark.sql.shuffle.partitions" ->
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"),
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"),
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
       // commit a small changelog per batch instead of a full RocksDB
