@@ -130,6 +130,8 @@ object Bench {
       "stream_late_data_final" -> ((k: String) => k.startsWith("stream_")),
       // kmeans centroids + ivf_layout_v1 / pq_books_v1
       "llm_knn_ivf" -> ((k: String) => k.startsWith("llm_knn_ivf")),
+      // base-slice quantizer + ivf_append_layout_v1 (its own artifacts)
+      "llm_knn_ivf_append" -> ((k: String) => k == "llm_knn_ivf_append"),
       "llm_knn_pq" -> ((k: String) => k == "llm_knn_pq"),
       // neardup_pairs_v1
       "llm_near_dedup" -> ((k: String) => k.startsWith("llm_near_dedup") ||

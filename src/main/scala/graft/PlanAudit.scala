@@ -33,7 +33,7 @@ object PlanAudit {
   // matter how big the corpus, the same justification as knn probes
   // source_drift crosses the 50-row broadcast top-token list and the
   // 1-row corpus total against the sources dim — O(1) build sides
-    "llm_knn_ivf_pruned", "llm_knn_ivf_pruned20",
+    "llm_knn_ivf_pruned", "llm_knn_ivf_pruned20", "llm_knn_ivf_append",
     "llm_semantic_decontaminate", "llm_source_drift",
   // q22 compares every selected customer against the broadcast 1-row
   // segment average with an INEQUALITY, so the cross join cannot fold
@@ -67,6 +67,8 @@ object PlanAudit {
     "llm_knn_ivf_exact" -> "same IVF layout path at nProbe=K",
     "llm_knn_ivf_pruned" -> "same IVF layout + centroid collect for pruning",
     "llm_knn_ivf_pruned20" -> "same IVF layout + centroid collect for pruning",
+    "llm_knn_ivf_append" -> ("base-slice quantizer train + base layout " +
+      "write + delta append + centroid collect for pruning"),
     "llm_knn_pq" -> "codebook training collects M×K subvector centroids",
     "llm_bpe_train" -> "one 1-row argmax collect per merge round",
     "llm_bpe_encode" -> ("reads the content-keyed stored merge table " +
@@ -464,6 +466,7 @@ object ShuffleBudgets {
     "llm_knn_ivf_exact" -> 4,
     "llm_knn_ivf_pruned" -> 3,
     "llm_knn_ivf_pruned20" -> 3,
+    "llm_knn_ivf_append" -> 3,
     "llm_knn_pq" -> 4,
     "llm_lang_id" -> 1,
     "llm_lm_score" -> 4,

@@ -264,6 +264,91 @@ object LlmSimilarity {
     ivfTopK(corpus, probes)
   }
 
+  /** INGESTION-MODE IVF maintenance (r11 verdict #4) — the
+    * corpus-append path a production index runs between retrains: the
+    * coarse quantizer is trained ONCE on the BASE corpus
+    * (vec_id % 10 ≠ [[IvfAppendMod]], the pre-existing index),
+    * persisted ([[graft.IndexStore]]), and the delta batch
+    * (vec_id % 10 = [[IvfAppendMod]], the day's ingest) is assigned to
+    * the FIXED stored centroids and appended into the same
+    * cluster-partitioned list layout — `mode("append")` +
+    * `partitionBy(cluster)`: new files inside existing list
+    * directories, no retraining, no rewrite of the base layout. The
+    * query then probes the union through the same partition filter as
+    * [[llmKnnIvfPruned]]. Pairs with `llm_incremental_dedup` as the
+    * 100 TB ingestion story: at scale the delta is a day's batch and
+    * the append touches only its assigned list directories.
+    *
+    * Fully driver-oracled AT THE PRODUCTION OPERATING POINT
+    * (nProbe = [[IvfNProbe]]): base-slice training is the same
+    * integer-exact Lloyd unroll ([[Clustering.lloydCtes]] over the
+    * filtered `emb` CTE — `ivfOracleSql`'s trainWhere parameter), and
+    * assignment to fixed centroids is deterministic, so the SQL
+    * replays train-on-base → assign-union → probe → re-rank and
+    * hash-matches end to end. IvfAppendSpec pins the maintenance
+    * contract: append-then-query ≡ the retrain-free one-shot query
+    * over the union. */
+  val IvfAppendMod = 7
+
+  private def ivfAppendCents(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(10)) =!= IvfAppendMod)
+      .select(col("vec_id"), col("embedding"))
+    val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
+    // train-once on the base slice, content-memoized like the main
+    // quantizer; the append path below must never retrain
+    val cents = graft.IndexStore.cached(
+      s"ivf_append_quantizer_v1_${fp}_${IvfK}_6") {
+      Clustering.kmeansOn(s, base, iters = 6, K = IvfK)._2
+    }
+    import s.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c.map(_.toFloat)) }
+      .toSeq.toDF("cent_id", "cent_vec")
+  }
+
+  /** Base layout written once, delta appended once — both against the
+    * same stored centroids; content-keyed like [[ivfLayoutPath]]. */
+  def ivfAppendLayoutPath(s: SparkSession, d: String): String = {
+    val emb = Tables.embeddings(s, d)
+    val cents = ivfAppendCents(s, d)
+    val fp = graft.IndexStore.fingerprint(s"$d/embeddings.parquet")
+    graft.IndexStore.cachedDir(s"ivf_append_layout_v1_${fp}_${IvfK}_6") { tmp =>
+      def assign(slice: DataFrame): DataFrame =
+        ivfNearest(cents, slice, "embedding", "vec_id", 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
+      // the pre-existing index: base corpus, cluster-partitioned
+      assign(emb.filter(pmod(col("vec_id"), lit(10)) =!= IvfAppendMod))
+        .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+      // the ingest batch: assigned to the SAME fixed centroids and
+      // APPENDED — new files land inside existing list directories
+      assign(emb.filter(pmod(col("vec_id"), lit(10)) === IvfAppendMod))
+        .write.mode("append").partitionBy("cluster").parquet(tmp)
+    }
+  }
+
+  /** Spec comparator for the maintenance contract: the same probes and
+    * scoring over the union assigned in ONE shot against the stored
+    * base-trained quantizer — no layout, no append step.
+    * [[llmKnnIvfAppend]] must equal this exactly (IvfAppendSpec). */
+  private[graft] def ivfAppendOneShot(s: SparkSession, d: String): DataFrame = {
+    val cents = ivfAppendCents(s, d)
+    val emb = Tables.embeddings(s, d)
+    val assigned = ivfNearest(cents, emb, "embedding", "vec_id", 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
+    ivfTopK(assigned, ivfProbes(cents, emb, IvfNProbe))
+  }
+
+  val llmKnnIvfAppend: QFn = (s, d) => {
+    val cents = ivfAppendCents(s, d)
+    val probes = ivfProbes(cents, Tables.embeddings(s, d), IvfNProbe)
+    // ≤ 5 probes × nProbe list ids of driver state, like the pruned key
+    val searched = probes.select("search_cluster").distinct()
+      .collect().map(_.getLong(0))
+    val corpus = s.read.parquet(ivfAppendLayoutPath(s, d))
+      .filter(col("cluster").isin(searched: _*))
+    ivfTopK(corpus, probes)
+  }
+
   /** Product-quantization ANN with ASYMMETRIC DISTANCE COMPUTATION —
     * the memory-side companion to IVF: each 64-dim float vector
     * (256 B) is encoded as m = 8 sub-codes from a 16-entry codebook
@@ -1109,6 +1194,7 @@ object LlmSimilarity {
     "llm_knn_cosine" -> llmKnnCosine,
     "llm_knn_ivf" -> llmKnnIvf,
     "llm_knn_ivf_exact" -> llmKnnIvfExact,
+    "llm_knn_ivf_append" -> llmKnnIvfAppend,
     "llm_knn_ivf_pruned" -> llmKnnIvfPrunedExact,
     // the APPROXIMATE pruned path (nProbe = IvfNProbe) as a
     // first-class oracled key: the partition-filtered layout read at
@@ -1158,7 +1244,13 @@ object LlmSimilarity {
     * (the proven signlsh/brute-force pattern), so the APPROXIMATE
     * result itself hash-matches — nProbe is a constant in the SQL,
     * not a tolerance. */
-  private def ivfOracleSql(nProbe: Int, iters: Int): String = {
+  /** `trainWhere` (r12, the append key): an optional WHERE clause
+    * restricting the Lloyd TRAINING corpus (`emb` CTE) to the base
+    * slice, while assignment/probing/scoring still run over the full
+    * `emball` — the SQL replay of train-on-base / assign-everything.
+    * Empty (the default) makes emb ≡ emball: the original oracle. */
+  private def ivfOracleSql(nProbe: Int, iters: Int,
+      trainWhere: String = ""): String = {
     val (lloyd, lastCents) = Clustering.lloydCtes(IvfK, iters)
     // cosine(float-array e, double-from-float centroid c) — the exact
     // CosineSimF fold: per-element float→double, sequential sum
@@ -1167,7 +1259,8 @@ object LlmSimilarity {
             list_sum(list_transform(range(64), i -> CAST($e.embedding[i+1] AS DOUBLE) * $c.cvec[i+1]))
             / (sqrt(list_sum(list_transform(range(64), i -> CAST($e.embedding[i+1] AS DOUBLE) * CAST($e.embedding[i+1] AS DOUBLE))))
                * sqrt(list_sum(list_transform(range(64), i -> $c.cvec[i+1] * $c.cvec[i+1])))), 6)"""
-    s"""WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH emball AS (SELECT vec_id, embedding FROM embeddings),
+          emb AS (SELECT vec_id, embedding FROM emball $trainWhere),
           $lloyd,
           centf AS (
             SELECT cluster AS cent_id,
@@ -1175,7 +1268,7 @@ object LlmSimilarity {
             FROM $lastCents),
           csim AS (
             SELECT e.vec_id, c.cent_id, ${centCos("e", "c")} AS cs
-            FROM emb e CROSS JOIN centf c),
+            FROM emball e CROSS JOIN centf c),
           assign AS (
             SELECT vec_id, cent_id AS cluster FROM (
               SELECT vec_id, cent_id,
@@ -1197,8 +1290,8 @@ object LlmSimilarity {
                 / (sqrt(list_sum(list_transform(range(64), i -> CAST(p.embedding[i+1] AS DOUBLE) * CAST(p.embedding[i+1] AS DOUBLE))))
                    * sqrt(list_sum(list_transform(range(64), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(e.embedding[i+1] AS DOUBLE))))), 6) AS sim
             FROM cand
-            JOIN emb p ON p.vec_id = cand.probe_id
-            JOIN emb e ON e.vec_id = cand.vec_id)
+            JOIN emball p ON p.vec_id = cand.probe_id
+            JOIN emball e ON e.vec_id = cand.vec_id)
           SELECT probe_id, rk, vec_id, sim FROM (
             SELECT probe_id, vec_id, sim,
               CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, vec_id) AS INT) AS rk
@@ -1492,6 +1585,8 @@ object LlmSimilarity {
     // quantizer training is unrolled inside the SQL, so the oracle
     // derives the same centroids and replays the same pruned search
     "llm_knn_ivf" -> ivfOracleSql(IvfNProbe, 6),
+    "llm_knn_ivf_append" ->
+      ivfOracleSql(IvfNProbe, 6, s"WHERE vec_id % 10 <> $IvfAppendMod"),
     // the pruned-layout physical path at the same nProbe: identical
     // result by construction (LlmSpec pins it), identical oracle
     "llm_knn_ivf_pruned20" -> ivfOracleSql(IvfNProbe, 6),
