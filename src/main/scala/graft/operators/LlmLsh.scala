@@ -197,12 +197,19 @@ object LlmLsh {
     * by the SAME native one-pass [[graft.functions.MinhashSigs]]
     * kernel `llm_near_dedup` uses — only the gram hash feeding it
     * differs (portable md5 vs the engine-native HashedBigrams). */
-  private def portableSignatures(s: SparkSession, d: String): DataFrame = {
+  private def portableSignatures(s: SparkSession, d: String): DataFrame =
+    portableSignaturesOn(Tables.documents(s, d))
+
+  /** The signature kernel over ANY (doc_id, text) frame — factored so
+    * the distinct-payload scale probe (MinhashScaleSpec) drives the
+    * PRODUCTION pipeline, not a copy (the PhashScaleSpec lesson, r11
+    * ADVICE). */
+  private[graft] def portableSignaturesOn(docs: DataFrame): DataFrame = {
     val (as, bs) = permConsts.unzip
     // Md5Bigrams → MinhashSigs: both native codegen'd one-pass
     // kernels (same shape as llm_near_dedup's HashedBigrams chain);
     // the composed md5 HOF pipeline measured 10× slower at sf0.1
-    Tables.documents(s, d)
+    docs
       .withColumn("hs", graft.functions.Md5Bigrams(col("text"), P))
       .filter(size(col("hs")) > 0)
       .withColumn("sig",
@@ -210,20 +217,24 @@ object LlmLsh {
       .select("doc_id", "hs", "sig")
   }
 
-  /** Portable MinHash+LSH near-dedup: band buckets (16×4, keys the
-    * raw signature slices — no engine hash), deduped candidate pairs,
-    * estimated Jaccard = matching positions / 64 gated at ≥ 0.35,
-    * exact hashed-gram Jaccard alongside. Same output shape as
-    * `llm_near_dedup`; unlike it, every value here — including the
-    * ESTIMATE — hash-matches the DuckDB oracle. */
-  val llmMinhashPortable: QFn = (s, d) => {
-    val sigs = portableSignatures(s, d)
+  /** Band-key rows (doc_id, band, band_key) of a signature frame —
+    * the exact banding the candidate join buckets on, public to the
+    * probe so its bucket statistics measure the production extraction
+    * rather than a re-derived slice expression. */
+  private[graft] def minhashBandKeys(sigs: DataFrame): DataFrame = {
     val rows = MinhashPerms / MinhashBands
-    val keys = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(MinhashBands - 1)),
         b => concat_ws("_", transform(slice(col("sig"), b * rows + 1, lit(rows)),
           x => x.cast("string"))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
+  /** Banding + estimate + exact-Jaccard verify over ANY signature
+    * frame — the tail of [[llmMinhashPortable]], factored for the
+    * scale probe (same production-path reuse as Multimodal.phashPairs). */
+  private[graft] def minhashPairsOn(sigs: DataFrame): DataFrame = {
+    val keys = minhashBandKeys(sigs)
     val cands = keys.as("x").join(keys.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -244,6 +255,15 @@ object LlmLsh {
           .as("exact_jaccard"))
       .orderBy("a", "b")
   }
+
+  /** Portable MinHash+LSH near-dedup: band buckets (16×4, keys the
+    * raw signature slices — no engine hash), deduped candidate pairs,
+    * estimated Jaccard = matching positions / 64 gated at ≥ 0.35,
+    * exact hashed-gram Jaccard alongside. Same output shape as
+    * `llm_near_dedup`; unlike it, every value here — including the
+    * ESTIMATE — hash-matches the DuckDB oracle. */
+  val llmMinhashPortable: QFn = (s, d) =>
+    minhashPairsOn(portableSignatures(s, d))
 
   /** Oracle: the same pipeline in DuckDB — md5 gram hashes, the same
     * 64 (a, b) constants via a VALUES table, min-per-perm signatures,
