@@ -9,19 +9,22 @@ import org.scalatest.funsuite.AnyFunSuite
   * close-bench window started well under 1.0 (must not flag). */
 class BenchAmbientSpec extends AnyFunSuite {
 
-  test("contaminated: r11 driver window flags, quiet windows don't") {
+  test("contaminated: r11 driver window flags, sbt self-load doesn't") {
     assert(BenchAmbient.contaminated(3.66, 32)) // the r11 artifact
-    assert(BenchAmbient.contaminated(2.3, 32)) // r11 run end, decayed
     assert(!BenchAmbient.contaminated(0.4, 32)) // quiet close window
-    assert(!BenchAmbient.contaminated(1.0, 32)) // boundary: > not >=
-    assert(!BenchAmbient.contaminated(1.5, 32)) // under 5% of 32 cores
-    assert(BenchAmbient.contaminated(1.7, 32)) // over 5% of 32 cores
+    // sbt compile + JVM startup leave ~1.5-1.8 on the 1-min average by
+    // the time Bench.main samples it — the bench's own launch, not a
+    // co-runner (measured r12: load 0.10 a minute before launch,
+    // load_start 1.78 at main)
+    assert(!BenchAmbient.contaminated(1.78, 32))
+    assert(!BenchAmbient.contaminated(2.56, 32)) // boundary: > not >=
+    assert(BenchAmbient.contaminated(2.7, 32)) // over 8% of 32 cores
   }
 
-  test("contaminated: threshold floors at 1.0 for small core counts") {
-    // 4 cores: 5% = 0.2 would flag any living machine — floor wins
-    assert(!BenchAmbient.contaminated(0.9, 4))
-    assert(BenchAmbient.contaminated(1.1, 4))
+  test("contaminated: threshold floors at 2.5 for small core counts") {
+    // 4 cores: 8% = 0.32 sits inside the self-load band — floor wins
+    assert(!BenchAmbient.contaminated(2.4, 4))
+    assert(BenchAmbient.contaminated(2.6, 4))
   }
 
   test("contaminated: unreadable loadavg (-1) never invents contamination") {
