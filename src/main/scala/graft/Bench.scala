@@ -136,6 +136,8 @@ object Bench {
       // neardup_pairs_v1
       "llm_near_dedup" -> ((k: String) => k.startsWith("llm_near_dedup") ||
         k == "llm_dedup_cluster"),
+      // neardup_band_index_v1 (its own base-corpus banding artifact)
+      "llm_incremental_neardup" -> ((k: String) => k == "llm_incremental_neardup"),
       // bpe_merges_v1
       "llm_bpe_encode" -> ((k: String) => k.startsWith("llm_bpe") ||
         k == "llm_tokenizer_fertility"))

@@ -135,7 +135,10 @@ object PlanAudit {
     // the store-contract key IS a write-then-read: first touch of new
     // content publishes the K-row rollup artifact it then reads back
     "etl_index_store" -> ("stages the fingerprint-keyed rollup artifact " +
-      "it then reads — the staged-artifact contract is the operator"))
+      "it then reads — the staged-artifact contract is the operator"),
+    "llm_incremental_neardup" -> ("first touch of new content stages the " +
+      "base corpus's MinHash banding index (band keys + signature store) " +
+      "it then bands the delta against — the persisted index IS the key"))
 
   /** Count the shuffles (Exchange operators) the executed plan
     * actually ran, walking through AQE wrappers and query stages and
@@ -291,6 +294,11 @@ object ShuffleBudgets {
     // scale)
     "llm_knn_signlsh" -> 3,
     "llm_minhash_portable" -> 2,
+    // ingestion near-dedup: 2 candidate distincts (vs stored index,
+    // vs prior delta) + 2 verdict groupBys + the delta/verdict join +
+    // presentation sort — every shuffle on narrow key/id rows; the
+    // base side arrives pre-signed from the stored index
+    "llm_incremental_neardup" -> 6,
     // encode = per-row fuse chain + the presentation sort; training
     // happens in construction (stored-artifact read after first touch)
     "llm_bpe_encode" -> 1,

@@ -315,13 +315,220 @@ object LlmLsh {
           WHERE ej >= 0.35 ORDER BY est.a, est.b"""
   }
 
+  // ------------------------------------ ingestion-mode near-dedup
+
+  /** Base/delta source split shared with `llm_incremental_dedup`
+    * (LlmCorpus.scala): sources 0–15 are the pre-existing corpus,
+    * 16+ are the ingest batch being checked. */
+  private val NeardupSplit = 16
+
+  /** Near-duplicate DECISION gate: exact hashed-gram Jaccard ≥ 0.5
+    * on banding candidates that already passed the cheap signature
+    * estimate (≥ 0.35, the family's banding recall point). The
+    * estimate prunes candidates from 64 ints; the exact verify reads
+    * gram sets only for survivors — the two-stage cost shape a 100 TB
+    * verify step needs. */
+  private val NeardupExactJaccard = 0.5
+
+  private def srcNum: Column =
+    regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+
+  /** INGESTION-MODE near-dedup index (r12 verdict #1) — the third leg
+    * of the production ingestion triptych (`llm_incremental_dedup`
+    * checks exact lead fingerprints, `llm_knn_ivf_append` maintains
+    * ANN lists; this persists the MinHash BANDING index a crawl
+    * pipeline checks each day's delta against). Content-keyed like
+    * the IVF layouts ([[graft.IndexStore.cachedDir]]); two parquet
+    * components under one atomic publication:
+    *
+    *  - `keys/`: the exploded (doc_id, band, band_key) rows — the
+    *    narrow index (16 short rows per document) the candidate
+    *    equi-join buckets on; at 100 TB this is the only base-side
+    *    table the daily check shuffles, never document bodies.
+    *  - `sigs/`: the (doc_id, hs, sig) signature store — read only
+    *    by the verify step, and only for candidate doc_ids.
+    */
+  def neardupIndexPath(s: SparkSession, d: String): String = {
+    val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
+    graft.IndexStore.cachedDir(s"neardup_band_index_v1_$fp") { tmp =>
+      val sigs = portableSignaturesOn(
+        Tables.documents(s, d).filter(srcNum < NeardupSplit))
+      sigs.write.mode("overwrite").parquet(s"$tmp/sigs")
+      minhashBandKeys(sigs).write.mode("overwrite").parquet(s"$tmp/keys")
+    }
+  }
+
+  /** The verdict kernel over a delta slice vs a base index — factored
+    * so the registered key (stored index) and the spec's one-shot
+    * comparator (fresh signatures over the union) run the SAME
+    * decision logic, making IncrementalNeardupSpec a pure test of the
+    * index persistence/roundtrip, the IvfAppendSpec pattern.
+    *
+    * Decision contract (order-free, non-transitive, so it needs no
+    * iteration and replays identically in any engine): a delta doc is
+    * dropped iff it near-matches ANY base doc, or ANY lower-doc_id
+    * delta doc; `dup_of` reports the lowest matching id across both
+    * families, `kept` the survivor flag. */
+  private[graft] def incrementalNeardupOn(
+      deltaDocs: DataFrame, deltaSigs: DataFrame,
+      baseKeys: DataFrame, baseSigs: DataFrame): DataFrame = {
+    val deltaKeys = minhashBandKeys(deltaSigs)
+    // estimate from signatures first (64-int compare), exact
+    // hashed-gram Jaccard only on estimate survivors
+    def verify(cands: DataFrame, otherSigs: DataFrame): DataFrame =
+      cands
+        .join(deltaSigs.select(col("doc_id").as("did"),
+          col("sig").as("sa"), col("hs").as("ga")), "did")
+        .join(otherSigs.select(col("doc_id").as("oid"),
+          col("sig").as("sb"), col("hs").as("gb")), "oid")
+        .withColumn("est",
+          aggregate(zip_with(col("sa"), col("sb"),
+            (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+            .cast("double") / lit(MinhashPerms.toDouble))
+        .filter(col("est") >= 0.35)
+        .withColumn("shared", graft.functions.IntersectCount(col("ga"), col("gb")))
+        .filter(col("shared").cast("double") /
+          (size(col("ga")) + size(col("gb")) - col("shared")).cast("double")
+          >= NeardupExactJaccard)
+        .groupBy("did").agg(min(col("oid")).as("dup"))
+    val candBase = deltaKeys.as("x").join(baseKeys.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key"))
+      .select(col("x.doc_id").as("did"), col("y.doc_id").as("oid")).distinct()
+    val candPrior = deltaKeys.as("x").join(deltaKeys.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("did"), col("y.doc_id").as("oid")).distinct()
+    val dupBase = verify(candBase, baseSigs)
+      .select(col("did").as("doc_id"), col("dup").as("dup_base"))
+    val dupPrior = verify(candPrior, deltaSigs)
+      .select(col("did").as("doc_id"), col("dup").as("dup_prior"))
+    deltaDocs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(dupBase, Seq("doc_id"), "left")
+      .join(dupPrior, Seq("doc_id"), "left")
+      // explicit CASE, not bare least(): engines disagree on whether
+      // least() skips or propagates NULL, so neither side relies on it
+      .withColumn("dup_of",
+        when(col("dup_base").isNotNull && col("dup_prior").isNotNull,
+          least(col("dup_base"), col("dup_prior")))
+          .otherwise(coalesce(col("dup_base"), col("dup_prior"))))
+      .withColumn("kept", when(col("dup_of").isNull, 1).otherwise(0))
+      .select("doc_id", "source", "n_chars", "dup_of", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** `llm_incremental_neardup`: the delta slice (sources 16+) banded
+    * against the STORED base index — signatures computed only for the
+    * delta, base side read back from [[neardupIndexPath]]. Verdict
+    * per delta doc: (doc_id, source, n_chars, dup_of, kept). */
+  val llmIncrementalNeardup: QFn = (s, d) => {
+    val path = neardupIndexPath(s, d)
+    val delta = Tables.documents(s, d).filter(srcNum >= NeardupSplit)
+    incrementalNeardupOn(delta, portableSignaturesOn(delta),
+      s.read.parquet(s"$path/keys"), s.read.parquet(s"$path/sigs"))
+  }
+
+  /** One-shot comparator (spec only): the same verdict with base
+    * signatures computed FRESH in this session — no stored index.
+    * Key ≡ one-shot is the index-persistence contract
+    * (IncrementalNeardupSpec). */
+  private[graft] def incrementalNeardupOneShot(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val baseSigs = portableSignaturesOn(docs.filter(srcNum < NeardupSplit))
+    val delta = docs.filter(srcNum >= NeardupSplit)
+    incrementalNeardupOn(delta, portableSignaturesOn(delta),
+      minhashBandKeys(baseSigs), baseSigs)
+  }
+
+  /** Oracle: the full pipeline replayed in DuckDB over the same
+    * base/delta WHERE split — md5 gram hashes, the shared perm
+    * constants, banding, estimate gate, exact hashed-gram Jaccard
+    * gate, min-id verdicts. Both gates compare exact binary fractions
+    * / correctly-rounded single divisions, so the decision — and the
+    * whole verdict table — hash-matches. */
+  private def incrementalNeardupOracleSql: String = {
+    val perms = permConsts.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    s"""WITH perms(pi, a, b) AS (VALUES $perms),
+          tagged AS (
+            SELECT doc_id, source, n_chars, text,
+              TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS src_num
+            FROM documents),
+          toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM tagged),
+          g AS (
+            SELECT doc_id,
+              unnest(list_distinct(list_transform(range(len(w) - 1),
+                i -> w[i+1] || '_' || w[i+2]))) AS gram
+            FROM toks WHERE len(w) >= 2),
+          h0 AS (
+            SELECT DISTINCT doc_id,
+              ('0x' || substr(md5(gram), 25, 8))::UBIGINT::BIGINT % ${P} AS hv
+            FROM g),
+          sig AS (
+            SELECT doc_id, perms.pi, min((perms.a * hv + perms.b) % ${P}) AS mv
+            FROM h0, perms GROUP BY 1, 2),
+          bk AS (
+            SELECT doc_id, pi // 4 AS band,
+              string_agg(mv::VARCHAR, '_' ORDER BY pi) AS key
+            FROM sig GROUP BY 1, 2),
+          base_ids AS (SELECT doc_id FROM tagged WHERE src_num < $NeardupSplit),
+          delta AS (SELECT doc_id, source, n_chars FROM tagged
+                    WHERE src_num >= $NeardupSplit),
+          hsets AS (SELECT doc_id, list(hv) AS hv_set FROM h0 GROUP BY 1),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS did, y.doc_id AS oid, 0 AS kind
+            FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+            JOIN delta dd ON dd.doc_id = x.doc_id
+            JOIN base_ids bb ON bb.doc_id = y.doc_id
+            UNION ALL
+            SELECT DISTINCT x.doc_id, y.doc_id, 1
+            FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+              AND y.doc_id < x.doc_id
+            JOIN delta dd ON dd.doc_id = x.doc_id
+            JOIN delta d2 ON d2.doc_id = y.doc_id),
+          est AS (
+            SELECT c.did, c.oid, c.kind,
+              CAST(sum(CASE WHEN sa.mv = sb.mv THEN 1 ELSE 0 END) AS DOUBLE)
+                / ${MinhashPerms}.0 AS ej
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.did
+            JOIN sig sb ON sb.doc_id = c.oid AND sb.pi = sa.pi
+            GROUP BY 1, 2, 3),
+          ver AS (
+            SELECT e.did, e.oid, e.kind
+            FROM est e
+            JOIN hsets hx ON hx.doc_id = e.did
+            JOIN hsets hy ON hy.doc_id = e.oid
+            WHERE e.ej >= 0.35
+              AND CAST(len(list_intersect(hx.hv_set, hy.hv_set)) AS DOUBLE)
+                / CAST(len(hx.hv_set) + len(hy.hv_set)
+                    - len(list_intersect(hx.hv_set, hy.hv_set)) AS DOUBLE)
+                >= $NeardupExactJaccard),
+          dup_base AS (
+            SELECT did, min(oid) AS dup_base FROM ver WHERE kind = 0 GROUP BY 1),
+          dup_prior AS (
+            SELECT did, min(oid) AS dup_prior FROM ver WHERE kind = 1 GROUP BY 1)
+          SELECT d.doc_id, d.source, d.n_chars,
+            CASE WHEN b.dup_base IS NOT NULL AND p.dup_prior IS NOT NULL
+                 THEN least(b.dup_base, p.dup_prior)
+                 ELSE coalesce(b.dup_base, p.dup_prior) END AS dup_of,
+            CASE WHEN b.dup_base IS NULL AND p.dup_prior IS NULL
+                 THEN 1 ELSE 0 END AS kept
+          FROM delta d
+          LEFT JOIN dup_base b ON b.did = d.doc_id
+          LEFT JOIN dup_prior p ON p.did = d.doc_id
+          ORDER BY d.doc_id"""
+  }
+
   // ---------------------------------------------------- registration
 
   val entries: Seq[(String, QFn)] = Seq(
     "llm_knn_signlsh" -> llmKnnSignLsh,
-    "llm_minhash_portable" -> llmMinhashPortable)
+    "llm_minhash_portable" -> llmMinhashPortable,
+    "llm_incremental_neardup" -> llmIncrementalNeardup)
 
   val oracles: Seq[(String, String)] = Seq(
     "llm_knn_signlsh" -> signLshOracleSql,
-    "llm_minhash_portable" -> minhashPortableOracleSql)
+    "llm_minhash_portable" -> minhashPortableOracleSql,
+    "llm_incremental_neardup" -> incrementalNeardupOracleSql)
 }

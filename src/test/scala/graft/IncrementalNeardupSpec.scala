@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The `llm_incremental_neardup` ingestion contract (r12 verdict #1):
+  * checking a delta batch against the PERSISTED base banding index —
+  * signatures computed only for the delta, base side read back from
+  * the IndexStore artifact — must be invisible to the verdict: the
+  * result equals the one-shot run that computes base signatures fresh
+  * in this session. Plus structural pins on the index layout and on
+  * the duplicate signal actually present in the testdata (the key
+  * must FIND the planted cross-split near-dups, not vacuously keep
+  * everything).
+  */
+class IncrementalNeardupSpec extends SparkTestBase {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("stored-index check == one-shot fresh-signature check") {
+    val stored = SparkEntry.queries("llm_incremental_neardup")(spark, d)
+      .collect().map(_.toSeq)
+    val oneShot = operators.LlmLsh.incrementalNeardupOneShot(spark, d)
+      .collect().map(_.toSeq)
+    assert(stored.nonEmpty, "no delta docs at smoke scale — probe invalid")
+    assert(stored.toSeq == oneShot.toSeq,
+      "stored-index verdict diverged from the fresh one-shot verdict — " +
+        "the persisted banding index is stale or roundtrips lossily")
+  }
+
+  test("the verdict covers every delta doc and finds real near-dups") {
+    val out = SparkEntry.queries("llm_incremental_neardup")(spark, d).collect()
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val nDelta = Tables.documents(spark, d).filter(srcNum >= 16).count()
+    assert(out.length == nDelta,
+      s"verdict rows ${out.length} != delta docs $nDelta — docs lost")
+    val dropped = out.filter(_.getAs[Int]("kept") == 0)
+    // sf0.001 plants 6 cross-split near-dup pairs and 2 within-delta
+    // pairs (measured via the portable-minhash pipeline); at least the
+    // cross-split signal must surface, and every dropped doc must name
+    // a lower-id culprit
+    assert(dropped.nonEmpty, "no near-dups found — the banding check is inert")
+    dropped.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("dup_of")), s"dropped without dup_of: $r")
+    }
+    val keptRows = out.filter(_.getAs[Int]("kept") == 1)
+    keptRows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("dup_of")), s"kept but has dup_of: $r")
+    }
+  }
+
+  test("the index artifact holds exactly the base slice, keys + sigs") {
+    val path = operators.LlmLsh.neardupIndexPath(spark, d)
+    val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val baseWithGrams = operators.LlmLsh.portableSignaturesOn(
+      Tables.documents(spark, d).filter(srcNum < 16)).count()
+    val sigs = spark.read.parquet(s"$path/sigs")
+    val keys = spark.read.parquet(s"$path/keys")
+    assert(sigs.count() == baseWithGrams,
+      "signature store != base docs with >=1 bigram")
+    // 16 bands per signed doc, exactly
+    assert(keys.count() == baseWithGrams * 16,
+      "band-key index is not 16 rows per base doc")
+    assert(keys.columns.sorted.toSeq == Seq("band", "band_key", "doc_id"))
+  }
+}
