@@ -4,6 +4,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // numeric width for confs that need an int ("*" is valid for
+    // local[*] but crashed shuffle.partitions and the ambient-cpu
+    // threshold — r12 ADVICE): fall back to the host's core count
+    val cpusInt = scala.util.Try(cpus.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     // knob-matrix passes (r4 verdict item 8): inject session confs via
     // SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — e.g. spark.sql.cbo.enabled=true
     // or AQE coalesce targets — so A/B bench runs vary ONLY the knobs
@@ -13,7 +18,7 @@ object Bench {
         .map { kv => val Array(k, v) = kv.split("=", 2); (k.trim, v.trim) }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpusInt.toString)
     extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder
       // same tz as Verify: interval/bucket arithmetic on NTZ timestamps
@@ -225,7 +230,14 @@ object Bench {
         p, pos)
       runsByKey.updateWith(name)(v => Some(v.getOrElse(Vector.empty) :+ run))
     }
+    // per-PASS loadavg samples (r12 verdict #2): the start sample
+    // can't see noise that arrives mid-bench; a reader of pass_loads
+    // sees exactly when a co-runner landed (the bench's own threads
+    // contribute uniformly to every sample, so a step change between
+    // passes is ambient, not self-load)
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (p <- 0 until nRuns) {
+      passLoads += loadAvg()
       val off = if (keys.isEmpty) 0 else (p * keys.size) / nRuns
       val order = keys.drop(off) ++ keys.take(off)
       order.zipWithIndex.foreach { case ((name, fn), pos) =>
@@ -248,6 +260,7 @@ object Bench {
           rs.collect { case r if r.ok => r.sec }.minOption.map(n -> _) }
         BenchAmbient.tailKeys(bests, baseline)
       }
+    if (tail.nonEmpty) passLoads += loadAvg()
     tail.zipWithIndex.foreach { case (name, pos) =>
       keys.find(_._1 == name).foreach { case (_, fn) =>
         timedRun(name, fn, nRuns, pos)
@@ -260,8 +273,14 @@ object Bench {
       // a fast crash was summed in and understated the metric)
       val good = runs.collect { case r if r.ok => r.sec }.sorted
       val best: Option[Double] = good.headOption
+      // the tail re-run (pass == nRuns) counts toward best-of but NOT
+      // the median: otherwise a re-run key's median is over n+1 runs
+      // while every other key's is over n — not comparable within one
+      // artifact (r12 ADVICE)
+      val mainGood = runs.collect {
+        case r if r.ok && r.pass < nRuns => r.sec }.sorted
       val median: Option[Double] =
-        if (good.isEmpty) None else Some(good(good.size / 2))
+        if (mainGood.isEmpty) None else Some(mainGood(mainGood.size / 2))
       (name, best, median, runs)
     }
     def keyed(f: ((String, Option[Double], Option[Double], Seq[Run])) => String) =
@@ -285,16 +304,22 @@ object Bench {
     // intersecting keys only), and the tail re-run list. A reader of
     // BENCH_r{N}.json decides "environment vs regression" from the
     // artifact alone; thresholds live in BenchAmbient (spec'd).
-    val ambient = BenchAmbient.contaminated(loadStart, cpus.toInt)
+    val ambient = BenchAmbient.contaminated(loadStart, cpusInt)
     val bestsMap: Map[String, Double] =
       results.collect { case (n, Some(b), _, _) => n -> b }.toMap
     val rateVsBase = BenchAmbient.rateVsBaseline(bestsMap, baseline)
     val rateJson = rateVsBase.fold("null")(r => f"$r%.4f")
     val tailJson = tail.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // mid-run self-annotation (r12 verdict #2): noise arriving AFTER
+    // the start sample shows as median-of-n diverging from best-of-n
+    // across the key set; the per-pass loadavg samples let a reader
+    // see when it landed
+    val midrun = BenchAmbient.midrunDivergence(total, totalMedian)
+    val passLoadsJson = passLoads.map(l => f"$l%.2f").mkString("[", ",", "]")
     val env =
-      s"""{"cpus":"$cpus","start_epoch_ms":$benchStart,"end_epoch_ms":${System.currentTimeMillis()},"load_start":$loadStart,"ambient_load":$ambient,"rate_vs_baseline":$rateJson,"tail_rerun":$tailJson,"load_end":${loadAvg()},"gc_total_ms":${gcMs()},"warmup":$warmupJson}"""
+      s"""{"cpus":"$cpus","start_epoch_ms":$benchStart,"end_epoch_ms":${System.currentTimeMillis()},"load_start":$loadStart,"ambient_load":$ambient,"midrun_divergence":$midrun,"pass_loads":$passLoadsJson,"rate_vs_baseline":$rateJson,"tail_rerun":$tailJson,"load_end":${loadAvg()},"gc_total_ms":${gcMs()},"warmup":$warmupJson}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"ambient_load":$ambient,"rate_vs_baseline":$rateJson,"queries":$qs,"medians":$ms,"runs":$rs,"telemetry":$tele,"env":$env,"n":$nRuns,"failed":$fs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,"ambient_load":$ambient,"midrun_divergence":$midrun,"rate_vs_baseline":$rateJson,"queries":$qs,"medians":$ms,"runs":$rs,"telemetry":$tele,"env":$env,"n":$nRuns,"failed":$fs,"sf":"$sfDir"}"""
     // durable copy: the round-2 driver artifact lost its tail to stdout
     // truncation — persist the full per-key JSON alongside the repo too.
     // Default is cwd-relative so a foreign checkout doesn't crash on a
@@ -325,7 +350,7 @@ object Bench {
       if (qbuf.length + piece.length < 900) { qbuf.append(piece); taken += 1 }
     }
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_median":${r3(totalMedian)},"n":$nRuns,"keys":${results.size},"ambient_load":$ambient,"load_start":$loadStart,"rate_vs_baseline":$rateJson,"tail_rerun_n":${tail.size},"failed":$fs,"sf":"$sfDir","queries":{${qbuf.result()}},"queries_note":"slowest subset; full per-key map in bench_last.json"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","total_median":${r3(totalMedian)},"n":$nRuns,"keys":${results.size},"ambient_load":$ambient,"midrun_divergence":$midrun,"load_start":$loadStart,"rate_vs_baseline":$rateJson,"tail_rerun_n":${tail.size},"failed":$fs,"sf":"$sfDir","queries":{${qbuf.result()}},"queries_note":"slowest subset; full per-key map in bench_last.json"}"""
     println(compact)
     System.out.flush()
   }

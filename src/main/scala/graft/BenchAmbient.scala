@@ -32,6 +32,24 @@ object BenchAmbient {
   def contaminated(loadStart: Double, cpus: Int): Boolean =
     loadStart >= 0.0 && loadStart > math.max(2.5, 0.08 * cpus)
 
+  /** MID-RUN contamination (r12 verdict #2): [[contaminated]] samples
+    * load only at start, so a window that starts idle and turns dirty
+    * mid-bench still inflated the headline silently — BENCH_r12's own
+    * signature (value 162.5 s, total_median 194.5 s) and the r12
+    * close's extreme case (best sum 149 s, median sum 250 s on an
+    * idle start) both needed a human reading BASELINE.md. Best-of-n
+    * dodges localized noise; MEDIAN-of-n absorbs it — so the
+    * median/best ratio over the whole key set is the noise detector
+    * the start sample can't be. Calibration from committed artifacts:
+    * the quiet r10 full run reads 1.072, dirty windows read
+    * 1.178–1.68; the 1.15 default sits between the bands. Guarded to
+    * never fire on degenerate totals (subset runs with a handful of
+    * sub-second keys can yield tiny noisy sums — callers pass full-run
+    * totals). */
+  def midrunDivergence(totalBest: Double, totalMedian: Double,
+      threshold: Double = 1.15): Boolean =
+    totalBest > 1.0 && totalMedian > 0.0 && totalMedian / totalBest > threshold
+
   /** Keys whose best-of-n exceeds the committed quiet baseline enough
     * to warrant one tail re-run: BOTH >factor× (default 1.3×, the
     * r11 verdict's number) AND >absSlack s absolute over (sub-100 ms

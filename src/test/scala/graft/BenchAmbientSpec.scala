@@ -31,6 +31,26 @@ class BenchAmbientSpec extends AnyFunSuite {
     assert(!BenchAmbient.contaminated(-1.0, 32))
   }
 
+  test("midrunDivergence: committed-artifact bands adjudicate correctly") {
+    // quiet full run (BENCH_r10): median/best 1.072 — must not flag
+    assert(!BenchAmbient.midrunDivergence(131.185, 140.68))
+    // the r12 driver artifact's mid-run-noise signature: 162.5 vs
+    // 194.5 (ratio 1.197) — must flag
+    assert(BenchAmbient.midrunDivergence(162.494, 194.541))
+    // the r12 close extreme (idle start, dirty middle): 149 vs 250
+    assert(BenchAmbient.midrunDivergence(149.0, 250.0))
+    // boundary: > not >=
+    assert(!BenchAmbient.midrunDivergence(100.0, 115.0))
+    assert(BenchAmbient.midrunDivergence(100.0, 115.1))
+  }
+
+  test("midrunDivergence: degenerate totals never flag") {
+    // tiny subset runs (sub-second sums) are all scheduling noise
+    assert(!BenchAmbient.midrunDivergence(0.4, 0.9))
+    assert(!BenchAmbient.midrunDivergence(0.0, 0.0))
+    assert(!BenchAmbient.midrunDivergence(10.0, 0.0))
+  }
+
   test("tailKeys: needs BOTH >1.3x ratio and >0.15s absolute") {
     val baseline = Map("big" -> 2.0, "small" -> 0.05, "fine" -> 1.0)
     val best = Map(
