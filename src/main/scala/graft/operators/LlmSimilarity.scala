@@ -791,6 +791,17 @@ object LlmSimilarity {
     * is the 1-value convergence count. `edges0` is undirected input as
     * (a, b) pairs; returns (labels(doc_id, label), rounds).
     *
+    * PRECONDITION (made explicit by the r12 own-label fold, which
+    * widened the membership behavior the old labels-left-join
+    * enforced): every edge endpoint must appear in `nodes`. An
+    * endpoint outside `nodes` now CONTRIBUTES a labeled output row
+    * (it enters the candidate union via the neighbor side), instead
+    * of being silently restricted away — so a caller passing
+    * unfiltered pair output with a node SUBSET would get extra rows.
+    * All in-repo callers satisfy endpoints ⊆ nodes by construction
+    * (pairs are generated from the same table that supplies nodes);
+    * GraphSpec pins the contract with an explicit subset probe.
+    *
     * r12 A/B record (don't re-run): at test scale the per-round wall
     * is ~90% AQE stage-JOB scheduling latency (measured: 82 one-stage
     * jobs / 7 rounds, 6.0 s of task time spread over a 4.3 s wall on

@@ -185,14 +185,20 @@ object SnapshotTable {
       maxRetries: Int = 20): Int = {
     val unit = s"data/tx_$tag"
     // Tag reuse is a protocol violation, not a retry: the staged write
-    // below is mode("overwrite"), so a tag already referenced by the
-    // committed tail would silently REWRITE the bytes of a unit that
-    // historical manifests point at (mutating committed snapshots) and
-    // then list it twice. Fail fast before touching storage. (An
-    // orphan unit dir from a crashed earlier attempt with this tag is
-    // fine — it was never committed, and the overwrite is the
-    // idempotent retry path the scaladoc promises.)
-    latestVersionOpt(root).foreach { v =>
+    // below is mode("overwrite"), so a tag already referenced by ANY
+    // committed manifest would silently REWRITE the bytes of a unit
+    // that historical manifests point at (mutating committed
+    // snapshots) and then list it twice. The guard scans EVERY
+    // committed version, not just the tail — compaction commits a
+    // manifest listing only the compacted unit, so a pre-compaction
+    // tag vanishes from the tail while its bytes are still referenced
+    // by older manifests that time travel reads (r12 ADVICE). A full
+    // log walk is O(versions) driver-side metadata reads, the same
+    // cost class as vacuum's reachability scan. (An orphan unit dir
+    // from a crashed earlier attempt with this tag is fine — it was
+    // never committed, and the overwrite is the idempotent retry path
+    // the scaladoc promises.)
+    committedVersions(root).foreach { v =>
       require(!unitsOf(root, v).contains(unit),
         s"tag '$tag' already committed at $root v$v — a reused tag would " +
           "overwrite bytes referenced by historical snapshots")
@@ -226,18 +232,23 @@ object SnapshotTable {
     s.read.parquet(units.map(u => s"$root/$u"): _*)
   }
 
-  /** Latest committed version if any manifest exists. */
-  def latestVersionOpt(root: String): Option[Int] = {
+  /** Every committed manifest version at `root`, ascending (empty if
+    * the table has never committed) — the full log a reuse/reachability
+    * check must walk. */
+  def committedVersions(root: String): Seq[Int] = {
     val dir = Paths.get(root, "_manifests")
-    if (!Files.isDirectory(dir)) return None
-    val vs = { val l = Files.list(dir)
-      try l.iterator().asScala
-        .flatMap(p => "^v(\\d+)\\.json$".r
-          .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
-        .toSeq
-      finally l.close() }
-    if (vs.isEmpty) None else Some(vs.max)
+    if (!Files.isDirectory(dir)) return Nil
+    val l = Files.list(dir)
+    try l.iterator().asScala
+      .flatMap(p => "^v(\\d+)\\.json$".r
+        .findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+      .toSeq.sorted
+    finally l.close()
   }
+
+  /** Latest committed version if any manifest exists. */
+  def latestVersionOpt(root: String): Option[Int] =
+    committedVersions(root).lastOption
 
   /** Latest committed version = max manifest number (the tail of the
     * commit log, as a Delta/Iceberg client resolves "current"). */

@@ -21,6 +21,27 @@ class GraphSpec extends SparkTestBase {
     assert(r.getLong(2) == 4, s"triangles: ${r.getLong(2)}")
   }
 
+  test("connectedComponents contract: endpoints ⊆ nodes labels exactly " +
+    "the node set; an endpoint outside it adds a row (documented)") {
+    // the r12 own-label fold made edge endpoints CONTRIBUTE rows
+    // instead of being restricted by a labels left-join — this pins
+    // that membership behavior as an explicit contract (r12 ADVICE):
+    // with the precondition satisfied, output ids == nodes exactly
+    val nodes = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val (labels, _) = operators.LlmSimilarity.connectedComponents(
+      spark, nodes, edges)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    // precondition violated (endpoint 7 absent from nodes): the row
+    // for 7 appears — callers passing a node SUBSET must pre-filter
+    // edges; this assertion is the early warning if the behavior
+    // ever changes silently
+    val (labels2, _) = operators.LlmSimilarity.connectedComponents(
+      spark, nodes, edges.unionAll(Seq((3L, 7L)).toDF("a", "b")))
+    assert(labels2.filter(col("doc_id") === 7L).count() == 1)
+  }
+
   test("degree-ordered count equals the naive closed-wedge count") {
     // independently count on the sampled co-purchase graph: for each
     // canonical edge pair sharing a node, check closure — the naive

@@ -323,6 +323,40 @@ class SnapshotTableSpec extends SparkTestBase {
     } finally pool.shutdownNow()
   }
 
+  test("tag reuse is refused even after compaction hides it from the tail") {
+    // the r12 ADVICE hazard: compaction commits a manifest listing
+    // only the compacted unit, so a tail-only guard no longer sees a
+    // pre-compaction tag — but its bytes are still referenced by the
+    // older manifests time travel reads, and a reused tag's
+    // mode("overwrite") staging would rewrite them
+    import operators.SnapshotTable
+    import spark.implicits._
+    val root = Tables.sinkPath(spark, sf, "snaptag")
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    SnapshotTable.commitAppendTx(
+      Seq((1L, "x")).toDF("id", "who"), root, "day1")
+    // simulated compaction: one unit holding the current snapshot,
+    // committed as a manifest that lists ONLY it (the tail no longer
+    // names data/tx_day1)
+    val latest = SnapshotTable.latestVersion(root)
+    SnapshotTable.readSnapshot(spark, root, latest)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/data/compact_t")
+    SnapshotTable.commit(root, latest + 1, Seq("data/compact_t"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commitAppendTx(
+        Seq((2L, "y")).toDF("id", "who"), root, "day1")
+    }
+    assert(e.getMessage.contains("already committed"),
+      s"wrong failure: ${e.getMessage}")
+    // the historical snapshot is untouched and still reconstructs
+    assert(SnapshotTable.readSnapshot(spark, root, latest)
+      .as[(Long, String)].collect().toSet == Set((1L, "x")))
+    // a FRESH tag still commits normally after the refusal
+    val v = SnapshotTable.commitAppendTx(
+      Seq((2L, "y")).toDF("id", "who"), root, "day2")
+    assert(v == latest + 2)
+  }
+
   test("unknown version fails fast with a diagnosable error") {
     import operators.SnapshotTable
     SnapshotTable.etlSnapshotRead(spark, sf).count()
