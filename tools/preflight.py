@@ -5,12 +5,36 @@ Compares each <outDir>/<key> parquet against DuckDB executing
 oracle_sql.json on the same tables, mimicking the driver: sort columns
 by name, sort rows, exact value compare (NaN==NaN).
 """
-import duckdb, json, sys, os
+import duckdb, json, sys, os, hashlib
 import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
+
+# Oracle-result memoization (r12 verdict #4): the full sf0.1 sweep is
+# dominated by DuckDB re-deriving unchanged oracles (the n^2
+# near-dedup-exact, the K=64 Lloyd-unroll ANN CTEs) — content-key each
+# key's NORMALIZED oracle frame on (duckdb version, norm recipe,
+# testdata fingerprint, oracle SQL) so a re-sweep with no changes skips
+# execution entirely, while any SQL edit or data regeneration re-runs
+# that key. The SPARK side is always re-read and re-compared — only
+# the oracle derivation is cached. Opt out: PREFLIGHT_NO_CACHE=1.
+CACHE_VERSION = "1"  # bump when norm() changes
+
+def sf_fingerprint(sf: str) -> str:
+    parts = []
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.isfile(p):
+            st = os.stat(p)
+            parts.append(f"{t}|{st.st_mtime_ns}|{st.st_size}")
+        elif os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                if f.endswith(".parquet"):
+                    st = os.stat(f"{p}/{f}")
+                    parts.append(f"{t}/{f}|{st.st_mtime_ns}|{st.st_size}")
+    return hashlib.sha256(";".join(parts).encode()).hexdigest()[:16]
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
@@ -51,14 +75,37 @@ def main():
             else:
                 con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    cache_dir = os.environ.get("PREFLIGHT_CACHE_DIR", "/tmp/graft_preflight_cache")
+    use_cache = not os.environ.get("PREFLIGHT_NO_CACHE")
+    fp = sf_fingerprint(sf) if use_cache else ""
+    if use_cache:
+        os.makedirs(cache_dir, exist_ok=True)
+    hits = misses = 0
     n_pass = n_fail = 0
     for name in sorted(oracle):
         if only and name not in only:
             continue
         sql = oracle[name]
+        cpath = None
+        if use_cache:
+            ck = hashlib.sha256(
+                f"{CACHE_VERSION}|{duckdb.__version__}|{fp}|{sql}"
+                .encode()).hexdigest()[:32]
+            cpath = f"{cache_dir}/{name}_{ck}.pkl"
         try:
             a = norm(con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df())
-            b = norm(con.sql(sql).df())
+            if cpath and os.path.exists(cpath):
+                b = pd.read_pickle(cpath)
+                hits += 1
+            else:
+                b = norm(con.sql(sql).df())
+                if cpath:
+                    # atomic publish: a parallel preflight must never
+                    # read a half-written pickle
+                    tmp = f"{cpath}.tmp.{os.getpid()}"
+                    b.to_pickle(tmp)
+                    os.replace(tmp, cpath)
+                misses += 1
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
@@ -104,6 +151,8 @@ def main():
             n_pass += 1
     no_oracle = [k for k in os.listdir(out)
                  if os.path.isdir(f"{out}/{k}") and k not in oracle]
+    if use_cache:
+        print(f"\noracle cache: {hits} hit, {misses} miss ({cache_dir})")
     print(f"\n{n_pass} pass, {n_fail} fail; no-oracle keys: {sorted(no_oracle)}")
     sys.exit(1 if n_fail else 0)
 
