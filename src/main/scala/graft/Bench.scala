@@ -143,6 +143,8 @@ object Bench {
         k == "llm_dedup_cluster"),
       // neardup_band_index_v1 (its own base-corpus banding artifact)
       "llm_incremental_neardup" -> ((k: String) => k == "llm_incremental_neardup"),
+      // phash_band_index_v1 (media-side banding artifact)
+      "mm_phash_incremental" -> ((k: String) => k == "mm_phash_incremental"),
       // bpe_merges_v1
       "llm_bpe_encode" -> ((k: String) => k.startsWith("llm_bpe") ||
         k == "llm_tokenizer_fertility"))

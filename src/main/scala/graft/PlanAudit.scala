@@ -138,7 +138,10 @@ object PlanAudit {
       "it then reads — the staged-artifact contract is the operator"),
     "llm_incremental_neardup" -> ("first touch of new content stages the " +
       "base corpus's MinHash banding index (band keys + signature store) " +
-      "it then bands the delta against — the persisted index IS the key"))
+      "it then bands the delta against — the persisted index IS the key"),
+    "mm_phash_incremental" -> ("first touch of new content stages the base " +
+      "media corpus's phash band index (bands + hash store) it then bands " +
+      "the delta against — the media-side leg of the same pattern"))
 
   /** Count the shuffles (Exchange operators) the executed plan
     * actually ran, walking through AQE wrappers and query stages and
@@ -299,6 +302,8 @@ object ShuffleBudgets {
     // presentation sort — every shuffle on narrow key/id rows; the
     // base side arrives pre-signed from the stored index
     "llm_incremental_neardup" -> 6,
+    // same pipeline shape over phash bands (media leg)
+    "mm_phash_incremental" -> 6,
     // encode = per-row fuse chain + the presentation sort; training
     // happens in construction (stored-artifact read after first touch)
     "llm_bpe_encode" -> 1,

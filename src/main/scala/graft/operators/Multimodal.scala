@@ -217,23 +217,13 @@ object Multimodal {
     * Hamming twins and the TRUE pair set grows quadratically in the
     * replica factor — the rung would measure that replica artifact,
     * not the operator (the `llm_embed_neardup` precedent). */
-  val mmPhashNeardup: QFn = (s, d) => {
-    val hashSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("ws", ArrayType(LongType, containsNull = false))))
-    // 1-element ws array: the 32-bit key runs the SAME banding +
-    // verify pipeline as the wide key ([[phashPairs]]) — one tail,
-    // two operating points (r11 review finding: the duplicated copy
-    // could drift)
-    val hashes = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .mapPartitions { rows =>
-        rows.map(r =>
-          Row(r.getLong(0), Seq(ahash32(r.getAs[Array[Byte]](1)))))
-      }(RowEncoder.encoderFor(hashSchema))
-    phashPairs(hashes,
-      phashBands.map { case (off, w) => (0, off, w) }, PhashTau)
-  }
+  // 1-element ws array: the 32-bit key runs the SAME banding + verify
+  // pipeline as the wide key ([[phashPairs]]) — one tail, two
+  // operating points (r11 review finding: the duplicated copy could
+  // drift); the decode kernel itself is [[narrowHashes]], shared with
+  // the incremental key's index builder
+  val mmPhashNeardup: QFn = (s, d) =>
+    phashPairs(narrowHashes(Tables.documents(s, d)), narrowBands, PhashTau)
 
   /** Generalized multi-word average-hash — the "wider hash" half of
     * the scale knob documented on [[mmPhashNeardup]]: `bits` blocks,
@@ -358,12 +348,125 @@ object Multimodal {
   val mmPhashWide: QFn = (s, d) =>
     phashPairs(wideHashes(Tables.documents(s, d)), phashWideBands, PhashTau)
 
+  // ------------------------------------ ingestion-mode phash check
+
+  /** Base/delta source split shared with the text-side ingestion keys
+    * (`llm_incremental_dedup`, `llm_incremental_neardup`). */
+  private val PhashSplit = 16
+
+  private def srcNum: Column =
+    regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+
+  private def narrowBands: Seq[(Int, Int, Int)] =
+    phashBands.map { case (off, w) => (0, off, w) }
+
+  /** (doc_id, ws) 32-bit hashes of a documents-shaped frame — the
+    * decode kernel of [[mmPhashNeardup]], factored for the stored
+    * index builder and the delta pass. */
+  private def narrowHashes(docs: DataFrame): DataFrame = {
+    val hashSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("ws", ArrayType(LongType, containsNull = false))))
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .mapPartitions { rows =>
+        rows.map(r =>
+          Row(r.getLong(0), Seq(ahash32(r.getAs[Array[Byte]](1)))))
+      }(RowEncoder.encoderFor(hashSchema))
+  }
+
+  /** Persisted phash banding index of the BASE media corpus (r12
+    * verdict #6) — the media leg of the ingestion triptych, same
+    * IndexStore pattern as `llm_incremental_neardup`'s text index:
+    * `bands/` the (doc_id, band, bval) rows the candidate equi-join
+    * buckets on, `hashes/` the (doc_id, ws) store the exact popcount
+    * verify reads. At 100 TB the media bytes are decoded once at
+    * index-build time and never reread by the daily check. */
+  def phashIndexPath(s: SparkSession, d: String): String = {
+    val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
+    graft.IndexStore.cachedDir(s"phash_band_index_v1_$fp") { tmp =>
+      val hashes = narrowHashes(
+        Tables.documents(s, d).filter(srcNum < PhashSplit))
+      hashes.write.mode("overwrite").parquet(s"$tmp/hashes")
+      hashes.select(col("doc_id"),
+        posexplode(array(bandColumns(narrowBands): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+        .write.mode("overwrite").parquet(s"$tmp/bands")
+    }
+  }
+
+  /** Verdict kernel: delta hashes banded against a base band index,
+    * exact popcount verify (pigeonhole-exact — banding loses nothing
+    * at Hamming ≤ tau), lowest matching id per family; non-transitive
+    * lower-id rule within the delta, the `llm_incremental_neardup`
+    * contract. Factored so the registered key (stored index) and the
+    * spec's one-shot comparator share the decision logic. */
+  private[graft] def phashIncrementalOn(
+      deltaDocs: DataFrame, deltaHashes: DataFrame,
+      baseBands: DataFrame, baseHashes: DataFrame): DataFrame = {
+    val deltaBands = deltaHashes.select(col("doc_id"),
+      posexplode(array(bandColumns(narrowBands): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    def verify(cands: DataFrame, otherHashes: DataFrame): DataFrame =
+      cands
+        .join(deltaHashes.select(col("doc_id").as("did"), col("ws").as("wa")), "did")
+        .join(otherHashes.select(col("doc_id").as("oid"), col("ws").as("wb")), "oid")
+        .withColumn("hamming",
+          aggregate(zip_with(col("wa"), col("wb"),
+            (x, y) => bit_count(x.bitwiseXOR(y))), lit(0), (acc, v) => acc + v))
+        .filter(col("hamming") <= PhashTau)
+        .groupBy("did").agg(min(col("oid")).as("dup"))
+    val candBase = deltaBands.as("x").join(baseBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval"))
+      .select(col("x.doc_id").as("did"), col("y.doc_id").as("oid")).distinct()
+    val candPrior = deltaBands.as("x").join(deltaBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("did"), col("y.doc_id").as("oid")).distinct()
+    val dupBase = verify(candBase, baseHashes)
+      .select(col("did").as("doc_id"), col("dup").as("dup_base"))
+    val dupPrior = verify(candPrior, deltaHashes)
+      .select(col("did").as("doc_id"), col("dup").as("dup_prior"))
+    deltaDocs.select(col("doc_id"), col("source"), col("n_chars"))
+      .join(dupBase, Seq("doc_id"), "left")
+      .join(dupPrior, Seq("doc_id"), "left")
+      .withColumn("dup_of",
+        when(col("dup_base").isNotNull && col("dup_prior").isNotNull,
+          least(col("dup_base"), col("dup_prior")))
+          .otherwise(coalesce(col("dup_base"), col("dup_prior"))))
+      .withColumn("kept", when(col("dup_of").isNull, 1).otherwise(0))
+      .select("doc_id", "source", "n_chars", "dup_of", "kept")
+      .orderBy("doc_id")
+  }
+
+  /** `mm_phash_incremental`: the ingest batch's media payloads decoded
+    * and banded against the STORED base phash index. Verdict per delta
+    * doc, same shape as the text twin. */
+  val mmPhashIncremental: QFn = (s, d) => {
+    val path = phashIndexPath(s, d)
+    val delta = Tables.documents(s, d).filter(srcNum >= PhashSplit)
+    phashIncrementalOn(delta, narrowHashes(delta),
+      s.read.parquet(s"$path/bands"), s.read.parquet(s"$path/hashes"))
+  }
+
+  /** One-shot comparator (spec only): base hashes computed fresh —
+    * the index-persistence contract, as IncrementalNeardupSpec. */
+  private[graft] def phashIncrementalOneShot(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val baseHashes = narrowHashes(docs.filter(srcNum < PhashSplit))
+    val baseBands = baseHashes.select(col("doc_id"),
+      posexplode(array(bandColumns(narrowBands): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+    val delta = docs.filter(srcNum >= PhashSplit)
+    phashIncrementalOn(delta, narrowHashes(delta), baseBands, baseHashes)
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
     "mm_decode_features" -> mmDecodeFeatures,
     "mm_frame_sample" -> mmFrameSample,
     "mm_audio_window" -> mmAudioWindow,
     "mm_phash_neardup" -> mmPhashNeardup,
     "mm_phash_wide" -> mmPhashWide,
+    "mm_phash_incremental" -> mmPhashIncremental,
     "mm_modality_dispatch" -> mmModalityDispatch)
 
   /** The aHash oracle re-derives every block's cross-multiply bit in
@@ -372,7 +475,11 @@ object Multimodal {
     * ALL-PAIRS Hamming filter; pigeonhole exactness of the 6-band
     * join means the engine's banded output equals it bit-for-bit.
     * The n² join is the oracle's cost, not the engine's. */
-  private def phashOracleSql: String = {
+  /** The shared "t AS …, h AS …" hash-derivation CTEs: every block's
+    * cross-multiply bit generated in SQL, assembling the 32-bit aHash
+    * per document. Used by the all-pairs oracle and the incremental
+    * verdict oracle. */
+  private def phashHashCtes: String = {
     def blockLen(k: Int) = s"(($k + 1) * L // 32 - $k * L // 32)"
     def blockSum(k: Int) =
       s"""COALESCE(list_sum(list_transform(regexp_extract_all(
@@ -381,18 +488,59 @@ object Multimodal {
     val bits = (0 until 32).map { k =>
       s"(CASE WHEN ${blockSum(k)} * L > tot * CAST(${blockLen(k)} AS BIGINT) THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" +\n           ")
-    s"""WITH t AS (
+    s"""t AS (
            SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
              COALESCE(list_sum(list_transform(regexp_extract_all(text, '.'),
                c -> CAST(ascii(c) AS BIGINT))), 0) AS tot
            FROM documents),
-         h AS (SELECT doc_id, $bits AS phash FROM t)
+         h AS (SELECT doc_id, $bits AS phash FROM t)"""
+  }
+
+  private def phashOracleSql: String =
+    s"""WITH $phashHashCtes
          SELECT x.doc_id AS a, y.doc_id AS b,
            CAST(bit_count(xor(x.phash, y.phash)) AS INT) AS hamming
          FROM h x JOIN h y ON x.doc_id < y.doc_id
          WHERE bit_count(xor(x.phash, y.phash)) <= $PhashTau
          ORDER BY a, b"""
-  }
+
+  /** Incremental-verdict oracle: because the 6-band pigeonhole join is
+    * EXACT at Hamming ≤ tau, the oracle needs no banding at all — the
+    * verdict is derivable from the all-pairs Hamming test restricted
+    * by the base/delta split, and must equal the engine's banded
+    * stored-index pipeline bit-for-bit. */
+  private def phashIncrementalOracleSql: String =
+    s"""WITH $phashHashCtes,
+         tagged AS (
+           SELECT doc_id, source, n_chars,
+             TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS src_num
+           FROM documents),
+         hh AS (SELECT h.doc_id, h.phash, tagged.src_num
+                FROM h JOIN tagged ON h.doc_id = tagged.doc_id),
+         delta AS (SELECT doc_id, source, n_chars FROM tagged
+                   WHERE src_num >= $PhashSplit),
+         dup_base AS (
+           SELECT x.doc_id AS did, min(y.doc_id) AS dup_base
+           FROM hh x JOIN hh y ON x.src_num >= $PhashSplit
+             AND y.src_num < $PhashSplit
+             AND bit_count(xor(x.phash, y.phash)) <= $PhashTau
+           GROUP BY 1),
+         dup_prior AS (
+           SELECT x.doc_id AS did, min(y.doc_id) AS dup_prior
+           FROM hh x JOIN hh y ON x.src_num >= $PhashSplit
+             AND y.src_num >= $PhashSplit AND y.doc_id < x.doc_id
+             AND bit_count(xor(x.phash, y.phash)) <= $PhashTau
+           GROUP BY 1)
+         SELECT d.doc_id, d.source, d.n_chars,
+           CASE WHEN b.dup_base IS NOT NULL AND p.dup_prior IS NOT NULL
+                THEN least(b.dup_base, p.dup_prior)
+                ELSE coalesce(b.dup_base, p.dup_prior) END AS dup_of,
+           CASE WHEN b.dup_base IS NULL AND p.dup_prior IS NULL
+                THEN 1 ELSE 0 END AS kept
+         FROM delta d
+         LEFT JOIN dup_base b ON b.did = d.doc_id
+         LEFT JOIN dup_prior p ON p.did = d.doc_id
+         ORDER BY d.doc_id"""
 
   /** 128-block twin of [[phashOracleSql]]: the per-char code list is
     * materialized once per doc, each block bit is a generated
@@ -432,6 +580,7 @@ object Multimodal {
   val oracles: Seq[(String, String)] = Seq(
     "mm_phash_neardup" -> phashOracleSql,
     "mm_phash_wide" -> phashWideOracleSql,
+    "mm_phash_incremental" -> phashIncrementalOracleSql,
     "mm_audio_window" ->
       """SELECT doc_id, CAST(k AS INT) AS win_idx,
            CAST(length(substr(text, k * 64 + 1, 128)) AS INT) AS n_samples,

@@ -48,6 +48,19 @@ class IncrementalNeardupSpec extends SparkTestBase {
     }
   }
 
+  test("phash twin: stored-index check == one-shot; finds cross-split dups") {
+    val stored = SparkEntry.queries("mm_phash_incremental")(spark, d)
+      .collect().map(_.toSeq)
+    val oneShot = operators.Multimodal.phashIncrementalOneShot(spark, d)
+      .collect().map(_.toSeq)
+    assert(stored.nonEmpty && stored.toSeq == oneShot.toSeq,
+      "stored phash index verdict diverged from the fresh one-shot verdict")
+    // sf0.001 has 5 cross-split Hamming<=5 pairs (measured via the
+    // all-pairs oracle); the banded stored-index path must surface them
+    val dropped = stored.filter(r => r(4) == 0)
+    assert(dropped.nonEmpty, "no phash near-dups found — the check is inert")
+  }
+
   test("the index artifact holds exactly the base slice, keys + sigs") {
     val path = operators.LlmLsh.neardupIndexPath(spark, d)
     val srcNum = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
