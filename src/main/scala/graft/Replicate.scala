@@ -54,6 +54,7 @@ object Replicate {
       s"${System.getProperty("java.io.tmpdir")}/graft_sf1"
     val factor = if (args.length > 2) args(2).toInt else 10
     val skew = args.length > 3 && args(3) == "skew"
+    val hubSkew = args.length > 3 && args(3) == "hubskew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,7 +64,7 @@ object Replicate {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, src, dst, factor, skew)
+    run(spark, src, dst, factor, skew, hubSkew)
     spark.stop()
   }
 
@@ -89,8 +90,21 @@ object Replicate {
     * domain and is NOT stride-shifted on either side of the join.
     * Results legitimately differ from the uniform replica; the spot
     * oracles run DuckDB ON the skewed replica itself. */
+  /** HUB-skew rung (r12 verdict #5): the `skew` mode above pins BOTH
+    * join sides on the same orderkey slice, so its hot rows collapse
+    * into the single (customer 1, supplier 1) edge after the edge
+    * build's distinct — a hot-ROW stress, not a hot-NODE one (and the
+    * graph keys actually got FASTER on it: ARCHIVE §18). `hubSkew`
+    * pins ONLY the customer side, spreading the hot ~30% of orders
+    * over 8 GLOBAL hub customers (ids 1..8, never stride-shifted)
+    * while suppliers keep their full per-replica diversity — each hub
+    * accumulates edges to ~every supplier of every replica (~10k·R
+    * distinct neighbors at factor R, ≫ √E), the zipf head a real
+    * co-interaction graph carries. Everything else stays uniform, so
+    * a graph-key A/B against the uniform replica isolates the
+    * degree-skew axis. */
   def run(spark: SparkSession, src: String, dst: String, factor: Int,
-      skew: Boolean = false): Unit = {
+      skew: Boolean = false, hubSkew: Boolean = false): Unit = {
     val t0 = System.nanoTime()
     /** ~30% deterministic slice of any integral id column. */
     def hot(id: Column): Column = pmod(id, lit(10)) < 3
@@ -116,9 +130,12 @@ object Replicate {
     shifted("supplier", Seq("s_suppkey"))
     shifted("part", Seq("p_partkey"))
     shifted("orders", Seq("o_orderkey", "o_custkey"), (df, _) =>
-      if (!skew) df
-      else df.withColumn("o_custkey",
-        when(hot(col("o_orderkey")), lit(1L)).otherwise(col("o_custkey"))))
+      if (skew) df.withColumn("o_custkey",
+        when(hot(col("o_orderkey")), lit(1L)).otherwise(col("o_custkey")))
+      else if (hubSkew) df.withColumn("o_custkey",
+        when(hot(col("o_orderkey")),
+          pmod(col("o_orderkey"), lit(8)) + 1).otherwise(col("o_custkey")))
+      else df)
     shifted("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), (df, _) =>
       if (!skew) df
       else df.withColumn("l_suppkey",
