@@ -147,7 +147,9 @@ object Bench {
       "mm_phash_incremental" -> ((k: String) => k == "mm_phash_incremental"),
       // bpe_merges_v1
       "llm_bpe_encode" -> ((k: String) => k.startsWith("llm_bpe") ||
-        k == "llm_tokenizer_fertility"))
+        k == "llm_tokenizer_fertility"),
+      // unigram_vocab_v1 (shared by vocab + encode)
+      "llm_unigram_vocab" -> ((k: String) => k.startsWith("llm_unigram")))
     // a renamed staging key must fail LOUDLY, not silently skip the
     // warm-up it exists for (the r9 artifact-skew bug would return
     // silently otherwise)

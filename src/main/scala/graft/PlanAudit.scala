@@ -51,7 +51,13 @@ object PlanAudit {
   // graph_pagerank joins the broadcast 1-row node count N into each
   // iteration (no driver collect); graph_triangles meets its three
   // single-row aggregates in 1-row broadcast crosses
-    "graph_pagerank", "graph_triangles")
+    "graph_pagerank", "graph_triangles",
+  // unigram segmentation: each unrolled path step joins the
+  // ≤(alphabet+VocabMulti)-row broadcast piece table on a
+  // substring-match expression (inherently non-equi) — O(1) build
+  // side at any corpus size, the same class as llm_kmeans' centroid
+  // cross; the vocab key additionally crosses the 1-row normalizer
+    "llm_unigram_vocab", "llm_unigram_encode")
 
   /** Keys whose CONSTRUCTION legitimately runs Spark jobs before the
     * driver's own action (r4 verdict item 3): every entry is a
@@ -141,7 +147,11 @@ object PlanAudit {
       "it then bands the delta against — the persisted index IS the key"),
     "mm_phash_incremental" -> ("first touch of new content stages the base " +
       "media corpus's phash band index (bands + hash store) it then bands " +
-      "the delta against — the media-side leg of the same pattern"))
+      "the delta against — the media-side leg of the same pattern"),
+    "llm_unigram_vocab" -> ("first touch of new content trains and stores " +
+      "the unigram piece vocabulary (10% sample) it then reads back"),
+    "llm_unigram_encode" -> ("reads the same stored unigram vocabulary " +
+      "artifact (training it on first touch of new content)"))
 
   /** Count the shuffles (Exchange operators) the executed plan
     * actually ran, walking through AQE wrappers and query stages and
@@ -304,6 +314,11 @@ object ShuffleBudgets {
     "llm_incremental_neardup" -> 6,
     // same pipeline shape over phash bands (media leg)
     "mm_phash_incremental" -> 6,
+    // unigram vocab: the stored-artifact read + presentation sort
+    "llm_unigram_vocab" -> 1,
+    // encode: distinct-words shuffle + per-doc groupBy + first-word
+    // join + presentation sort (segmentation itself is broadcast-only)
+    "llm_unigram_encode" -> 4,
     // encode = per-row fuse chain + the presentation sort; training
     // happens in construction (stored-artifact read after first touch)
     "llm_bpe_encode" -> 1,

@@ -38,6 +38,7 @@ object SparkEntry {
       operators.TimeSeries2.entries ++
       operators.LlmCorpus.entries ++
       operators.IndexStoreOp.entries ++
+      operators.Unigram.entries ++
       plans.AsOfJoinPlans.entries ++
       streaming.Streaming.entries
 
@@ -64,6 +65,7 @@ object SparkEntry {
       operators.TimeSeries2.oracles ++
       operators.LlmCorpus.oracles ++
       operators.IndexStoreOp.oracles ++
+      operators.Unigram.oracles ++
       plans.AsOfJoinPlans.oracles ++
       streaming.Streaming.oracles
 

@@ -1,0 +1,286 @@
+package graft.operators
+
+import graft.{QFn, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-shaped) tokenizer — the second tokenizer
+  * family next to BPE (r12 verdict "what's missing" #3): BPE composes
+  * merges bottom-up; unigram SELECTS a piece vocabulary and segments
+  * each word into the maximum-likelihood piece sequence. The
+  * production shape is preserved — train a piece vocabulary once on
+  * the 10% sample (persisted, content-keyed), then encode the full
+  * corpus through it — while every number stays integer-exact so the
+  * whole family is hash-oracled:
+  *
+  *  - **Vocabulary** ([[llmUnigramVocab]]): all substrings of length
+  *    1..[[MaxPiece]] of the sample's words, counted per word
+  *    OCCURRENCE; every observed single char is kept (segmentation
+  *    can then never fail) plus the top [[VocabMulti]] multi-char
+  *    pieces by (count desc, piece asc).
+  *  - **Scoring**: a real unigram LM maximizes Σ log p(piece) =
+  *    Σ log cnt(piece) − n·log T. Transcendental logs are not
+  *    bit-portable across engines, so the score quantizes to the
+  *    integer log₂ floor: weight(p) = ⌊log₂ cnt(p)⌋ (the bit length
+  *    of cnt, exact in any engine), score(p) = weight(p) − ⌊log₂ T⌋
+  *    with T = Σ cnt over the vocab — the same shape (frequent
+  *    pieces cheap, every extra piece pays the normalizer) at
+  *    1-bit resolution.
+  *  - **Segmentation** ([[llmUnigramEncode]]): per DISTINCT word —
+  *    the 100 TB plan: the distinct-word table is vocabulary-bounded
+  *    no matter the corpus size, segmentations broadcast back onto
+  *    the token stream (the `llm_doc_freq_prune` pattern) — ALL
+  *    segmentation paths are enumerated relationally ([[WordLenCap]]
+  *    unrolled steps of a ≤(alphabet+V)-row broadcast piece join;
+  *    ≤ tribonacci(len) ≈ 100 paths per word at len 8), and the
+  *    winner is the globally best path under the deterministic order
+  *    (score DESC, n_pieces ASC, piece-sequence string ASC). A
+  *    Viterbi DP would prune positions earlier, but its per-position
+  *    tie-breaks are not expressible as a global ORDER BY; exhaustive
+  *    enumeration makes the Spark plan and the DuckDB oracle provably
+  *    select the SAME path, and the path count is bounded by word
+  *    LENGTH (≤ [[WordLenCap]]), not corpus size.
+  */
+object Unigram {
+
+  /** Max piece length — substrings longer than this are never
+    * candidates (SentencePiece's max_sentencepiece_length knob). */
+  val MaxPiece = 4
+
+  /** Multi-char vocabulary budget (single chars ride for free). */
+  val VocabMulti = 24
+
+  /** Hard cap on segmentable word length: the path enumeration
+    * unrolls this many steps, and [[segmentWords]] drops longer words
+    * (none exist in the corpus — UnigramSpec pins that the cap is
+    * slack, max observed len 8). */
+  val WordLenCap = 12
+
+  private def nonEmptyWords(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  /** ⌊log₂ n⌋ for n ≥ 1, exactly: bit length − 1 (base-2 render). */
+  private def intLog2(n: Column): Column =
+    (length(conv(n, 10, 2)) - 1).cast("int")
+
+  /** Piece table (piece, cnt, weight, score) trained on `sample`
+    * documents — singles all kept, multis top-[[VocabMulti]]. */
+  private[graft] def unigramVocabOn(sample: DataFrame): DataFrame = {
+    val words = sample
+      .select(explode(nonEmptyWords(col("text"))).as("w"))
+    // every (start, len) substring per word occurrence, one pass
+    val subs = words.select(explode(flatten(
+      transform(sequence(lit(1), length(col("w"))), i =>
+        filter(
+          transform(sequence(lit(1), lit(MaxPiece)), l =>
+            when(i + l - lit(1) <= length(col("w")),
+              col("w").substr(i, l))),
+          p => p.isNotNull)))).as("piece"))
+    val counts = subs.groupBy("piece").agg(count(lit(1)).as("cnt"))
+    val singles = counts.filter(length(col("piece")) === 1)
+    val multis = counts.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(VocabMulti)
+    val vocab = singles.unionByName(multis)
+    // normalizer: T = Σ cnt over the SELECTED vocab (1-row broadcast)
+    val t = vocab.agg(sum("cnt").as("t"))
+    vocab.crossJoin(broadcast(t))
+      .select(col("piece"), col("cnt"),
+        intLog2(col("cnt")).as("weight"),
+        (intLog2(col("cnt")) - intLog2(col("t"))).cast("long").as("score"))
+  }
+
+  /** Stored vocabulary artifact — train-once / encode-everywhere,
+    * content-keyed like the BPE merge table. */
+  def unigramVocabPath(s: SparkSession, d: String): String = {
+    val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
+    graft.IndexStore.cachedDir(
+      s"unigram_vocab_v1_${fp}_${MaxPiece}_$VocabMulti") { tmp =>
+      unigramVocabOn(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0))
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** Best segmentation per distinct word: (w, np, segs, seg_score).
+    * `words` is a 1-column (w) frame of distinct words ≤
+    * [[WordLenCap]] chars; `vocab` carries (piece, score). All paths
+    * are enumerated through [[WordLenCap]] unrolled broadcast joins
+    * (complete paths pass through each step unchanged), then ONE
+    * window picks the global winner per word — the exact ordering the
+    * oracle replays. */
+  private[graft] def segmentWords(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val vb = broadcast(vocab.select(col("piece"), col("score").as("pscore")))
+    // LINEAR lineage: `active` references its predecessor exactly once
+    // per step and finished paths accumulate in a side union — a
+    // done ∪ stepped rewrite of one variable references it TWICE per
+    // step, doubling the logical plan per iteration (2^cap leaves;
+    // Catalyst analysis alone ran minutes at cap 12 before this shape)
+    var active = words
+      .select(col("w"), lit(0).as("pos"), lit(0L).as("score"),
+        lit(0).as("np"), lit("").as("segs"))
+    val finished = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (0 until WordLenCap).foreach { _ =>
+      finished += active.filter(col("pos") === length(col("w")))
+      active = active.filter(col("pos") < length(col("w")))
+        .join(vb,
+          col("piece") === col("w").substr(col("pos") + 1, length(col("piece"))))
+        .select(col("w"), (col("pos") + length(col("piece"))).as("pos"),
+          (col("score") + col("pscore")).as("score"),
+          (col("np") + 1).as("np"),
+          when(col("segs") === "", col("piece"))
+            .otherwise(concat(col("segs"), lit(" "), col("piece"))).as("segs"))
+    }
+    finished += active.filter(col("pos") === length(col("w")))
+    val win = Window.partitionBy("w")
+      .orderBy(col("score").desc, col("np").asc, col("segs").asc)
+    finished.reduce(_.unionByName(_))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") === 1)
+      .select(col("w"), col("np"), col("segs"), col("score").as("seg_score"))
+  }
+
+  /** `llm_unigram_vocab`: the trained piece table, ordered by
+    * (cnt desc, piece) — the train half of the family as a
+    * first-class verified key. */
+  val llmUnigramVocab: QFn = (s, d) =>
+    s.read.parquet(unigramVocabPath(s, d))
+      .select("piece", "cnt", "weight", "score")
+      .orderBy(col("cnt").desc, col("piece"))
+
+  /** `llm_unigram_encode`: full-corpus encode through the stored
+    * vocabulary. Per document: word count, total piece count, total
+    * integer-LM score, and the first word's piece sequence (the
+    * hash-visible segmentation witness). */
+  val llmUnigramEncode: QFn = (s, d) => {
+    val vocab = s.read.parquet(unigramVocabPath(s, d))
+    val docs = Tables.documents(s, d)
+    val tokens = docs.select(col("doc_id"),
+      explode(nonEmptyWords(col("text"))).as("w"))
+    val distinctWords = tokens.select("w").distinct()
+      .filter(length(col("w")) <= WordLenCap)
+    val seg = segmentWords(distinctWords, vocab)
+    val perDoc = tokens.join(broadcast(seg), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_pieces"),
+        sum(col("seg_score")).as("lm_score"))
+    // get() not element_at(): null-safe on a hypothetical empty doc
+    // under ANSI mode, matching the SQL's [1]-on-empty-list NULL
+    val firstSeg = docs
+      .select(col("doc_id"),
+        get(nonEmptyWords(col("text")), lit(0)).as("w"))
+      .join(broadcast(seg.select(col("w"), col("segs").as("seg_first"))), "w")
+      .select("doc_id", "seg_first")
+    perDoc.join(firstSeg, Seq("doc_id"), "left")
+      .select("doc_id", "n_words", "n_pieces", "lm_score", "seg_first")
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------- oracles
+
+  /** The vocab CTEs shared by both oracles: sample words → substring
+    * counts → singles ∪ top-multis → integer-log₂ scores. */
+  private def vocabCtes: String =
+    s"""sample AS (SELECT text FROM documents WHERE doc_id % 10 = 0),
+       wrds AS (
+         SELECT w FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM sample)
+         WHERE len(w) > 0),
+       subs AS (
+         SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece
+         FROM wrds,
+           unnest(range(1, len(w) + 1)) AS t1(i),
+           unnest(range(1, $MaxPiece + 1)) AS t2(l)
+         WHERE i + l - 1 <= len(w)),
+       cnts AS (SELECT piece, count(*) AS cnt FROM subs GROUP BY piece),
+       vocab0 AS (
+         SELECT piece, cnt FROM cnts WHERE len(piece) = 1
+         UNION ALL
+         SELECT piece, cnt FROM (
+           SELECT piece, cnt,
+             row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+           FROM cnts WHERE len(piece) > 1)
+         WHERE rk <= $VocabMulti),
+       tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM vocab0),
+       vocab AS MATERIALIZED (
+         SELECT piece, cnt,
+           CAST(length(printf('%b', cnt)) - 1 AS INT) AS weight,
+           CAST((length(printf('%b', cnt)) - 1)
+              - (length(printf('%b', t)) - 1) AS BIGINT) AS score
+         FROM vocab0, tt)"""
+
+  /** Unrolled all-paths segmentation CTEs over the distinct words of
+    * the full corpus, ending in `seg(w, np, segs, seg_score)`. */
+  private def segCtes: String = {
+    // AS MATERIALIZED: each p_i is referenced twice (pass-through +
+    // step) and vocab once per step — inlining would blow up 2^cap,
+    // the same hazard the Spark side avoids with linear lineage
+    val steps = (0 until WordLenCap).map { i =>
+      s"""p${i + 1} AS MATERIALIZED (
+           SELECT w, pos, score, np, segs FROM p$i WHERE pos = len(w)
+           UNION ALL
+           SELECT p$i.w, p$i.pos + len(piece), p$i.score + vocab.score,
+             p$i.np + 1,
+             CASE WHEN p$i.segs = '' THEN piece
+                  ELSE p$i.segs || ' ' || piece END
+           FROM p$i, vocab
+           WHERE p$i.pos < len(p$i.w)
+             AND substr(p$i.w, CAST(p$i.pos + 1 AS INT), len(piece)) = piece)"""
+    }.mkString(",\n       ")
+    s"""dw AS (
+         SELECT DISTINCT w FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         WHERE len(w) > 0 AND len(w) <= $WordLenCap),
+       p0 AS (
+         SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS np,
+           '' AS segs
+         FROM dw),
+       $steps,
+       seg AS (
+         SELECT w, np, segs, score AS seg_score FROM (
+           SELECT w, np, segs, score,
+             row_number() OVER (PARTITION BY w
+               ORDER BY score DESC, np ASC, segs ASC) AS rk
+           FROM p$WordLenCap WHERE pos = len(w))
+         WHERE rk = 1)"""
+  }
+
+  private def vocabOracleSql: String =
+    s"""WITH $vocabCtes
+       SELECT piece, cnt, weight, score FROM vocab
+       ORDER BY cnt DESC, piece"""
+
+  private def encodeOracleSql: String =
+    s"""WITH $vocabCtes,
+       $segCtes,
+       toks AS (
+         SELECT doc_id, w FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents)
+         WHERE len(w) > 0),
+       per_doc AS (
+         SELECT doc_id, count(*) AS n_words,
+           CAST(sum(np) AS BIGINT) AS n_pieces,
+           CAST(sum(seg_score) AS BIGINT) AS lm_score
+         FROM toks JOIN seg ON toks.w = seg.w
+         GROUP BY doc_id),
+       firsts AS (
+         SELECT doc_id, seg.segs AS seg_first
+         FROM (
+           SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> len(w) > 0)[1] AS w
+           FROM documents) f
+         JOIN seg ON f.w = seg.w)
+       SELECT p.doc_id, p.n_words, p.n_pieces, p.lm_score, f.seg_first
+       FROM per_doc p LEFT JOIN firsts f ON f.doc_id = p.doc_id
+       ORDER BY p.doc_id"""
+
+  val entries: Seq[(String, QFn)] = Seq(
+    "llm_unigram_vocab" -> llmUnigramVocab,
+    "llm_unigram_encode" -> llmUnigramEncode)
+
+  val oracles: Seq[(String, String)] = Seq(
+    "llm_unigram_vocab" -> vocabOracleSql,
+    "llm_unigram_encode" -> encodeOracleSql)
+}
