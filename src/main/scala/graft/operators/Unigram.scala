@@ -159,7 +159,13 @@ object Unigram {
       explode(nonEmptyWords(col("text"))).as("w"))
     val distinctWords = tokens.select("w").distinct()
       .filter(length(col("w")) <= WordLenCap)
-    val seg = segmentWords(distinctWords, vocab)
+    // materialize the word→segmentation table ONCE: it is
+    // vocabulary-bounded (31 rows here; bounded at any corpus size),
+    // but its logical plan is ~80 tiny broadcast joins (13 union
+    // branches × up to 12 steps) — lazily re-executing that for BOTH
+    // consumers below (token join + first-word join) doubled the
+    // key's wall on pure job-scheduling floor (measured 3.6 s → ~2 s)
+    val seg = segmentWords(distinctWords, vocab).localCheckpoint()
     val perDoc = tokens.join(broadcast(seg), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
