@@ -384,6 +384,11 @@ object Streaming {
       // (stream_join 5.6 -> 2.4 s); rate_vs_baseline 1.09 -> 0.73.
       // Safe to pin: checkpoints here are per-run throwaway, so no
       // cross-version checkpoint compat surface exists.
+      // Partition knee RE-MEASURED under v3 (don't retry): the r12
+      // 8→4 win was instance-commit-count driven, so v3's single
+      // instance could have moved the knee — it didn't: join family
+      // N=2 totals 13.2 s (4 parts) vs 15.4 s (2, CPU-bound) vs
+      // 19.0 s (8, per-store floor) — 4 stays optimal.
       "spark.sql.streaming.join.stateFormatVersion" -> "3",
       // every batch here is ~0.4 s of task-scheduling + state-store
       // floor, and watermark advancement after each data batch was
