@@ -27,3 +27,17 @@ merged = {**prev, **good}
 json.dump(dict(sorted(merged.items())), open(dst, "w"), indent=0)
 print(f"{dst}: {len(merged)} keys ({len(good)} refreshed from {src}, "
       f"sf={d.get('sf')})")
+
+# CPU medians (ms) land in a SIBLING file, not nested in the wall
+# baseline: Bench's dependency-free flat parser would collide nested
+# keys with the wall entries. Same merge rule as above.
+cpu = {k: v for k, v in (d.get("cpu_medians") or {}).items() if v is not None}
+if cpu:
+    dst_cpu = dst.replace(".json", "_cpu.json")
+    try:
+        prev_cpu = json.load(open(dst_cpu))
+    except (FileNotFoundError, json.JSONDecodeError):
+        prev_cpu = {}
+    merged_cpu = {**prev_cpu, **cpu}
+    json.dump(dict(sorted(merged_cpu.items())), open(dst_cpu, "w"), indent=0)
+    print(f"{dst_cpu}: {len(merged_cpu)} keys ({len(cpu)} refreshed)")
