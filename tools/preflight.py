@@ -5,7 +5,7 @@ Compares each <outDir>/<key> parquet against DuckDB executing
 oracle_sql.json on the same tables, mimicking the driver: sort columns
 by name, sort rows, exact value compare (NaN==NaN).
 """
-import duckdb, json, sys, os, hashlib
+import duckdb, inspect, json, sys, os, hashlib
 import numpy as np
 import pandas as pd
 
@@ -20,7 +20,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 # execution entirely, while any SQL edit or data regeneration re-runs
 # that key. The SPARK side is always re-read and re-compared — only
 # the oracle derivation is cached. Opt out: PREFLIGHT_NO_CACHE=1.
-CACHE_VERSION = "1"  # bump when norm() changes
+# The norm() recipe enters the key as a hash of its own source (r13
+# ADVICE: a hand-bumped version constant silently serves stale frames
+# when the bump is forgotten); CACHE_VERSION remains for changes the
+# source hash can't see (pickle format, fingerprint recipe).
+CACHE_VERSION = "2"
 
 def sf_fingerprint(sf: str) -> str:
     parts = []
@@ -80,6 +84,29 @@ def main():
     fp = sf_fingerprint(sf) if use_cache else ""
     if use_cache:
         os.makedirs(cache_dir, exist_ok=True)
+        # cache hygiene (r13 verdict #6): any SQL edit or testdata
+        # regeneration orphans the previous content key's pickle and
+        # nothing reclaimed them — bound the dir, oldest-first (a hit
+        # bumps mtime below, so live keys stay). Knob:
+        # PREFLIGHT_CACHE_MAX_MB (default 2048).
+        budget = int(os.environ.get("PREFLIGHT_CACHE_MAX_MB", "2048")) * 1048576
+        entries = []
+        for f in os.listdir(cache_dir):
+            try:
+                st = os.stat(f"{cache_dir}/{f}")
+                entries.append((st.st_mtime, st.st_size, f"{cache_dir}/{f}"))
+            except OSError:
+                pass
+        total = sum(e[1] for e in entries)
+        if total > budget:
+            for _, fsz, p in sorted(entries):
+                if total <= budget:
+                    break
+                try:
+                    os.remove(p)
+                    total -= fsz
+                except OSError:
+                    pass
     hits = misses = 0
     n_pass = n_fail = 0
     for name in sorted(oracle):
@@ -88,16 +115,26 @@ def main():
         sql = oracle[name]
         cpath = None
         if use_cache:
+            norm_fp = hashlib.sha256(
+                inspect.getsource(norm).encode()).hexdigest()[:12]
             ck = hashlib.sha256(
-                f"{CACHE_VERSION}|{duckdb.__version__}|{fp}|{sql}"
+                f"{CACHE_VERSION}|{norm_fp}|{duckdb.__version__}|{fp}|{sql}"
                 .encode()).hexdigest()[:32]
             cpath = f"{cache_dir}/{name}_{ck}.pkl"
         try:
             a = norm(con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df())
+            b = None
             if cpath and os.path.exists(cpath):
-                b = pd.read_pickle(cpath)
-                hits += 1
-            else:
+                # a corrupt / truncated / pandas-version-incompatible
+                # pickle is a cache MISS, not a verdict (r13 ADVICE: it
+                # used to fail the key) — recompute and overwrite
+                try:
+                    b = pd.read_pickle(cpath)
+                    hits += 1
+                    os.utime(cpath)  # LRU stamp for the hygiene sweep
+                except Exception:
+                    b = None
+            if b is None:
                 b = norm(con.sql(sql).df())
                 if cpath:
                     # atomic publish: a parallel preflight must never
