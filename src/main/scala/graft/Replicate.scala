@@ -45,6 +45,15 @@ object Replicate {
 
   /** Well above every real key in any sf (max observed: 600k). */
   val KeyStride = 10000000L
+  // hubSkew's hub identity (pmod(o_orderkey, 8)) and the ~30% hot
+  // slice (pmod(·, 10)) are computed on the ALREADY stride-shifted
+  // key, so the same 8 hubs / same slice span every replica ONLY while
+  // the stride is divisible by both — a future stride change must fail
+  // here, not silently fragment the hubs per replica and void the
+  // degree-skew rung (r13 ADVICE)
+  require(KeyStride % 40 == 0,
+    s"KeyStride $KeyStride must stay divisible by 40 (8·lcm with the " +
+      "%10 hot slice) or hubSkew's global-hub invariant breaks")
   /** events.user_id domain is 0..1499; stride keeps cohort (%10) mix. */
   val UserStride = 10000L
 
