@@ -51,10 +51,14 @@ object Unigram {
   /** Multi-char vocabulary budget (single chars ride for free). */
   val VocabMulti = 24
 
-  /** Hard cap on segmentable word length: the path enumeration
-    * unrolls this many steps, and [[segmentWords]] drops longer words
-    * (none exist in the corpus — UnigramSpec pins that the cap is
-    * slack, max observed len 8). */
+  /** Hard cap on EXHAUSTIVELY-ENUMERATED word length: the path
+    * enumeration unrolls this many steps. Words longer than the cap
+    * do not vanish (the r13 verdict's one latent wrong-answer path —
+    * an inner join used to silently drop them from every per-doc
+    * aggregate the moment a real corpus carried a 13-char word):
+    * [[segmentWords]] segments them by single-char decomposition,
+    * which is always expressible (every observed char is in vocab)
+    * and identical in both engines. */
   val WordLenCap = 12
 
   private def nonEmptyWords(text: Column): Column =
@@ -103,13 +107,48 @@ object Unigram {
   }
 
   /** Best segmentation per distinct word: (w, np, segs, seg_score).
-    * `words` is a 1-column (w) frame of distinct words ≤
-    * [[WordLenCap]] chars; `vocab` carries (piece, score). All paths
-    * are enumerated through [[WordLenCap]] unrolled broadcast joins
-    * (complete paths pass through each step unchanged), then ONE
-    * window picks the global winner per word — the exact ordering the
-    * oracle replays. */
-  private[graft] def segmentWords(words: DataFrame, vocab: DataFrame): DataFrame = {
+    * `words` is a 1-column (w) frame of distinct words of ANY length;
+    * `vocab` carries (piece, score). Words ≤ [[WordLenCap]] chars get
+    * the exhaustive enumeration ([[segmentEnumerated]]); longer words
+    * fall back to their single-char decomposition
+    * ([[segmentCharFallback]]) so they still contribute to every
+    * downstream aggregate (r14, closing the r13 verdict's latent
+    * wrong-answer path). In both branches a word containing a char
+    * unseen in the training sample has no valid segmentation and is
+    * dropped — the same contract, applied identically by the oracle. */
+  private[graft] def segmentWords(words: DataFrame, vocab: DataFrame): DataFrame =
+    segmentEnumerated(words.filter(length(col("w")) <= WordLenCap), vocab)
+      .unionByName(segmentCharFallback(
+        words.filter(length(col("w")) > WordLenCap), vocab))
+
+  /** Over-cap fallback: exactly one candidate path (the per-char
+    * split), so no win-order window is needed; the count guard drops
+    * words whose chars are not all in vocab, mirroring the
+    * enumeration's implicit drop of unsegmentable words. Cost is one
+    * broadcast join over (over-cap distinct words × their chars) —
+    * linear, no unrolling, corpus-size-independent like the main
+    * path. */
+  private def segmentCharFallback(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val vb = broadcast(vocab.filter(length(col("piece")) === 1)
+      .select(col("piece"), col("score").as("pscore")))
+    words
+      .select(col("w"), explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("w").substr(col("i"), lit(1)).as("piece"))
+      .join(vb, "piece")
+      .groupBy("w")
+      .agg(count(lit(1)).as("nm"), sum(col("pscore")).as("seg_score"))
+      .filter(col("nm") === length(col("w")))
+      .select(col("w"), length(col("w")).as("np"),
+        array_join(transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))), " ").as("segs"),
+        col("seg_score"))
+  }
+
+  /** All segmentation paths of in-cap words, enumerated through
+    * [[WordLenCap]] unrolled broadcast joins (complete paths pass
+    * through each step unchanged), then ONE window picks the global
+    * winner per word — the exact ordering the oracle replays. */
+  private def segmentEnumerated(words: DataFrame, vocab: DataFrame): DataFrame = {
     val vb = broadcast(vocab.select(col("piece"), col("score").as("pscore")))
     // LINEAR lineage: `active` references its predecessor exactly once
     // per step and finished paths accumulate in a side union — a
@@ -157,8 +196,10 @@ object Unigram {
     val docs = Tables.documents(s, d)
     val tokens = docs.select(col("doc_id"),
       explode(nonEmptyWords(col("text"))).as("w"))
+    // no length filter: over-cap words reach segmentWords and take the
+    // char-fallback branch there — filtering them out HERE is exactly
+    // the silent-drop bug the fallback exists to close
     val distinctWords = tokens.select("w").distinct()
-      .filter(length(col("w")) <= WordLenCap)
     // materialize the word→segmentation table ONCE: it is
     // vocabulary-bounded (31 rows here; bounded at any corpus size),
     // but its logical plan is ~80 tiny broadcast joins (13 union
@@ -234,22 +275,33 @@ object Unigram {
            WHERE p$i.pos < len(p$i.w)
              AND substr(p$i.w, CAST(p$i.pos + 1 AS INT), len(piece)) = piece)"""
     }.mkString(",\n       ")
-    s"""dw AS (
+    s"""dwall AS (
          SELECT DISTINCT w FROM (
            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-         WHERE len(w) > 0 AND len(w) <= $WordLenCap),
+         WHERE len(w) > 0),
+       dw AS (SELECT w FROM dwall WHERE len(w) <= $WordLenCap),
        p0 AS (
          SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS np,
            '' AS segs
          FROM dw),
        $steps,
-       seg AS (
+       seg_cap AS (
          SELECT w, np, segs, score AS seg_score FROM (
            SELECT w, np, segs, score,
              row_number() OVER (PARTITION BY w
                ORDER BY score DESC, np ASC, segs ASC) AS rk
            FROM p$WordLenCap WHERE pos = len(w))
-         WHERE rk = 1)"""
+         WHERE rk = 1),
+       oc AS (
+         SELECT c.w, CAST(len(c.w) AS INT) AS np,
+           array_to_string(string_split(c.w, ''), ' ') AS segs,
+           CAST(sum(v.score) AS BIGINT) AS seg_score
+         FROM (SELECT w, unnest(string_split(w, '')) AS piece
+               FROM dwall WHERE len(w) > $WordLenCap) c
+         JOIN vocab v ON v.piece = c.piece
+         GROUP BY c.w
+         HAVING count(*) = len(c.w)),
+       seg AS (SELECT * FROM seg_cap UNION ALL SELECT * FROM oc)"""
   }
 
   private def vocabOracleSql: String =

@@ -63,12 +63,48 @@ class UnigramSpec extends SparkTestBase {
       s"tie must resolve to fewer pieces: $got")
   }
 
-  test("the word-length cap is slack on the shipped corpus") {
-    val maxLen = Tables.documents(spark, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .agg(max(length(col("w")))).collect()(0).getInt(0)
-    assert(maxLen <= operators.Unigram.WordLenCap,
-      s"corpus word length $maxLen exceeds the enumeration cap — " +
-        "raise WordLenCap (cost is tribonacci in length) or pre-split")
+  test("over-cap words segment by per-char fallback, not silently vanish") {
+    // 16 chars > WordLenCap=12: must come back as its char split with
+    // the summed single-char scores; the in-cap word still enumerates
+    val big = "aaaaaaaaaaaaaaab"
+    assert(big.length > operators.Unigram.WordLenCap)
+    val words = Seq("abab", big).toDF("w")
+    val vocab = Seq(("a", -2L), ("b", -2L), ("ab", -1L))
+      .toDF("piece", "score")
+    val got = operators.Unigram.segmentWords(words, vocab)
+      .collect().map(r => r.getAs[String]("w") ->
+        ((r.getAs[Int]("np"), r.getAs[String]("segs"),
+          r.getAs[Long]("seg_score")))).toMap
+    assert(got("abab") == ((2, "ab ab", -2L)), got.toString)
+    assert(got(big) == ((16, big.toSeq.mkString(" "), -32L)), got.toString)
+    // a char with no vocab entry makes the word unsegmentable in the
+    // fallback too — dropped, same contract as the enumeration branch
+    val alien = Seq("a" * 13 + "z").toDF("w")
+    assert(operators.Unigram.segmentWords(alien, vocab).count() == 0)
+  }
+
+  test("a planted >cap word contributes to the per-doc aggregates end-to-end") {
+    // production key over a synthetic documents table: doc 0 is the
+    // 10% training sample ("aa bb ab" → vocab a:-2 b:-2 aa/bb/ab:-3,
+    // T=9); doc 1 carries a 16-char over-cap word. Hand-checked:
+    //   "aaaaaaaaaaaaaaab" → 16 pieces, 16·(-2) = -32 (fallback)
+    //   "ab"               → 1 piece, -3 (enumerated)
+    val dir = java.nio.file.Files.createTempDirectory("unigram_e2e").toString
+    val big = "aaaaaaaaaaaaaaab"
+    Seq((0L, "aa bb ab", "en", "src0", 8L),
+        (1L, s"$big ab", "en", "src1", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("llm_unigram_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_words") == 2L, d1.toString)
+    assert(d1.getAs[Long]("n_pieces") == 17L, d1.toString)   // 16 + 1
+    assert(d1.getAs[Long]("lm_score") == -35L, d1.toString)  // -32 + -3
+    assert(d1.getAs[String]("seg_first") == big.toSeq.mkString(" "),
+      d1.toString)
+    val d0 = out(0L)
+    assert(d0.getAs[Long]("n_pieces") == 3L && d0.getAs[Long]("lm_score") == -9L
+      && d0.getAs[String]("seg_first") == "aa", d0.toString)
   }
 }
