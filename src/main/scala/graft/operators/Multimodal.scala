@@ -363,7 +363,7 @@ object Multimodal {
   /** (doc_id, ws) 32-bit hashes of a documents-shaped frame — the
     * decode kernel of [[mmPhashNeardup]], factored for the stored
     * index builder and the delta pass. */
-  private def narrowHashes(docs: DataFrame): DataFrame = {
+  private[graft] def narrowHashes(docs: DataFrame): DataFrame = {
     val hashSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("ws", ArrayType(LongType, containsNull = false))))
@@ -384,14 +384,28 @@ object Multimodal {
   def phashIndexPath(s: SparkSession, d: String): String = {
     val fp = graft.IndexStore.fingerprint(s"$d/documents.parquet")
     graft.IndexStore.cachedDir(s"phash_band_index_v1_$fp") { tmp =>
-      val hashes = narrowHashes(
-        Tables.documents(s, d).filter(srcNum < PhashSplit))
-      hashes.write.mode("overwrite").parquet(s"$tmp/hashes")
-      hashes.select(col("doc_id"),
-        posexplode(array(bandColumns(narrowBands): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-        .write.mode("overwrite").parquet(s"$tmp/bands")
+      buildPhashIndex(
+        Tables.documents(s, d).filter(srcNum < PhashSplit),
+        tmp, narrowHashes, narrowBands)
     }
+  }
+
+  /** Index builder factored over the (hash kernel, band layout)
+    * operating point — the registered key builds the 32-bit/6-band
+    * index its oracle replays; the ≥100k distinct-payload scale probe
+    * (PhashScaleSpec) builds the 128-bit/21-22-bit-band index the
+    * [[mmPhashNeardup]] scaladoc prescribes for large corpora through
+    * THIS SAME code, so the scale evidence covers the production
+    * builder, not a spec-local copy (the r11 ADVICE rule). */
+  private[graft] def buildPhashIndex(docs: DataFrame, tmp: String,
+      hashKernel: DataFrame => DataFrame,
+      bands: Seq[(Int, Int, Int)]): Unit = {
+    val hashes = hashKernel(docs)
+    hashes.write.mode("overwrite").parquet(s"$tmp/hashes")
+    hashes.select(col("doc_id"),
+      posexplode(array(bandColumns(bands): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
+      .write.mode("overwrite").parquet(s"$tmp/bands")
   }
 
   /** Verdict kernel: delta hashes banded against a base band index,
@@ -402,9 +416,10 @@ object Multimodal {
     * spec's one-shot comparator share the decision logic. */
   private[graft] def phashIncrementalOn(
       deltaDocs: DataFrame, deltaHashes: DataFrame,
-      baseBands: DataFrame, baseHashes: DataFrame): DataFrame = {
+      baseBands: DataFrame, baseHashes: DataFrame,
+      bands: Seq[(Int, Int, Int)] = narrowBands): DataFrame = {
     val deltaBands = deltaHashes.select(col("doc_id"),
-      posexplode(array(bandColumns(narrowBands): _*)))
+      posexplode(array(bandColumns(bands): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
     def verify(cands: DataFrame, otherHashes: DataFrame): DataFrame =
       cands

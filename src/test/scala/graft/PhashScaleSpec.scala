@@ -29,18 +29,18 @@ class PhashScaleSpec extends SparkTestBase {
   private val N: Int =
     sys.env.getOrElse("SPARK_GRAFT_PHASH_PROBE_N", "50000").toInt
 
-  /** N distinct 256-char printable-ASCII payloads, generated
+  /** n distinct 256-char printable-ASCII payloads, generated
     * distributedly (one splitmix64 stream per doc_id; generator lives
     * in the companion so the closure doesn't capture the suite). */
-  private def syntheticDocs =
-    spark.range(N.toLong).toDF("doc_id")
+  private def syntheticDocs(n: Int = N) =
+    spark.range(n.toLong).toDF("doc_id")
       .repartition(8)
       .mapPartitions(PhashScaleSpec.gen)(
         RowEncoder.encoderFor(PhashScaleSpec.docSchema))
 
   test(s"wide-band phash probe: bounded buckets and ~linear candidates on $N distinct payloads") {
     val t0 = System.nanoTime()
-    val hashes = Multimodal.wideHashes(syntheticDocs)
+    val hashes = Multimodal.wideHashes(syntheticDocs())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // band bucket-size distribution — the quantity the band-width
@@ -78,6 +78,92 @@ class PhashScaleSpec extends SparkTestBase {
       // 128-bit space are vanishingly rare — near-zero pairs expected
       assert(nPairs < 100, s"$nPairs pairs among random payloads")
     } finally hashes.unpersist()
+  }
+
+  // the ingestion rung wants a ≥100k BASE regardless of the batch
+  // probe's N knob (the r13 verdict's number for the media leg)
+  private val M: Int = math.max(N * 2, 101000)
+
+  test(s"ingestion leg: stored-index delta check stays delta-proportional at $M distinct payloads") {
+    // The media half of the ingestion triptych at scale (r13 verdict
+    // #4): a ≥100k distinct-payload BASE index built by the PRODUCTION
+    // builder (Multimodal.buildPhashIndex) at the wide operating point
+    // its own scaladoc prescribes for large corpora, then a ~1% delta
+    // batch (its OWN table, the daily-ingest shape — the delta check
+    // must never need to scan base documents to find its input)
+    // through the PRODUCTION verdict kernel (phashIncrementalOn).
+    // Asserts the two claims the 100 TB story rests on: candidate
+    // volume bounded (banding, not all-pairs) and the check's wall
+    // proportional to the DELTA, not the base — measured directly by
+    // running the SAME delta against a 10k-doc and a 100k-doc stored
+    // index: a check that re-decoded or re-joined the base corpus
+    // would scale ~10× between the rungs; a delta-proportional one
+    // rides its scheduling floor.
+    val dir = java.nio.file.Files.createTempDirectory("phash_incr_probe").toString
+    val baseN = M - 1000
+    val corpus = syntheticDocs(M)
+      .withColumn("lang", lit("en"))
+      .withColumn("source",
+        when(col("doc_id") < baseN,
+          concat(lit("src"), pmod(col("doc_id"), lit(16))))
+          .otherwise(lit("src16")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    corpus.filter(col("doc_id") < baseN)
+      .write.mode("overwrite").parquet(s"$dir/base.parquet")
+    corpus.filter(col("doc_id") >= baseN)
+      .write.mode("overwrite").parquet(s"$dir/delta.parquet")
+    val base = spark.read.parquet(s"$dir/base.parquet")
+    val delta = spark.read.parquet(s"$dir/delta.parquet")
+    val deltaN = delta.count()
+    def buildIndex(docs: org.apache.spark.sql.DataFrame, path: String): Double = {
+      val t0 = System.nanoTime()
+      Multimodal.buildPhashIndex(docs, path,
+        Multimodal.wideHashes, Multimodal.phashWideBands)
+      (System.nanoTime() - t0) / 1e9
+    }
+    def deltaCheck(idx: String): (Double, Array[org.apache.spark.sql.Row]) = {
+      val t0 = System.nanoTime()
+      val v = Multimodal.phashIncrementalOn(
+        delta, Multimodal.wideHashes(delta),
+        spark.read.parquet(s"$idx/bands"), spark.read.parquet(s"$idx/hashes"),
+        Multimodal.phashWideBands).collect()
+      ((System.nanoTime() - t0) / 1e9, v)
+    }
+    // small rung first: its run also warms the JIT, so any residual
+    // warm-up bias makes the LARGE rung look faster — the conservative
+    // direction for the ratio assertion below
+    val wallIdxSmall = buildIndex(base.filter(col("doc_id") < baseN / 10),
+      s"$dir/idx_small")
+    val (wallSmall, _) = deltaCheck(s"$dir/idx_small")
+    val wallIdxFull = buildIndex(base, s"$dir/idx_full")
+    val (wallFull, verdict) = deltaCheck(s"$dir/idx_full")
+    // candidate volume the full-rung check faces: delta band rows
+    // against the stored base band index (the kernel's candBase join)
+    val cands = Multimodal.wideHashes(delta).select(col("doc_id"),
+      posexplode(array(Multimodal.bandColumns(Multimodal.phashWideBands): _*)))
+      .join(spark.read.parquet(s"$dir/idx_full/bands").as("y"),
+        col("pos") === col("y.band") && col("col") === col("y.bval"))
+      .count()
+    info(f"base $baseN%d + delta $deltaN%d: index ${wallIdxFull}%.1f s " +
+      f"(10%% rung ${wallIdxSmall}%.1f s); delta check ${wallFull}%.1f s vs " +
+      f"${wallSmall}%.1f s at 10%% base; $cands%d base candidates")
+    assert(verdict.length == deltaN,
+      s"verdict rows ${verdict.length} != delta docs $deltaN — docs lost")
+    // distinct random payloads: virtually every delta doc is kept
+    assert(verdict.count(_.getAs[Int]("kept") == 0) < 100,
+      "random distinct payloads produced mass near-dups — banding broken")
+    // bounded candidates: uniform expectation is deltaN·6·(baseN/2²¹)
+    // ≈ 0.3/doc at a 100k base; 20/doc admits heavy skew without
+    // admitting the all-pairs collapse (~baseN per delta doc)
+    assert(cands < 20L * deltaN,
+      s"candidate volume $cands superlinear for delta $deltaN")
+    // the sublinearity claim itself: 10× the base, ~same check wall.
+    // A base-proportional check reads ~10×; 2.5× admits scheduling
+    // noise on a floor-dominated few-second wall without admitting
+    // base-proportional work
+    assert(wallFull < 2.5 * wallSmall + 1.0,
+      f"delta check ${wallFull}%.1f s at full base vs ${wallSmall}%.1f s " +
+        "at 10% base — the check scales with the BASE, not the delta")
   }
 }
 
