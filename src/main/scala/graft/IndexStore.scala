@@ -69,7 +69,7 @@ object IndexStore {
     * the oracle'd exact-mode IVF key stays green off either path. */
   def cached(name: String)(train: => Array[Array[Double]]): Array[Array[Double]] = {
     val target = Paths.get(root, name + ".idx")
-    if (Files.exists(target)) return parse(Files.readString(target))
+    if (Files.exists(target)) { touch(target); return parse(Files.readString(target)) }
     val result = train
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(root, s"$name.tmp.$uniqueSuffix")
@@ -78,6 +78,7 @@ object IndexStore {
     catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.deleteIfExists(tmp) // another JVM published first — same content
     }
+    sweep()
     result
   }
 
@@ -96,7 +97,7 @@ object IndexStore {
     * transparently, so the builder receives the tmp path explicitly. */
   def cachedDir(name: String)(build: String => Unit): String = {
     val target = Paths.get(root, name)
-    if (Files.exists(target)) return target.toString
+    if (Files.exists(target)) { touch(target); return target.toString }
     Files.createDirectories(Paths.get(root))
     val tmp = Paths.get(root, s"$name.tmp.$uniqueSuffix")
     build(tmp.toString)
@@ -113,8 +114,68 @@ object IndexStore {
       case e: java.nio.file.FileSystemException if Files.exists(target) =>
         deleteRecursively(tmp)
     }
+    sweep()
     target.toString
   }
+
+  /** Size budget for the artifact root — the hygiene knob (r13
+    * verdict #6). Default 16 GiB; override with
+    * SPARK_GRAFT_INDEX_MAX_BYTES. */
+  def maxBytes: Long = sys.env.get("SPARK_GRAFT_INDEX_MAX_BYTES")
+    .map(_.toLong).getOrElse(16L << 30)
+
+  /** An entry used more recently than this is never swept — a
+    * concurrent JVM may be mid-read, and every hit re-bumps its
+    * mtime ([[touch]]) so a genuinely in-use artifact can't age into
+    * eligibility. */
+  private val MinIdleMs = 6L * 3600 * 1000
+
+  /** Best-effort last-use stamp; hygiene must never fail a read. */
+  private def touch(p: Path): Unit =
+    try Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Exception => () }
+
+  /** Size-bounded LRU sweep (r13 verdict #6): content-keyed artifacts
+    * accumulate across rounds — every testdata regeneration or
+    * version-tag bump orphans the previous key's banding indexes,
+    * phash indexes, unigram vocabs, IVF layouts — and nothing
+    * reclaimed them, so a long-lived machine eventually serves ENOSPC
+    * mid-bench. Runs after every publish (the only moment the root
+    * grows): one listing, and only when the root exceeds the budget
+    * does it delete least-recently-USED entries (mtime = last use,
+    * maintained by [[touch]] on every hit) until back under — never
+    * an entry younger than `minIdleMs`, which also ages out stale
+    * `.tmp.*` leftovers from crashed builders. Best-effort by
+    * contract: any filesystem race (another JVM sweeping the same
+    * entry) is swallowed — the sweep exists to free space, not to
+    * gate correctness. */
+  private[graft] def sweep(rootDir: Path = Paths.get(root),
+      budget: Long = maxBytes, minIdleMs: Long = MinIdleMs,
+      now: Long = System.currentTimeMillis()): Unit = try {
+    if (!Files.isDirectory(rootDir)) return
+    def size(p: Path): Long =
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.map(size).sum finally s.close()
+      } else try Files.size(p) catch { case _: Exception => 0L }
+    val entries = {
+      val s = Files.list(rootDir)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    val sized = entries.map { p =>
+      (p, size(p),
+        try Files.getLastModifiedTime(p).toMillis catch { case _: Exception => now })
+    }
+    var total = sized.map(_._2).sum
+    if (total <= budget) return
+    sized.sortBy(_._3).foreach { case (p, sz, mt) =>
+      if (total > budget && now - mt > minIdleMs) {
+        try { deleteRecursively(p); total -= sz }
+        catch { case _: Exception => () }
+      }
+    }
+  } catch { case _: Exception => () }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) {

@@ -97,6 +97,58 @@ class IndexStoreSpec extends SparkTestBase {
       "non-parquet sidecar must not affect the fingerprint")
   }
 
+  test("sweep: LRU over budget; recent/in-use entries and under-budget roots untouched") {
+    val rootDir = Files.createTempDirectory("graft_isspec_sweep")
+    val now = System.currentTimeMillis()
+    val H = 3600 * 1000L
+    def mk(name: String, bytes: Int, ageMs: Long): java.nio.file.Path = {
+      val d = rootDir.resolve(name)
+      Files.createDirectories(d)
+      Files.write(d.resolve("part.parquet"), Array.fill[Byte](bytes)(1))
+      // the root entry's mtime is the last-use stamp touch() maintains
+      Files.setLastModifiedTime(d,
+        java.nio.file.attribute.FileTime.fromMillis(now - ageMs))
+      d
+    }
+    val staleTmp = mk("idx_d.tmp.123", 1000, 200 * H) // crashed builder
+    val oldest = mk("idx_a", 1000, 100 * H)
+    val older = mk("idx_b", 1000, 50 * H)
+    val fresh = mk("idx_c", 1000, 0L)
+    // under budget: sweep is a no-op regardless of age
+    IndexStore.sweep(rootDir, budget = 1L << 20, minIdleMs = 6 * H, now = now)
+    assert(Seq(staleTmp, oldest, older, fresh).forall(Files.exists(_)),
+      "under-budget sweep must not delete anything")
+    // budget 2048 over a ~4000-byte root: LRU order evicts the stale
+    // tmp leftover then the oldest artifact, and stops once under
+    IndexStore.sweep(rootDir, budget = 2048, minIdleMs = 6 * H, now = now)
+    assert(!Files.exists(staleTmp), "stale .tmp leftover must be swept first")
+    assert(!Files.exists(oldest), "LRU artifact must be swept")
+    assert(Files.exists(older) && Files.exists(fresh),
+      "sweep must stop once under budget")
+    // still over a tiny budget: the idle entry goes, but the fresh
+    // (possibly mid-read by another JVM) entry survives even though
+    // the root stays over — safety beats the budget
+    IndexStore.sweep(rootDir, budget = 500, minIdleMs = 6 * H, now = now)
+    assert(!Files.exists(older))
+    assert(Files.exists(fresh),
+      "an entry used within minIdleMs must never be swept")
+  }
+
+  test("cachedDir hit bumps the last-use stamp the sweep orders on") {
+    val name = s"spec_touch_${System.nanoTime()}"
+    val path = IndexStore.cachedDir(name) { tmp =>
+      Files.createDirectories(Paths.get(tmp))
+      Files.writeString(Paths.get(tmp, "payload.txt"), "X")
+    }
+    val past = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 30L * 24 * 3600 * 1000)
+    Files.setLastModifiedTime(Paths.get(path), past)
+    IndexStore.cachedDir(name)(_ => fail("hit must not rebuild"))
+    val bumped = Files.getLastModifiedTime(Paths.get(path)).toMillis
+    assert(bumped > past.toMillis + 1000,
+      "a cache hit must refresh the artifact's LRU stamp")
+  }
+
   test("etl_index_store operator: contract booleans true, data half matches direct aggregate") {
     val df = operators.IndexStoreOp.etlIndexStore(spark, sf)
     val rows = df.collect()
