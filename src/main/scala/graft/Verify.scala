@@ -14,6 +14,13 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // throwaway scratch (shuffle files, RocksDB state working dirs)
+      // on the RAM disk — /tmp is a real ext4 disk here and RocksDB
+      // commit fsyncs against it were the stream family's largest
+      // fixed cost (see graft.scratchLocalDir)
+      .config("spark.local.dir", scratchLocalDir)
+      .config("spark.sql.streaming.stateStore.rocksdb" +
+        ".checkpointFileChecksumEnabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // Tables.loadEvents probes the footer for the ts unit; this conf
       // only matters if the probe finds timestamp[ns] (must be set at
