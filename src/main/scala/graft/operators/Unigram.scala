@@ -1,9 +1,11 @@
 package graft.operators
 
 import graft.{QFn, Tables}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Unigram-LM (SentencePiece-shaped) tokenizer — the second tokenizer
   * family next to BPE (r12 verdict "what's missing" #3): BPE composes
@@ -144,6 +146,83 @@ object Unigram {
         col("seg_score"))
   }
 
+  /** Exact-equivalent of [[segmentWords]] as ONE distributed job (r13
+    * verdict #5): the relational form's ~80 tiny broadcast joins (13
+    * union branches × up to 12 unrolled steps) cost pure
+    * job-scheduling floor — the data is vocabulary-bounded at any
+    * corpus size, so the work per word is trivial and the wall was
+    * all stage launch. Here the piece table (singles + [[VocabMulti]]
+    * multis — bounded by CONTRACT, the same driver-state class as the
+    * BPE merge-table collect) is collected once and closed over, and
+    * a `mapPartitions` enumerator walks the identical path space per
+    * word with the identical (score DESC, np ASC, segs ASC) winner
+    * order and the identical over-cap per-char fallback —
+    * UnigramSpec pins output equality against the relational form,
+    * which remains the shape the DuckDB oracle replays. At 100 TB
+    * both forms broadcast the same bounded tables; this one just
+    * stops paying ~80 stage launches for 31 rows of work. */
+  private[graft] def segmentWordsLocal(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val vmap: Map[String, Long] = vocab.select("piece", "score").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val schema = StructType(Seq(
+      StructField("w", StringType), StructField("np", IntegerType),
+      StructField("segs", StringType), StructField("seg_score", LongType)))
+    words.select("w").mapPartitions { it =>
+      it.flatMap { r =>
+        val w = r.getString(0)
+        bestSeg(w, vmap).map { case (np, segs, sc) => Row(w, np, segs, sc) }
+      }
+    }(RowEncoder.encoderFor(schema))
+  }
+
+  /** Best segmentation of one word under the global winner order, or
+    * None when some needed piece is absent from the vocab — the same
+    * drop contract as the joins. Exhaustive like the relational form
+    * (≤ tetranacci(len) ≈ 2k paths at the cap), NOT a Viterbi DP:
+    * per-position pruning would have to re-derive the global
+    * tie-break, and boundedness comes from [[WordLenCap]] anyway. */
+  private[graft] def bestSeg(w: String,
+      vocab: Map[String, Long]): Option[(Int, String, Long)] = {
+    if (w.length > WordLenCap) {
+      val sb = new StringBuilder
+      var score = 0L
+      var i = 0
+      while (i < w.length) {
+        vocab.get(w.substring(i, i + 1)) match {
+          case Some(s) =>
+            score += s
+            if (i > 0) sb.append(' ')
+            sb.append(w.charAt(i))
+          case None => return None
+        }
+        i += 1
+      }
+      Some((w.length, sb.toString, score))
+    } else {
+      var best: (Long, Int, String) = null
+      def rec(pos: Int, score: Long, np: Int, segs: String): Unit =
+        if (pos == w.length) {
+          val better = best == null || score > best._1 ||
+            (score == best._1 && (np < best._2 ||
+              (np == best._2 && segs < best._3)))
+          if (better) best = (score, np, segs)
+        } else {
+          var l = 1
+          val maxL = math.min(MaxPiece, w.length - pos)
+          while (l <= maxL) {
+            val p = w.substring(pos, pos + l)
+            vocab.get(p).foreach { s =>
+              rec(pos + l, score + s, np + 1,
+                if (segs.isEmpty) p else segs + " " + p)
+            }
+            l += 1
+          }
+        }
+      rec(0, 0L, 0, "")
+      Option(best).map { case (sc, np, segs) => (np, segs, sc) }
+    }
+  }
+
   /** All segmentation paths of in-cap words, enumerated through
     * [[WordLenCap]] unrolled broadcast joins (complete paths pass
     * through each step unchanged), then ONE window picks the global
@@ -201,12 +280,18 @@ object Unigram {
     // the silent-drop bug the fallback exists to close
     val distinctWords = tokens.select("w").distinct()
     // materialize the word→segmentation table ONCE: it is
-    // vocabulary-bounded (31 rows here; bounded at any corpus size),
-    // but its logical plan is ~80 tiny broadcast joins (13 union
-    // branches × up to 12 steps) — lazily re-executing that for BOTH
-    // consumers below (token join + first-word join) doubled the
-    // key's wall on pure job-scheduling floor (measured 3.6 s → ~2 s)
-    val seg = segmentWords(distinctWords, vocab).localCheckpoint()
+    // vocabulary-bounded (31 rows here; bounded at any corpus size)
+    // and has TWO consumers below (token join + first-word join).
+    // Default path is the single-job local enumerator; the relational
+    // form (the oracle's shape; ~80 tiny broadcast joins of pure
+    // scheduling floor — r13 measured 3.6 → 2.2 s just from
+    // checkpointing it once) stays selectable for A/B and is pinned
+    // output-equal by UnigramSpec
+    val segFn =
+      if (sys.env.get("SPARK_GRAFT_UNIGRAM_SEG").contains("relational"))
+        segmentWords _
+      else segmentWordsLocal _
+    val seg = segFn(distinctWords, vocab).localCheckpoint()
     val perDoc = tokens.join(broadcast(seg), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),

@@ -83,6 +83,26 @@ class UnigramSpec extends SparkTestBase {
     assert(operators.Unigram.segmentWords(alien, vocab).count() == 0)
   }
 
+  test("local path enumerator == relational enumeration (the oracle's shape)") {
+    // the default single-job enumerator must be OUTPUT-IDENTICAL to
+    // the relational form the DuckDB oracle replays — over every real
+    // corpus word, a planted over-cap word, and a word with an
+    // un-vocabed char (both must drop it)
+    import spark.implicits._
+    val vocab = spark.read.parquet(operators.Unigram.unigramVocabPath(spark, d))
+    val words = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .union(Seq("a" * 15 + "b", "ÿ" * 13).toDF("w"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1),
+        r.getString(2), r.getLong(3))).sortBy(_._1).toSeq
+    val rel = canon(operators.Unigram.segmentWords(words, vocab))
+    val loc = canon(operators.Unigram.segmentWordsLocal(words, vocab))
+    assert(rel.nonEmpty && rel == loc,
+      "local enumerator diverged from the relational (oracle) form")
+  }
+
   test("a planted >cap word contributes to the per-doc aggregates end-to-end") {
     // production key over a synthetic documents table: doc 0 is the
     // 10% training sample ("aa bb ab" → vocab a:-2 b:-2 aa/bb/ab:-3,
