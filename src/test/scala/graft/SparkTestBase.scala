@@ -38,6 +38,12 @@ object SparkTestBase {
       .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
+      // same throwaway-scratch environment as the Bench/Verify mains
+      // (r14): RocksDB state working dirs on this box's ext4 /tmp were
+      // the streaming suites' fixed cost too
+      .config("spark.local.dir", graft.scratchLocalDir)
+      .config("spark.sql.streaming.stateStore.rocksdb" +
+        ".checkpointFileChecksumEnabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet timestamp[ns] — see Tables.loadEvents
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
