@@ -533,6 +533,8 @@ object ShuffleBudgets {
     // same pipeline at the 128-bit operating point — same two
     // exchanges (band self-join + pair distinct)
     "mm_phash_wide" -> 2,
+    // (band,bval) partial-agg exchange + band re-agg + output sort
+    "mm_phash_band_stats" -> 3,
     "mm_modality_dispatch" -> 1,
     "project_arith" -> 1,
     "q10_returned_items" -> 1,
