@@ -309,8 +309,32 @@ object Streaming {
     val shm = new java.io.File("/dev/shm")
     val root = if (shm.isDirectory && shm.canWrite) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
+    sweepStaleCkpts(root)
     s"$root/graft_ckpt_$tag"
   }
+
+  /** Stale-checkpoint sweep (r14, same hygiene class as
+    * IndexStore.sweep): runStream deletes ITS checkpoint after each
+    * query, but the resume-contract keys (`stream_file_source`,
+    * `stream_incremental_resume`, foreachBatch) key theirs by
+    * APPLICATION id — the next JVM's pre-start clear can't reach the
+    * previous JVM's dirs, and hundreds of graft_ckpt_* dirs had
+    * accumulated on the RAM disk. Once per JVM, best-effort delete
+    * sibling graft_ckpt_* entries untouched for 6+ hours — a live
+    * concurrent JVM's checkpoints are necessarily younger (every
+    * batch commit rewrites inside them). */
+  private val ckptSwept = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def sweepStaleCkpts(root: String): Unit =
+    if (ckptSwept.compareAndSet(false, true)) try {
+      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft_ckpt_") &&
+          f.lastModified() < cutoff)
+        .foreach { f =>
+          try new scala.reflect.io.Directory(f).deleteRecursively()
+          catch { case _: Throwable => () }
+        }
+    } catch { case _: Throwable => () }
 
   /** Replay events through `build`, return the materialized sink.
     * All queries run on the RocksDB state store provider — the
