@@ -204,7 +204,7 @@ object Unigram {
         if (pos == w.length) {
           val better = best == null || score > best._1 ||
             (score == best._1 && (np < best._2 ||
-              (np == best._2 && segs < best._3)))
+              (np == best._2 && u8Less(segs, best._3))))
           if (better) best = (score, np, segs)
         } else {
           var l = 1
@@ -221,6 +221,27 @@ object Unigram {
       rec(0, 0L, 0, "")
       Option(best).map { case (sc, np, segs) => (np, segs, sc) }
     }
+  }
+
+  /** Lexicographic less-than in CODE-POINT (= UTF-8 byte) order — the
+    * order Spark's string ASC (UTF8String bytes) and DuckDB's binary
+    * collation both use. Plain Java `String` comparison orders by
+    * UTF-16 code UNITS, which ranks supplementary-plane characters
+    * (surrogate pairs, e.g. emoji) BEFORE U+E000..U+FFFF. For TODAY'S
+    * comparison the divergence is provably unreachable — two
+    * segmentations of the SAME word first differ at a
+    * space-vs-word-char position, and space is minimal in both
+    * orders — but the winner order is a cross-engine CONTRACT, so the
+    * local enumerator implements the contract order rather than
+    * leaning on that two-step argument surviving future edits. */
+  private def u8Less(a: String, b: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
   }
 
   /** All segmentation paths of in-cap words, enumerated through
