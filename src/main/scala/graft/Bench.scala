@@ -19,18 +19,16 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpusInt.toString)
-      // throwaway scratch (shuffle files, RocksDB state working dirs)
-      // on the RAM disk: /tmp is ext4 here, and RocksDB commit fsyncs
-      // against it were the stream family's largest remaining fixed
-      // cost — stream_join warm 5.4 → 3.4 s from the local.dir move
-      // alone, 3.1 s with checkpoint checksums off (worthless on a
-      // throwaway tmpfs checkpoint); changelog-off was the measured
-      // NEGATIVE (3.3 s) so the production changelog mode stays
-      // (r13 verdict #3 A/B, StreamProf). EXTRA_CONF below can still
-      // override both for future A/Bs.
-      .config("spark.local.dir", scratchLocalDir)
-      .config("spark.sql.streaming.stateStore.rocksdb" +
-        ".checkpointFileChecksumEnabled", "false")
+    // throwaway scratch (shuffle files, RocksDB state working dirs)
+    // on the RAM disk: /tmp is ext4 here, and RocksDB commit fsyncs
+    // against it were the stream family's largest remaining fixed
+    // cost — stream_join warm 5.4 → 3.4 s from the local.dir move
+    // alone, 3.1 s with checkpoint checksums off (worthless on a
+    // throwaway tmpfs checkpoint); changelog-off was the measured
+    // NEGATIVE (3.3 s) so the production changelog mode stays
+    // (r13 verdict #3 A/B, StreamProf). EXTRA_CONF below can still
+    // override both for future A/Bs.
+    scratchConfs.foreach { case (k, v) => builder.config(k, v) }
     extraConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder
       // same tz as Verify: interval/bucket arithmetic on NTZ timestamps

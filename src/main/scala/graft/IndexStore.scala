@@ -171,8 +171,18 @@ object IndexStore {
     if (total <= budget) return
     sized.sortBy(_._3).foreach { case (p, sz, mt) =>
       if (total > budget && now - mt > minIdleMs) {
-        try { deleteRecursively(p); total -= sz }
-        catch { case _: Exception => () }
+        // re-stat immediately before deleting: a concurrent JVM may
+        // have HIT this entry (touch) after our listing and be
+        // mid-read — the fresh mtime vetoes the eviction. Shrinks the
+        // touch→delete race from the whole sweep to microseconds; the
+        // residual window is accepted (the reader retriggers a
+        // rebuild on its next access, and artifacts are pure caches)
+        val mtNow =
+          try Files.getLastModifiedTime(p).toMillis catch { case _: Exception => now }
+        if (now - mtNow > minIdleMs) {
+          try { deleteRecursively(p); total -= sz }
+          catch { case _: Exception => () }
+        }
       }
     }
   } catch { case _: Exception => () }

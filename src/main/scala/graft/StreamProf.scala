@@ -13,12 +13,11 @@ object StreamProf {
     val key = if (args.length > 1) args(1) else "stream_tumbling"
     val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      // same scratch environment as Bench (profiles must measure the
-      // bench's configuration, not a different disk)
-      .config("spark.local.dir", scratchLocalDir)
-      .config("spark.sql.streaming.stateStore.rocksdb" +
-        ".checkpointFileChecksumEnabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+    // same scratch environment as Bench (profiles must measure the
+    // bench's configuration, not a different disk)
+    scratchConfs.foreach { case (k, v) => builder.config(k, v) }
+    builder
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.ui.enabled", "false")

@@ -11,17 +11,16 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // throwaway scratch (shuffle files, RocksDB state working dirs)
-      // on the RAM disk — /tmp is a real ext4 disk here and RocksDB
-      // commit fsyncs against it were the stream family's largest
-      // fixed cost (see graft.scratchLocalDir)
-      .config("spark.local.dir", scratchLocalDir)
-      .config("spark.sql.streaming.stateStore.rocksdb" +
-        ".checkpointFileChecksumEnabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+    // throwaway scratch (shuffle files, RocksDB state working dirs)
+    // on the RAM disk — /tmp is a real ext4 disk here and RocksDB
+    // commit fsyncs against it were the stream family's largest
+    // fixed cost (see graft.scratchConfs)
+    scratchConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder
       // Tables.loadEvents probes the footer for the ts unit; this conf
       // only matters if the probe finds timestamp[ns] (must be set at
       // session build) and is a no-op for the µs/ms shapes current

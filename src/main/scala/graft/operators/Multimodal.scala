@@ -626,14 +626,18 @@ object Multimodal {
 
   /** Band-stats oracle: the same 128-block hash CTEs, then each band
     * value re-derived with INDEPENDENT shift/mask arithmetic —
-    * `(w >> off) & (2^width − 1)` equals Spark's
-    * shiftrightunsigned+mask for every layout with off+width ≤ 64
-    * (the sign-extension bits an arithmetic shift would add all land
-    * above the mask), which [[phashPairs]]' disjointness require
-    * already guarantees. */
+    * `(w >> off) & mask` equals Spark's shiftrightunsigned+mask for
+    * every layout with off+width ≤ 64 (the sign-extension bits an
+    * arithmetic shift would add all land above the mask), which
+    * [[phashPairs]]' band-bounds require already guarantees. The
+    * wd == 64 full-word mask must be −1, not (1<<64)−1 — Scala
+    * shifts are mod 64, so the naive expression is 0 and would
+    * silently zero every bval — the SAME omission the r11 ADVICE
+    * caught in a spec-local copy of [[bandColumns]]. */
   private def phashBandStatsOracleSql: String = {
     val bandSelects = phashWideBands.zipWithIndex.map { case ((w, off, wd), i) =>
-      s"SELECT $i AS band, ((w$w >> $off) & ${(1L << wd) - 1}) AS bval FROM h"
+      val mask = if (wd == 64) -1L else (1L << wd) - 1
+      s"SELECT $i AS band, ((w$w >> $off) & $mask) AS bval FROM h"
     }.mkString("\n           UNION ALL ")
     s"""WITH $phashWideHashCtes,
          b AS ($bandSelects),

@@ -180,37 +180,60 @@ object Unigram {
     * drop contract as the joins. Exhaustive like the relational form
     * (≤ tetranacci(len) ≈ 2k paths at the cap), NOT a Viterbi DP:
     * per-position pruning would have to re-derive the global
-    * tie-break, and boundedness comes from [[WordLenCap]] anyway. */
+    * tie-break, and boundedness comes from [[WordLenCap]] anyway.
+    *
+    * All positions/lengths are CODE POINTS, not UTF-16 units: Spark's
+    * `length`/`substr` and DuckDB's `len`/`substr` both count code
+    * points, so indexing the Java String directly would disagree with
+    * the relational form and the oracle on any supplementary-plane
+    * character — a 12-code-point word with one emoji would
+    * mis-measure as 13 "chars" and take the fallback, and a 4-point
+    * piece with an emoji could never be formed (the r14 review
+    * finding; UnigramSpec pins an emoji word against the relational
+    * form). */
   private[graft] def bestSeg(w: String,
       vocab: Map[String, Long]): Option[(Int, String, Long)] = {
-    if (w.length > WordLenCap) {
+    // per-code-point strings: cps.slice(i, j).mkString == the
+    // code-point substring Spark/DuckDB substr arithmetic addresses
+    val cps: Array[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        buf += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      buf.toArray
+    }
+    val n = cps.length
+    if (n > WordLenCap) {
       val sb = new StringBuilder
       var score = 0L
       var i = 0
-      while (i < w.length) {
-        vocab.get(w.substring(i, i + 1)) match {
+      while (i < n) {
+        vocab.get(cps(i)) match {
           case Some(s) =>
             score += s
             if (i > 0) sb.append(' ')
-            sb.append(w.charAt(i))
+            sb.append(cps(i))
           case None => return None
         }
         i += 1
       }
-      Some((w.length, sb.toString, score))
+      Some((n, sb.toString, score))
     } else {
       var best: (Long, Int, String) = null
       def rec(pos: Int, score: Long, np: Int, segs: String): Unit =
-        if (pos == w.length) {
+        if (pos == n) {
           val better = best == null || score > best._1 ||
             (score == best._1 && (np < best._2 ||
               (np == best._2 && u8Less(segs, best._3))))
           if (better) best = (score, np, segs)
         } else {
           var l = 1
-          val maxL = math.min(MaxPiece, w.length - pos)
+          val maxL = math.min(MaxPiece, n - pos)
           while (l <= maxL) {
-            val p = w.substring(pos, pos + l)
+            val p = cps.slice(pos, pos + l).mkString
             vocab.get(p).foreach { s =>
               rec(pos + l, score + s, np + 1,
                 if (segs.isEmpty) p else segs + " " + p)

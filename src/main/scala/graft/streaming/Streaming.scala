@@ -320,20 +320,33 @@ object Streaming {
     * APPLICATION id — the next JVM's pre-start clear can't reach the
     * previous JVM's dirs, and hundreds of graft_ckpt_* dirs had
     * accumulated on the RAM disk. Once per JVM, best-effort delete
-    * sibling graft_ckpt_* entries untouched for 6+ hours — a live
-    * concurrent JVM's checkpoints are necessarily younger (every
-    * batch commit rewrites inside them). */
+    * sibling graft_ckpt_* entries stale for 6+ hours. Staleness is
+    * the NEWEST mtime within the tree's top two levels, not the root
+    * dir's (r14 review: batch commits write into offsets/commits/
+    * state SUBDIRS and never bump the root, so a long-lived live
+    * query's root mtime is frozen at creation — the offsets/ dir,
+    * one level down, gains a file per batch and is always fresh on a
+    * live checkpoint). Crashed-JVM leftovers under graft_local/
+    * (blockmgr-*, spark-*) age out by the same rule. */
   private val ckptSwept = new java.util.concurrent.atomic.AtomicBoolean(false)
   private def sweepStaleCkpts(root: String): Unit =
     if (ckptSwept.compareAndSet(false, true)) try {
       val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
-      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith("graft_ckpt_") &&
-          f.lastModified() < cutoff)
-        .foreach { f =>
+      def newestMtime(f: java.io.File, depth: Int): Long = {
+        val own = f.lastModified()
+        if (depth == 0 || !f.isDirectory) own
+        else Option(f.listFiles()).getOrElse(Array.empty)
+          .foldLeft(own)((m, c) => math.max(m, newestMtime(c, depth - 1)))
+      }
+      def reap(f: java.io.File): Unit =
+        if (newestMtime(f, 2) < cutoff) {
           try new scala.reflect.io.Directory(f).deleteRecursively()
           catch { case _: Throwable => () }
         }
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("graft_ckpt_")).foreach(reap)
+      Option(new java.io.File(root, "graft_local").listFiles())
+        .getOrElse(Array.empty).foreach(reap)
     } catch { case _: Throwable => () }
 
   /** Replay events through `build`, return the materialized sink.

@@ -34,17 +34,16 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkTestBase {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "8")
-      // same throwaway-scratch environment as the Bench/Verify mains
-      // (r14): RocksDB state working dirs on this box's ext4 /tmp were
-      // the streaming suites' fixed cost too
-      .config("spark.local.dir", graft.scratchLocalDir)
-      .config("spark.sql.streaming.stateStore.rocksdb" +
-        ".checkpointFileChecksumEnabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+    // same throwaway-scratch environment as the Bench/Verify mains
+    // (r14): RocksDB state working dirs on this box's ext4 /tmp were
+    // the streaming suites' fixed cost too (suite 13m -> 8m47s)
+    graft.scratchConfs.foreach { case (k, v) => builder.config(k, v) }
+    val s = builder
       // events.ts is parquet timestamp[ns] — see Tables.loadEvents
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // managed tables (the ANALYZE/CBO spec) go to tmp, not the repo

@@ -103,6 +103,28 @@ class UnigramSpec extends SparkTestBase {
       "local enumerator diverged from the relational (oracle) form")
   }
 
+  test("local enumerator counts code points, not UTF-16 units (emoji)") {
+    // an emoji is ONE code point but TWO UTF-16 units: Spark/DuckDB
+    // length/substr count points, so the local enumerator must too —
+    // both the piece formation (in-cap) and the cap test (over-cap)
+    import spark.implicits._
+    val e = "😀" // 😀 U+1F600
+    val words = Seq(s"${e}a${e}a", e * 13).toDF("w")
+    val vocab = Seq((s"${e}a", -1L), (e, -2L), ("a", -2L))
+      .toDF("piece", "score")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1),
+        r.getString(2), r.getLong(3))).sortBy(_._1).toSeq
+    val rel = canon(operators.Unigram.segmentWords(words, vocab))
+    val loc = canon(operators.Unigram.segmentWordsLocal(words, vocab))
+    assert(rel == loc, s"emoji divergence: rel=$rel loc=$loc")
+    val got = loc.map(r => r._1 -> r).toMap
+    // 4 code points: "😀a 😀a" wins (-2) over per-char (-8)
+    assert(got(s"${e}a${e}a")._3 == s"${e}a ${e}a", got.toString)
+    // 13 code points > cap=12 → per-char fallback with np 13, NOT 26
+    assert(got(e * 13)._2 == 13 && got(e * 13)._4 == 13 * -2L, got.toString)
+  }
+
   test("a planted >cap word contributes to the per-doc aggregates end-to-end") {
     // production key over a synthetic documents table: doc 0 is the
     // 10% training sample ("aa bb ab" → vocab a:-2 b:-2 aa/bb/ab:-3,

@@ -99,9 +99,21 @@ def main():
                 pass
         total = sum(e[1] for e in entries)
         if total > budget:
-            for _, fsz, p in sorted(entries):
+            # min-idle guard (r14 review): never delete entries used
+            # within the last hour — a PARALLEL preflight's in-flight
+            # .tmp.<pid> publishes and its freshly written pickles are
+            # seconds old, and removing one between to_pickle and
+            # os.replace would fail that key's VERDICT instead of
+            # recomputing (the exact class the corrupt-pickle fix
+            # above exists to prevent). An over-budget dir whose every
+            # entry is fresh stays over budget — safety first, same
+            # rule as IndexStore.sweep's MinIdleMs.
+            fresh = __import__("time").time() - 3600
+            for mt, fsz, p in sorted(entries):
                 if total <= budget:
                     break
+                if mt > fresh:
+                    continue
                 try:
                     os.remove(p)
                     total -= fsz
