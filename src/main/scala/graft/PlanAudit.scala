@@ -85,6 +85,8 @@ object PlanAudit {
     "llm_dedup_cluster" -> "label-propagation rounds converge via count()",
     "graph_components" -> ("same CC kernel on the trade subgraph — " +
       "per-round localCheckpoint + 1-value convergence count"),
+    "graph_sssp" -> ("fixed 4-round BFS: per-round frontier " +
+      "localCheckpoint (node-sized frames), CC-kernel pattern"),
     "llm_embed_neardup" -> ("k-means cells + K-row radius agg + cell-pair " +
       "pruning on the driver (all K-bounded); assignment localCheckpoint"),
     "llm_source_drift" -> ("token counts localCheckpoint'd once, reused by " +
@@ -445,7 +447,16 @@ object ShuffleBudgets {
     "fn_xml" -> 1,
     "graph_degree" -> 4,
     "graph_pagerank" -> 8,
+    // final plan reads the checkpointed per-hop frontiers: the
+    // histogram groupBy + presentation sort (BFS rounds run in
+    // construction, CC-kernel style)
+    "graph_sssp" -> 2,
     "graph_triangles" -> 5,
+    // variant equi-join (self-join reuses one exchange) + pair
+    // distinct; the presentation sort rides AQE's reuse at audit scale
+    "join_fuzzy_blocked" -> 3,
+    // per-user lag window exchange + match groupBy + presentation sort
+    "ts_cep_pattern" -> 3,
     "join_asof" -> 2,
     "join_asof_forward" -> 2,
     "join_asof_native" -> 3,

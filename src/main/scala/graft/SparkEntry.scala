@@ -39,6 +39,7 @@ object SparkEntry {
       operators.LlmCorpus.entries ++
       operators.IndexStoreOp.entries ++
       operators.Unigram.entries ++
+      operators.FuzzyJoin.entries ++
       plans.AsOfJoinPlans.entries ++
       streaming.Streaming.entries
 
@@ -66,6 +67,7 @@ object SparkEntry {
       operators.LlmCorpus.oracles ++
       operators.IndexStoreOp.oracles ++
       operators.Unigram.oracles ++
+      operators.FuzzyJoin.oracles ++
       plans.AsOfJoinPlans.oracles ++
       streaming.Streaming.oracles
 

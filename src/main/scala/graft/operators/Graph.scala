@@ -266,11 +266,92 @@ object Graph {
       .orderBy("comp_size")
   }
 
+  /** Multi-source BFS — unit-weight SSSP — at a FIXED 4-hop horizon
+    * over the customer–supplier graph, the path kernel the family
+    * lacked (degree/rank/triangles/components but nothing about
+    * DISTANCE). Seeds are the customers with custkey % 100 = 0 (node
+    * id % 200 = 0 in the shared even/odd id space); output is the
+    * hop histogram (nodes first reached at each hop, with the min
+    * node's public label pinning the exact frontier, not just its
+    * size). Nodes unreached within the horizon are absent by
+    * contract — a fixed horizon is also the honest 100 TB shape:
+    * round count is a constant in the plan, not data-dependent, so
+    * lineage stays shallow with no checkpoint/convergence machinery
+    * (the unbounded-diameter regime is [[graphComponents]]' CC
+    * kernel's job).
+    *
+    * Per round: the hop-(k−1) frontier (node-sized, broadcastable)
+    * equi-joins the PERSISTED edge list, dedups, and anti-joins the
+    * visited set — the standard distributed BFS step, every shuffle
+    * on the node key. Each round's frontier is localCheckpoint'd
+    * (the CC kernel's move): without it, the naive
+    * `dist = union(dist, step(dist)).groupBy(min)` form references
+    * each round's frame twice and re-executed the whole prefix per
+    * round — measured 4.45 s warm at sf0.1, 16 live exchanges; this
+    * linear form reads 1.0 s with the same hash-exact result. The
+    * edge list is lazily persisted with the keyed release
+    * [[pagerankMicro]] uses (repeat runs hit the cache, a new graph
+    * evicts the old one).
+    *
+    * The DuckDB oracle computes the same horizon via a RECURSIVE
+    * closure with set-semantics dedup — an independent formulation
+    * of "min hops", so the distributed frontier iteration is
+    * verified against transitive reachability, as with components. */
+  val graphSssp: QFn = (s, d) => {
+    val e0 = csEdges(s, d)
+    val edKey = e0.queryExecution.analyzed.canonicalized.semanticHash()
+    val (prevKey, prev) = ssspCache.get()
+    val e =
+      if (prevKey == edKey && prev.nonEmpty) prev.head
+      else {
+        prev.foreach(_.unpersist(blocking = false))
+        val c = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        ssspCache.set((edKey, Seq(c)))
+        c
+      }
+    // both edge directions are present, so distinct(u) IS the node set
+    val seeds = e.select(col("u").as("node")).distinct()
+      .filter(col("node") % 200 === 0)
+    bfsHistogram(e, seeds, maxHop = 4)
+      .select(col("hop").cast("int").as("hop"), col("n_nodes"),
+        nodeLabel(col("mn")).as("min_node"))
+      .orderBy("hop")
+  }
+
+  /** BFS hop-histogram kernel over a DIRECTED edge list (`u`,`v` —
+    * pass both directions for undirected) and a seed node frame
+    * (`node`); factored so specs drive hand-built graphs through the
+    * production path. Returns one row per hop 0..maxHop reached:
+    * (hop, n_nodes, mn = min node id first reached at that hop). */
+  def bfsHistogram(e: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
+    var frontier = seeds.localCheckpoint()
+    var dist = frontier.select(col("node"), lit(0).as("hop"))
+    var visited = frontier
+    var k = 1
+    // early exit on an exhausted frontier: every later round is
+    // provably empty (the count is a scan of the just-materialized
+    // checkpoint, not a recompute)
+    while (k <= maxHop && frontier.count() > 0) {
+      val cand = e.join(frontier, col("u") === col("node"))
+        .select(col("v").as("node")).distinct()
+      frontier = cand.join(visited, Seq("node"), "left_anti").localCheckpoint()
+      dist = dist.union(frontier.select(col("node"), lit(k).as("hop")))
+      visited = visited.union(frontier)
+      k += 1
+    }
+    dist.groupBy("hop")
+      .agg(count(lit(1)).as("n_nodes"), min("node").as("mn"))
+  }
+
+  private val ssspCache = new java.util.concurrent.atomic.AtomicReference[
+    (Int, Seq[DataFrame])]((0, Nil))
+
   val entries: Seq[(String, QFn)] = Seq(
     "graph_degree" -> graphDegree,
     "graph_pagerank" -> graphPagerank,
     "graph_triangles" -> graphTriangles,
-    "graph_components" -> graphComponents)
+    "graph_components" -> graphComponents,
+    "graph_sssp" -> graphSssp)
 
   /** The PageRank oracle unrolls the 3 iterations as CTE stages with
     * the same truncating BIGINT arithmetic (DuckDB `//`). */
@@ -297,6 +378,24 @@ object Graph {
          sizes AS (SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp)
          SELECT comp_size, count(*) AS n_comps, min(comp) AS min_comp_id
          FROM sizes GROUP BY comp_size ORDER BY comp_size""",
+    // min hops via recursive closure (set-semantics UNION dedups the
+    // walk) — independent of the frontier-iteration formulation
+    "graph_sssp" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         nodes AS (SELECT DISTINCT u AS node FROM edges),
+         walk(node, hop) AS (
+           SELECT node, 0 FROM nodes WHERE node % 200 = 0
+           UNION
+           SELECT e.v, w.hop + 1 FROM walk w
+           JOIN edges e ON e.u = w.node WHERE w.hop < 4),
+         dist AS (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+         SELECT CAST(hop AS INT) AS hop, count(*) AS n_nodes,
+           CASE WHEN min(node) % 2 = 0 THEN 'c' || (min(node) // 2)
+                ELSE 's' || ((min(node) - 1) // 2) END AS min_node
+         FROM dist GROUP BY hop ORDER BY hop""",
     "graph_degree" ->
       """WITH cs AS (SELECT DISTINCT o_custkey, l_suppkey
            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),

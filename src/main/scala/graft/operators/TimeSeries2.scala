@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QFn, Tables, Det}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -549,6 +550,52 @@ object TimeSeries2 {
       .orderBy("event_type")
   }
 
+  /** CEP-style SEQUENCE-PATTERN detection (the MATCH_RECOGNIZE /
+    * Flink-CEP shape, absent from Spark SQL): V-REVERSALS in each
+    * user's tick stream — three consecutive strictly-falling ticks
+    * followed by an up-tick off the trough. The pattern predicate is
+    * a pure lag-window composition (lag 1/2/3 over the per-user
+    * (ts, event_id) order — event_id makes the sort total, so the
+    * match set is engine-deterministic), which is exactly how a CEP
+    * pattern of bounded length compiles to relational form: no state
+    * machine, no per-row UDF, one window pass.
+    *
+    * Ticks quantize to exact integer CENTS per row before any
+    * comparison (DECIMAL(30,2)·100 — the micro-unit recipe), so the
+    * strict inequalities and every emitted magnitude are integer
+    * arithmetic both engines share bit-for-bit. Per user: match
+    * count, first/last match time, total rebound (up-tick minus
+    * trough) and deepest decline (peak minus trough) in cents.
+    *
+    * 100 TB shape: the window partitions by user — the per-entity
+    * series layout a tick store shards by anyway — and the match
+    * aggregate is map-side combinable on the same key, so the plan
+    * is one hash exchange + one window sort per partition regardless
+    * of tick volume; a length-k pattern costs k lag columns, never a
+    * second pass. Kernel factored ([[cepVReversal]]) so the spec can
+    * drive hand-built sequences through the production path. */
+  def cepVReversal(ticks: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ticks
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT)").as("vc"))
+      .withColumn("v1", lag("vc", 1).over(w))
+      .withColumn("v2", lag("vc", 2).over(w))
+      .withColumn("v3", lag("vc", 3).over(w))
+      .filter(col("v3") > col("v2") && col("v2") > col("v1") &&
+        col("vc") > col("v1"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min("ts").as("first_match_ts"),
+        max("ts").as("last_match_ts"),
+        sum(col("vc") - col("v1")).as("rebound_cents"),
+        max(col("v3") - col("v1")).as("max_depth_cents"))
+      .orderBy("user_id")
+  }
+
+  val tsCepPattern: QFn = (s, d) =>
+    cepVReversal(Tables.events(s, d).filter(col("event_type") === "click"))
+
   val entries: Seq[(String, QFn)] = Seq(
     "ts_intraday_profile" -> tsIntradayProfile,
     "ts_bidask_spread" -> tsBidaskSpread,
@@ -563,7 +610,8 @@ object TimeSeries2 {
     "ts_amihud" -> tsAmihud,
     "ts_corwin_schultz" -> tsCorwinSchultz,
     "ts_tsrv" -> tsTsrv,
-    "ts_kyle_lambda" -> tsKyleLambda)
+    "ts_kyle_lambda" -> tsKyleLambda,
+    "ts_cep_pattern" -> tsCepPattern)
 
   val oracles: Seq[(String, String)] = Seq(
     "ts_intraday_profile" ->
@@ -900,5 +948,23 @@ object TimeSeries2 {
             CASE WHEN n * sxx - sx * sx > 0 THEN
               ${sqlFq("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 1000.0 * 1e6", 6)}
             END AS kyle_lambda_x1e6
-          FROM m""")
+          FROM m""",
+    // CEP V-reversal: same lag-window compilation of the pattern,
+    // exact integer cents end to end (count/sum/max over BIGINTs
+    // recast — DuckDB's sum(BIGINT) is HUGEINT)
+    "ts_cep_pattern" ->
+      """WITH t AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS vc,
+             lag(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT), 1) OVER w AS v1,
+             lag(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT), 2) OVER w AS v2,
+             lag(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT), 3) OVER w AS v3
+           FROM events WHERE event_type = 'click'
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, count(*) AS n_matches,
+           min(ts) AS first_match_ts, max(ts) AS last_match_ts,
+           CAST(sum(vc - v1) AS BIGINT) AS rebound_cents,
+           CAST(max(v3 - v1) AS BIGINT) AS max_depth_cents
+         FROM t WHERE v3 > v2 AND v2 > v1 AND vc > v1
+         GROUP BY user_id ORDER BY user_id""")
 }
