@@ -633,6 +633,57 @@ object Streaming {
     }.orderBy("event_id")
   }
 
+  /** Tick row for the streaming CEP state function: price already in
+    * exact integer cents (cast in Spark SQL, not JVM code). */
+  case class CepTick(event_id: Long, ts: Timestamp, user_id: Long, vc: Long)
+
+  /** STREAMING CEP — the Flink-CEP headline capability as a
+    * Structured Streaming stateful operator: `ts_cep_pattern`'s
+    * V-reversal (three strictly-falling ticks then an up-tick off
+    * the trough) detected ONLINE over the click stream, one output
+    * row per match as it happens. Per-user `flatMapGroupsWithState`
+    * holds the pattern's bounded lookback — the last three tick
+    * prices in cents — which IS the compiled state of a
+    * bounded-length CEP pattern: O(1) per key, no buffering, no
+    * re-scan, so state volume is #users regardless of tick volume.
+    * Cents come from the same DECIMAL(30,2)·100 cast as the batch
+    * key, computed in Spark SQL BEFORE the state function so no JVM
+    * double-rounding can diverge. Within a micro-batch the group
+    * iterates in full-resolution event-time order (ms + nanos,
+    * event_id tiebreak — the batch window's (ts, event_id) total
+    * order); across batches [[stagedFeed]]'s ts-range chunking
+    * keeps global order and never splits an equal-ts run, so the
+    * flushed match set equals the batch lag-window formulation row
+    * for row — and the oracle IS that independent formulation. */
+  val streamCepPattern: QFn = (s, d) => {
+    runStream(s, d, OutputMode.Append(), "cep_pattern") { df =>
+      import df.sparkSession.implicits._
+      df.filter(col("event_type") === "click")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          expr("CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT)").as("vc"))
+        .as[CepTick]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append(),
+            GroupStateTimeout.NoTimeout()) {
+          (uid: Long, ticks: Iterator[CepTick],
+           state: GroupState[(Int, Long, Long, Long)]) =>
+            // (n seen, last, second-last, third-last)
+            var (n, v1, v2, v3) = state.getOption.getOrElse((0, 0L, 0L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Timestamp, Long, Long)]
+            ticks.toSeq
+              .sortBy(t => (t.ts.getTime, t.ts.getNanos, t.event_id))
+              .foreach { t =>
+                if (n >= 3 && v3 > v2 && v2 > v1 && t.vc > v1)
+                  out += ((t.event_id, uid, t.ts, t.vc - v1, v3 - v1))
+                v3 = v2; v2 = v1; v1 = t.vc; n = math.min(n + 1, 3)
+              }
+            state.update((n, v1, v2, v3))
+            out.iterator
+        }.toDF("event_id", "user_id", "ts", "rebound_cents", "depth_cents")
+    }.orderBy("event_id")
+  }
+
   val streamStaticJoin: QFn = (s, d) => {
     val profile = Tables.events(s, d)
       .groupBy("user_id").agg(count(lit(1)).as("user_events"))
@@ -1216,6 +1267,7 @@ object Streaming {
     "stream_tumbling" -> streamTumbling,
     "stream_bidask_spread" -> streamBidaskSpread,
     "stream_asof_enrich" -> streamAsofEnrich,
+    "stream_cep_pattern" -> streamCepPattern,
     "stream_static_join" -> streamStaticJoin,
     "stream_chained_agg" -> streamChainedAgg,
     "stream_sliding" -> streamSliding,
@@ -1314,6 +1366,22 @@ object Streaming {
             WHERE q.q_uid = t.user_id AND q.q_ts <= t.ts
             ORDER BY q.q_ts DESC LIMIT 1) AS mid
          FROM t ORDER BY t.event_id""",
+    // the flushed CEP match stream equals the batch lag-window
+    // compilation of the same pattern — an independent formulation
+    // (window scan vs state machine), per-match rows
+    "stream_cep_pattern" ->
+      """WITH t AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT) AS vc,
+             lag(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT), 1) OVER w AS v1,
+             lag(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT), 2) OVER w AS v2,
+             lag(CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT), 3) OVER w AS v3
+           FROM events WHERE event_type = 'click'
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT event_id, user_id, ts, vc - v1 AS rebound_cents,
+           v3 - v1 AS depth_cents
+         FROM t WHERE v3 > v2 AND v2 > v1 AND vc > v1
+         ORDER BY event_id""",
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS w_start,
            event_type, count(*) AS n,

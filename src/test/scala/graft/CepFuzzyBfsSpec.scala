@@ -108,6 +108,34 @@ class CepFuzzyBfsSpec extends SparkTestBase {
       s"variant bucket $maxBucket exceeds the (len+1)·|alphabet| bound")
   }
 
+  test("stream_cep_pattern: flushed match stream equals the batch lag-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val streamed = streaming.Streaming.streamCepPattern(spark, sf).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("rebound_cents"), r.getAs[Long]("depth_cents")))
+      .toSet
+    // independent batch compilation of the same pattern: per-match
+    // rows from the lag window (the oracle's shape, in Spark)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val batch = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        expr("CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT)").as("vc"))
+      .withColumn("v1", lag("vc", 1).over(w))
+      .withColumn("v2", lag("vc", 2).over(w))
+      .withColumn("v3", lag("vc", 3).over(w))
+      .filter(col("v3") > col("v2") && col("v2") > col("v1") &&
+        col("vc") > col("v1"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("vc") - r.getAs[Long]("v1"),
+        r.getAs[Long]("v3") - r.getAs[Long]("v1")))
+      .toSet
+    assert(streamed == batch,
+      s"stream-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+    assert(streamed.nonEmpty)
+  }
+
   test("bfsHistogram: chain graph — horizon cut, min-hop labels, unreachable absent") {
     import spark.implicits._
     // path 0—1—2—…—9 plus isolated edge 100—101: seed node 0
