@@ -408,6 +408,10 @@ object ShuffleBudgets {
     "agg_udaf_wmid" -> 2,
     "dq_checks" -> 7,
     "dq_outliers" -> 2,
+    // per-order line rollup + the orderkey-co-partitioned header join
+    // + status groupBy (AQE folds the 3-row presentation sort;
+    // measured 3, one exchange of headroom for AQE broadcast flips)
+    "dq_reconcile" -> 4,
     "etl_cdc_apply" -> 2,
     "etl_compaction" -> 2,
     "etl_dynamic_partition_overwrite" -> 2,

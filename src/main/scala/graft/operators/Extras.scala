@@ -354,7 +354,50 @@ object Extras {
       .orderBy("user_id")
   }
 
+  /** Cross-table RECONCILIATION audit — the DQ check `dq_checks`'
+    * referential suite doesn't cover: does each order's header total
+    * equal the sum of its lines (Σ extendedprice·(1−disc)·(1+tax))?
+    * Per status: order count, ORPHAN headers (no lines at all — the
+    * shipped data has ~1.5%), headers off by more than one cent, and
+    * the worst absolute discrepancy. On this synthetic data the
+    * header totals are generated independently of the lines, so
+    * every non-orphan order mismatches — the audit's job is to say
+    * exactly that, deterministically.
+    *
+    * Determinism: both sides quantize to exact integer MICRO-UNITS
+    * before any comparison — the per-row double product is IEEE-
+    * identical in both engines (left-assoc, same operands), and the
+    * DECIMAL(30,6)·1e6 recast is the [[graft.Det]] dsum6 recipe, so
+    * the per-order line sums are order-independent long sums.
+    *
+    * 100 TB shape: one map-side-combinable groupBy per fact table,
+    * then an orderkey-co-partitioned join of the two aggregates —
+    * the reconcile never moves line-level rows to the header side. */
+  val dqReconcile: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr("CAST(CAST(l_extendedprice * (1.0 - l_discount) * " +
+        "(1.0 + l_tax) AS DECIMAL(30,6)) * 1000000 AS BIGINT)"))
+        .as("calc_micro"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 1000000 AS BIGINT)")
+          .as("tot_micro"))
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("calc_micro").isNull, 1L).otherwise(0L)).as("n_orphan"),
+        sum(when(col("calc_micro").isNotNull &&
+            abs(col("tot_micro") - col("calc_micro")) > 10000L, 1L)
+          .otherwise(0L)).as("n_mismatch"),
+        max(when(col("calc_micro").isNotNull,
+          abs(col("tot_micro") - col("calc_micro"))))
+          .as("max_abs_diff_micro"))
+      .orderBy("o_orderstatus")
+  }
+
   val entries: Seq[(String, QFn)] = Seq(
+    "dq_reconcile" -> dqReconcile,
     "agg_pivot" -> aggPivot,
     "agg_sessionize" -> aggSessionize,
     "agg_retention_cohort" -> aggRetentionCohort,
@@ -458,6 +501,31 @@ object Extras {
            UNION ALL
            SELECT 'lineitem_negative_tax', count(*) FROM lineitem WHERE l_tax < 0.0)
          ORDER BY "check"""",
+    // same micro-unit quantization on both sides; CASE sums recast
+    // (DuckDB sum(int) is HUGEINT)
+    "dq_reconcile" ->
+      """WITH li AS (
+           SELECT l_orderkey,
+             CAST(sum(CAST(CAST(l_extendedprice * (1.0 - l_discount) *
+               (1.0 + l_tax) AS DECIMAL(30,6)) * 1000000 AS BIGINT)) AS BIGINT)
+               AS calc_micro
+           FROM lineitem GROUP BY 1),
+         o AS (
+           SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(30,2)) * 1000000 AS BIGINT)
+               AS tot_micro
+           FROM orders)
+         SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(sum(CASE WHEN calc_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphan,
+           CAST(sum(CASE WHEN calc_micro IS NOT NULL
+             AND abs(tot_micro - calc_micro) > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch,
+           CAST(max(CASE WHEN calc_micro IS NOT NULL
+             THEN abs(tot_micro - calc_micro) END) AS BIGINT)
+             AS max_abs_diff_micro
+         FROM o LEFT JOIN li ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "etl_cdc_apply" ->
       """WITH c AS (
            SELECT user_id, ts, event_id, value,

@@ -152,6 +152,20 @@ class CepFuzzyBfsSpec extends SparkTestBase {
       3 -> ((1L, 3L)), 4 -> ((1L, 4L))), s"got $got")
   }
 
+  test("dq_reconcile: audit invariants hold on the shipped data") {
+    val rows = operators.Extras.dqReconcile(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("o_orderstatus")).toSet == Set("F", "O", "P"))
+    rows.foreach { r =>
+      val (n, orphan, mismatch) = (r.getAs[Long]("n_orders"),
+        r.getAs[Long]("n_orphan"), r.getAs[Long]("n_mismatch"))
+      // the generator writes header totals independent of the lines:
+      // every status has some orphan headers and every non-orphan
+      // order mismatches (the audit must SAY so, not smooth it over)
+      assert(orphan > 0 && mismatch == n - orphan, s"$r")
+      assert(r.getAs[Long]("max_abs_diff_micro") > 0L)
+    }
+  }
+
   test("bfsHistogram: frontier exhaustion stops early and double-reach keeps min hop") {
     import spark.implicits._
     // triangle 0—1—2 (node 2 reachable at hop 1 via 0→2 AND hop 2 via
