@@ -280,4 +280,39 @@ class PropertySpec extends SparkTestBase {
     val want = boundary.map(x => math.floor(x * 1e6) / 1e6)
     assert(out.toSeq == want, s"fq boundary rows: ${out.toSeq} vs $want")
   }
+
+  /** Textbook Levenshtein DP — the independent reference for the
+    * fuzzy-join law below. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzyPairs == brute-force levenshtein ≤ 1 on random short strings") {
+    // the SymSpell deletion-neighborhood construction claims EXACT
+    // recall at threshold 1; stress it over a tight alphabet with
+    // short strings (dense near-collisions, repeated chars, empty
+    // strings, exact duplicates — every edge the hand cases can't
+    // enumerate) and compare against the quadratic reference
+    import spark.implicits._
+    val names = Gen.listOfN(30,
+      Gen.chooseNum(0, 5).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c'))))
+    forAll(names, n = 6) { xs =>
+      val df = xs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "name")
+      val got = operators.FuzzyJoin.fuzzyPairs(df).collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Int]("dist"))).toSet
+      val want = (for {
+        (a, i) <- xs.zipWithIndex; (b, j) <- xs.zipWithIndex
+        if i < j && lev(a, b) <= 1
+      } yield (i.toLong, j.toLong, lev(a, b))).toSet
+      assert(got == want,
+        s"missing: ${want -- got}; extra: ${got -- want}; input: $xs")
+    }
+  }
 }
