@@ -300,8 +300,14 @@ object Det {
     * so no engine ever rounds a derived double. Headroom: Long holds
     * 9.2e18; a per-group cents sum of 1e14 ($1e12 notional) still
     * leaves ×10⁴ room for the micro-unit multiply. */
-  def csum2(c: Column): Column =
-    sum((c.cast(DecimalType(30, 2)) * 100).cast("long"))
+  def csum2(c: Column): Column = sum(cents(c))
+
+  /** Per-ROW exact integer CENTS of a ≤2-decimal double — the scalar
+    * half of [[csum2]], named so the batch and streaming consumers of
+    * the quantization (CEP pattern keys, conditional cents sums)
+    * share ONE recipe instead of inlining the cast chain. */
+  def cents(c: Column): Column =
+    (c.cast(DecimalType(30, 2)) * 100).cast("long")
 
   /** SQL-side twins (DuckDB dialect), kept adjacent so Spark and oracle
     * expressions stay in lockstep. */

@@ -113,14 +113,34 @@ object Graph {
   private val prevCaches = new java.util.concurrent.atomic.AtomicReference[
     (Int, Seq[DataFrame])]((0, Nil))
 
+  /** The keyed-release persist idiom, single-sourced for both
+    * iterative kernels (pagerank's loop caches, sssp's edge list):
+    * same key → reuse the cached frames; new key → release the old
+    * ones and build fresh. The check-then-act is `synchronized` on
+    * the holder so two concurrent invocations cannot double-persist
+    * (the loser's frames would leak for the session lifetime).
+    * Remaining documented hazard, unchanged from the original idiom:
+    * a NEW-graph caller releases frames a concurrent SAME-graph plan
+    * may still be reading — results stay correct (unpersist falls
+    * back to lineage recompute), only the cache benefit is lost. */
+  private def keyedPersist(
+      ref: java.util.concurrent.atomic.AtomicReference[(Int, Seq[DataFrame])],
+      key: Int)(build: => Seq[DataFrame]): Seq[DataFrame] = ref.synchronized {
+    val (prevKey, prev) = ref.get()
+    if (prevKey == key && prev.nonEmpty) prev
+    else {
+      prev.foreach(_.unpersist(blocking = false))
+      val built = build
+      ref.set((key, built))
+      built
+    }
+  }
+
   /** Fixed-point PageRank kernel over a DIRECTED edge list (pass both
     * directions for undirected graphs). Factored so specs can drive
     * hand-built graphs through the exact production path. */
   def pagerankMicro(ed: DataFrame, iters: Int): DataFrame = {
     val edKey = ed.queryExecution.analyzed.canonicalized.semanticHash()
-    val (prevKey, prev) = prevCaches.get()
-    val sameGraph = prevKey == edKey && prev.nonEmpty
-    if (!sameGraph) prev.foreach(_.unpersist(blocking = false))
     // deg and the loop-invariant (u, v, d(u)) join are LAZILY
     // persisted: they appear in the final plan once per iteration
     // (deg also under every broadcast node-count), and without the
@@ -132,16 +152,14 @@ object Graph {
     // the 100 TB side (r7 A/B at sf0.1: 3.56 s uncached, 3.27 s
     // cached unpartitioned, 2.29 s this shape + long node ids).
     // Iteration 1's job materializes both; nothing is eager.
-    val (deg, contribBase) =
-      if (sameGraph) (prev(0), prev(1))
-      else {
-        val dg = ed.groupBy("u").agg(count(lit(1)).as("dg"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val cb = ed.join(dg, "u").repartition(col("u"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        prevCaches.set((edKey, Seq(dg, cb)))
-        (dg, cb)
-      }
+    val cached = keyedPersist(prevCaches, edKey) {
+      val dg = ed.groupBy("u").agg(count(lit(1)).as("dg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cb = ed.join(dg, "u").repartition(col("u"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(dg, cb)
+    }
+    val (deg, contribBase) = (cached(0), cached(1))
     val nn = deg.agg(count(lit(1)).as("n")) // single-row node count
     var ranks = deg.crossJoin(broadcast(nn))
       .select(col("u").as("node"), expr(s"${Scale}L div n").as("pr"))
@@ -300,15 +318,9 @@ object Graph {
   val graphSssp: QFn = (s, d) => {
     val e0 = csEdges(s, d)
     val edKey = e0.queryExecution.analyzed.canonicalized.semanticHash()
-    val (prevKey, prev) = ssspCache.get()
-    val e =
-      if (prevKey == edKey && prev.nonEmpty) prev.head
-      else {
-        prev.foreach(_.unpersist(blocking = false))
-        val c = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ssspCache.set((edKey, Seq(c)))
-        c
-      }
+    val e = keyedPersist(ssspCache, edKey) {
+      Seq(e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }.head
     // both edge directions are present, so distinct(u) IS the node set
     val seeds = e.select(col("u").as("node")).distinct()
       .filter(col("node") % 200 === 0)

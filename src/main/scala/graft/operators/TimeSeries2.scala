@@ -578,7 +578,7 @@ object TimeSeries2 {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ticks
       .select(col("user_id"), col("ts"), col("event_id"),
-        expr("CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT)").as("vc"))
+        cents(col("value")).as("vc"))
       .withColumn("v1", lag("vc", 1).over(w))
       .withColumn("v2", lag("vc", 2).over(w))
       .withColumn("v3", lag("vc", 3).over(w))

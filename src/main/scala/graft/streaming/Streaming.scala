@@ -660,7 +660,7 @@ object Streaming {
       import df.sparkSession.implicits._
       df.filter(col("event_type") === "click")
         .select(col("event_id"), col("ts"), col("user_id"),
-          expr("CAST(CAST(value AS DECIMAL(30,2)) * 100 AS BIGINT)").as("vc"))
+          graft.Det.cents(col("value")).as("vc"))
         .as[CepTick]
         .groupByKey(_.user_id)
         .flatMapGroupsWithState(OutputMode.Append(),
