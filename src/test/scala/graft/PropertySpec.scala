@@ -315,4 +315,76 @@ class PropertySpec extends SparkTestBase {
         s"missing: ${want -- got}; extra: ${got -- want}; input: $xs")
     }
   }
+
+  test("bfsHistogram == driver multi-source BFS on random graphs") {
+    // the CC-kernel precedent (distributed labels vs driver
+    // union-find), for the path kernel: random dense little graphs
+    // with self-loops, parallel edges, unreachable islands, and
+    // sometimes NO seed at all
+    import spark.implicits._
+    val edges = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+    forAll(edges, n = 6) { es =>
+      val und = (es ++ es.map(_.swap)).distinct
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct
+      val seeds = nodes.filter(_ % 3 == 0)
+      val got = operators.Graph
+        .bfsHistogram(und.toDF("u", "v"), seeds.toDF("node"), maxHop = 4)
+        .collect()
+        .map(r => r.getAs[Int]("hop") ->
+          (r.getAs[Long]("n_nodes"), r.getAs[Long]("mn"))).toMap
+      // reference: plain BFS over an adjacency map
+      val adj = und.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+      val dist = scala.collection.mutable.Map(seeds.map(_ -> 0): _*)
+      var frontier = seeds
+      for (k <- 1 to 4) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = k)
+      }
+      val want = dist.groupBy(_._2).map { case (hop, m) =>
+        hop -> (m.size.toLong, m.keys.min) }
+      assert(got == want, s"got $got want $want edges $und seeds $seeds")
+    }
+  }
+
+  test("cepVReversal == plain-Scala replay on random tick sequences") {
+    // duplicate timestamps forced on purpose (10-minute offset space,
+    // 40 ticks over 4 users): the event_id tiebreak is load-bearing
+    import spark.implicits._
+    val ticks = Gen.listOfN(40, Gen.zip(
+      Gen.choose(0L, 3L), Gen.choose(0, 10), Gen.choose(0, 500)))
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    forAll(ticks, n = 6) { ts0 =>
+      val rows = ts0.zipWithIndex.map { case ((u, off, cents), i) =>
+        (u, new java.sql.Timestamp(base + off * 60000L), i.toLong,
+          cents / 100.0)
+      }
+      val got = operators.TimeSeries2
+        .cepVReversal(rows.toDF("user_id", "ts", "event_id", "value"))
+        .collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Long]("n_matches"), r.getAs[Long]("rebound_cents"),
+            r.getAs[Long]("max_depth_cents"))).toMap
+      // reference: per-user (ts, event_id)-sorted scan over the exact
+      // cent values (cents/100.0 is a ≤2-decimal double, so the
+      // engine's DECIMAL(30,2)·100 recast recovers cents exactly)
+      val want = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val vs = rs.sortBy(r => (r._2.getTime, r._3))
+        val matches = vs.zipWithIndex.drop(3).collect {
+          case ((_, _, _, v), i)
+            if {
+              val Seq(v3, v2, v1) = (i - 3 to i - 1).map(j => vs(j)._4)
+              v3 > v2 && v2 > v1 && v > v1
+            } =>
+            val cents = (x: Double) => math.round(x * 100)
+            (cents(v) - cents(vs(i - 1)._4), cents(vs(i - 3)._4) - cents(vs(i - 1)._4))
+        }
+        if (matches.isEmpty) None
+        else Some(u -> (matches.size.toLong, matches.map(_._1).sum,
+          matches.map(_._2).max))
+      }
+      assert(got == want, s"got $got want $want input $rows")
+    }
+  }
 }
