@@ -340,15 +340,26 @@ object Graph {
     var dist = frontier.select(col("node"), lit(0).as("hop"))
     var visited = frontier
     var k = 1
+    var go = frontier.count() > 0
     // early exit on an exhausted frontier: every later round is
     // provably empty (the count is a scan of the just-materialized
     // checkpoint, not a recompute)
-    while (k <= maxHop && frontier.count() > 0) {
+    while (k <= maxHop && go) {
       val cand = e.join(frontier, col("u") === col("node"))
         .select(col("v").as("node")).distinct()
-      frontier = cand.join(visited, Seq("node"), "left_anti").localCheckpoint()
-      dist = dist.union(frontier.select(col("node"), lit(k).as("hop")))
-      visited = visited.union(frontier)
+      val next = cand.join(visited, Seq("node"), "left_anti")
+      if (k < maxHop) {
+        frontier = next.localCheckpoint()
+        go = frontier.count() > 0
+        dist = dist.union(frontier.select(col("node"), lit(k).as("hop")))
+        visited = visited.union(frontier)
+      } else {
+        // final round: this frontier feeds no further expansion and
+        // appears exactly ONCE in the result plan (visited's union is
+        // dead after the loop), so leave it LAZY — one checkpoint
+        // materialization + one count job saved per invocation
+        dist = dist.union(next.select(col("node"), lit(k).as("hop")))
+      }
       k += 1
     }
     dist.groupBy("hop")
