@@ -453,7 +453,11 @@ object ShuffleBudgets {
     "graph_pagerank" -> 8,
     // final plan reads the checkpointed per-hop frontiers: the
     // histogram groupBy + presentation sort (BFS rounds run in
-    // construction, CC-kernel style)
+    // construction, CC-kernel style). Note: the final-horizon round
+    // stays LAZY in the result plan, but at audit scale the frontier
+    // exhausts at hop 3 (early exit), so that branch's extra distinct
+    // exchange never appears here — if the audit graph ever deepens
+    // past the horizon, expect +2 (distinct + anti-join probe side)
     "graph_sssp" -> 2,
     "graph_triangles" -> 5,
     // variant equi-join (self-join reuses one exchange) + pair
