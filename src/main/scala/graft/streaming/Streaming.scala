@@ -655,34 +655,39 @@ object Streaming {
     * keeps global order and never splits an equal-ts run, so the
     * flushed match set equals the batch lag-window formulation row
     * for row — and the oracle IS that independent formulation. */
-  val streamCepPattern: QFn = (s, d) => {
-    runStream(s, d, OutputMode.Append(), "cep_pattern") { df =>
-      import df.sparkSession.implicits._
-      df.filter(col("event_type") === "click")
-        .select(col("event_id"), col("ts"), col("user_id"),
-          graft.Det.cents(col("value")).as("vc"))
-        .as[CepTick]
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Append(),
-            GroupStateTimeout.NoTimeout()) {
-          (uid: Long, ticks: Iterator[CepTick],
-           state: GroupState[(Int, Long, Long, Long)]) =>
-            // (n seen, last, second-last, third-last)
-            var (n, v1, v2, v3) = state.getOption.getOrElse((0, 0L, 0L, 0L))
-            val out = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, Long, Timestamp, Long, Long)]
-            ticks.toSeq
-              .sortBy(t => (t.ts.getTime, t.ts.getNanos, t.event_id))
-              .foreach { t =>
-                if (n >= 3 && v3 > v2 && v2 > v1 && t.vc > v1)
-                  out += ((t.event_id, uid, t.ts, t.vc - v1, v3 - v1))
-                v3 = v2; v2 = v1; v1 = t.vc; n = math.min(n + 1, 3)
-              }
-            state.update((n, v1, v2, v3))
-            out.iterator
-        }.toDF("event_id", "user_id", "ts", "rebound_cents", "depth_cents")
-    }.orderBy("event_id")
+  /** The CEP stream transformation, factored from [[streamCepPattern]]
+    * so StreamRecoverySpec can drive the same state machine through a
+    * kill-resume checkpoint cycle. */
+  def cepStream(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        graft.Det.cents(col("value")).as("vc"))
+      .as[CepTick]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+          GroupStateTimeout.NoTimeout()) {
+        (uid: Long, ticks: Iterator[CepTick],
+         state: GroupState[(Int, Long, Long, Long)]) =>
+          // (n seen, last, second-last, third-last)
+          var (n, v1, v2, v3) = state.getOption.getOrElse((0, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Timestamp, Long, Long)]
+          ticks.toSeq
+            .sortBy(t => (t.ts.getTime, t.ts.getNanos, t.event_id))
+            .foreach { t =>
+              if (n >= 3 && v3 > v2 && v2 > v1 && t.vc > v1)
+                out += ((t.event_id, uid, t.ts, t.vc - v1, v3 - v1))
+              v3 = v2; v2 = v1; v1 = t.vc; n = math.min(n + 1, 3)
+            }
+          state.update((n, v1, v2, v3))
+          out.iterator
+      }.toDF("event_id", "user_id", "ts", "rebound_cents", "depth_cents")
   }
+
+  val streamCepPattern: QFn = (s, d) =>
+    runStream(s, d, OutputMode.Append(), "cep_pattern")(cepStream)
+      .orderBy("event_id")
 
   val streamStaticJoin: QFn = (s, d) => {
     val profile = Tables.events(s, d)

@@ -254,4 +254,49 @@ class StreamRecoverySpec extends SparkTestBase {
     assert(gotIds == 1000L, s"only $gotIds distinct event_ids of 1000")
     cleanup(feed, ckpt, root)
   }
+
+  test("kill-resume: CEP pattern state crosses the checkpoint — matches spanning the kill found exactly once") {
+    import org.apache.spark.sql.expressions.Window
+    val (feed, ckpt, out) = scratch("cep")
+    cleanup(feed, ckpt, out)
+    // no sealers: the CEP state fn is NoTimeout/Append — nothing
+    // waits on a watermark (the streamAsofEnrich feed class)
+    buildFeed(feed, sealer = false)
+    withRecoveryConfs {
+      // phase 1: kill after 2 of 5 batches — the (last 3 ticks) tuple
+      // for every user must reload from RocksDB so a V-reversal whose
+      // falling leg straddles the kill is still detected, once
+      runFeed(feed, ckpt, Some(2))(src =>
+        fileSink(streaming.Streaming.cepStream(src), ckpt, out,
+          OutputMode.Append()))
+      runFeed(feed, ckpt, None)(src =>
+        fileSink(streaming.Streaming.cepStream(src), ckpt, out,
+          OutputMode.Append()))
+    }
+    val got = spark.read.parquet(out)
+      .select("event_id", "user_id", "rebound_cents", "depth_cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == got.distinct.length,
+      "a committed batch re-emitted matches across the kill")
+    // batch reference: the lag-window compilation over the same feed
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val want = spark.read.schema(Encoders.product[Ev].schema).parquet(feed)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        Det.cents(col("value")).as("vc"))
+      .withColumn("v1", lag("vc", 1).over(w))
+      .withColumn("v2", lag("vc", 2).over(w))
+      .withColumn("v3", lag("vc", 3).over(w))
+      .filter(col("v3") > col("v2") && col("v2") > col("v1") &&
+        col("vc") > col("v1"))
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("vc") - r.getAs[Long]("v1"),
+        r.getAs[Long]("v3") - r.getAs[Long]("v1")))
+    assert(got.toSet == want.toSet,
+      s"missing: ${want.toSet -- got.toSet}; extra: ${got.toSet -- want.toSet}")
+    assert(want.nonEmpty)
+    cleanup(feed, ckpt, out)
+  }
 }
