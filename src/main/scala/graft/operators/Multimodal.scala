@@ -286,22 +286,39 @@ object Multimodal {
         mask |= m
       }
     }
-    val bandRows = hashes.select(col("doc_id"),
+    // VERIFY INSIDE THE BAND JOIN (r14 optimization, guide §2.3/§2.4):
+    // unlike the MinHash/gram pipelines — whose per-doc payloads are
+    // 512-byte signatures or KB gram arrays, making "dedup 16-byte id
+    // pairs FIRST, attach payloads after" the right order — the phash
+    // payload IS band-key-sized (one or two longs). Carrying `ws` on
+    // the band rows costs ~8-16 bytes per row in the (reused) band
+    // exchange and lets the exact popcount run directly on the join
+    // output, map-side, BEFORE any further shuffle. That deletes the
+    // two verify joins (two exchanges of the candidate set + two
+    // re-reads of the hash frame) and shrinks the distinct's input
+    // from every band-collision pair (~N²/2^width per band) to only
+    // the true Hamming ≤ tau pairs. A pair colliding in k ≤ bands
+    // bands computes the popcount k times — bounded by the band
+    // count, and far cheaper than shuffling the pair row k times into
+    // the old pre-verify distinct. Output identical: every pair at
+    // Hamming ≤ tau shares ≥1 band (pigeonhole), so it survives in
+    // both shapes. Measured same-window A/B at sf0.1 (subset bench,
+    // N=3): neardup warm 2.05 → 1.81 s, key CPU −32%; plan 5 → 3
+    // exchanges, 3 joins → 1, decode MapPartitions 4 → 2
+    // (plans/r14/mm_phash_neardup_{before,after}.txt); hash-exact vs
+    // DuckDB at sf0.01 + sf0.1, pigeonhole spec green.
+    val bandRows = hashes.select(col("doc_id"), col("ws"),
       posexplode(array(bandColumns(bands): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bval")
-    val cands = bandRows.as("x").join(bandRows.as("y"),
+    bandRows.as("x").join(bandRows.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
-    cands
-      .join(hashes.select(col("doc_id").as("a"), col("ws").as("wa")), "a")
-      .join(hashes.select(col("doc_id").as("b"), col("ws").as("wb")), "b")
-      .withColumn("hamming",
-        aggregate(zip_with(col("wa"), col("wb"),
-          (x, y) => bit_count(x.bitwiseXOR(y))), lit(0), (acc, v) => acc + v))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        aggregate(zip_with(col("x.ws"), col("y.ws"),
+          (p, q) => bit_count(p.bitwiseXOR(q))), lit(0), (acc, v) => acc + v)
+          .as("hamming"))
       .filter(col("hamming") <= tau)
-      .select("a", "b", "hamming")
+      .distinct()
       .orderBy("a", "b")
   }
 
