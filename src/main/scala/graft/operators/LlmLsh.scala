@@ -233,7 +233,12 @@ object LlmLsh {
   /** Banding + estimate + exact-Jaccard verify over ANY signature
     * frame — the tail of [[llmMinhashPortable]], factored for the
     * scale probe (same production-path reuse as Multimodal.phashPairs). */
-  private[graft] def minhashPairsOn(sigs: DataFrame): DataFrame = {
+  private[graft] def minhashPairsOn(sigs0: DataFrame): DataFrame = {
+    // localCheckpoint (r14): sigs feed the band keys and both verify
+    // attachments — three Md5Bigrams + MinhashSigs derivations over
+    // every doc without it; derive once (same-window A/B in
+    // OPTIMIZATION_r14.md)
+    val sigs = sigs0.localCheckpoint()
     val keys = minhashBandKeys(sigs)
     val cands = keys.as("x").join(keys.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&

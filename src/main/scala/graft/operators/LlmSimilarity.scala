@@ -673,8 +673,11 @@ object LlmSimilarity {
     * [[llmNearDedupExact]] is the oracle-checkable twin. */
   val llmNearDedup: QFn = (s, d) => {
     // shuffle_hash on every signature/gram attachment — same payload-
-    // sort-spill reasoning as [[llmNearDedupExact]] (the 300× rung)
-    val sigs = minhashSignatures(s, d).hint("shuffle_hash")
+    // sort-spill reasoning as [[llmNearDedupExact]] (the 300× rung).
+    // localCheckpoint (r14): sigs feed the band keys AND both estimate
+    // joins — four signature derivations (HashedBigrams + MinhashSigs
+    // over every doc) in the uncheckpointed plan; derive once.
+    val sigs = minhashSignatures(s, d).localCheckpoint().hint("shuffle_hash")
     val cands = lshCandidates(sigs, MinhashBands)
     val est = cands
       .join(sigs.select(col("doc_id").as("a"), col("sig").as("sa")), "a")
@@ -689,6 +692,7 @@ object LlmSimilarity {
     // gram pipeline), at a fraction of the compare cost
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.HashedBigrams(col("text")).as("grams"))
+      .localCheckpoint() // derive once for both attachment sides (r14)
       .hint("shuffle_hash")
     est.join(grams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
       .join(grams.select(col("doc_id").as("b"), col("grams").as("gb")), "b")
@@ -713,7 +717,11 @@ object LlmSimilarity {
     * generation stays the banding equi-join — DuckDB's n² join is the
     * oracle's cost, not the engine's. */
   val llmNearDedupExact: QFn = (s, d) => {
-    val cands = lshCandidates(minhashSignatures(s, d), bands = 32)
+    // localCheckpoint: the band-key self-join's sides do NOT share an
+    // exchange at this size (one side folds to a broadcast), so the
+    // signature kernel ran once per side — derive once (r14)
+    val cands = lshCandidates(minhashSignatures(s, d).localCheckpoint(),
+      bands = 32)
     // SHUFFLE_HASH on the gram attachment: sort-merge would SORT both
     // sides carrying the full hashed-gram ARRAY payload (~KB/row) —
     // at the 300× ladder rung (15 M docs, ~24 GB of gram arrays × two
@@ -724,6 +732,7 @@ object LlmSimilarity {
     // no sort files.
     val grams = Tables.documents(s, d)
       .select(col("doc_id"), graft.functions.HashedBigrams(col("text")).as("grams"))
+      .localCheckpoint() // derive once for both attachment sides (r14)
       .hint("shuffle_hash")
     cands
       .join(grams.select(col("doc_id").as("a"), col("grams").as("ga")), "a")
@@ -982,10 +991,18 @@ object LlmSimilarity {
   val llmNgramJaccard: QFn = (s, d) =>
     // native single-pass gram hashing: the composed transform/xxhash64
     // chain was interpreted (HOFs are CodegenFallback) — 4.4 s per
-    // evaluation at sf0.1 vs ~0.2 s for this expression
+    // evaluation at sf0.1 vs ~0.2 s for this expression.
+    // localCheckpoint (r14, the unigram-key precedent): the gram frame
+    // feeds postings AND both verify sides — 6 parquet scans + 6 gram
+    // derivations in the uncheckpointed final plan. Materializing it
+    // once turns those into in-memory reads: derive-once is also the
+    // 100 TB shape (one corpus read + local-disk reuse vs six full
+    // re-reads). Measured same-window A/B at sf0.1 (subset bench, N=3,
+    // jaccard+containment together): see OPTIMIZATION_r14.md.
     ngramJaccardOn(Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        graft.functions.HashedBigrams(col("text")).as("hg")), 0.3)
+        graft.functions.HashedBigrams(col("text")).as("hg"))
+      .localCheckpoint(), 0.3)
 
   /** Prefix-filtered Jaccard core over ANY (doc_id, source, hg) frame
     * — the property spec drives it with generated corpora at random
@@ -1032,9 +1049,12 @@ object LlmSimilarity {
     * (a, b) orders survive, and the denominator is the contained side. */
   val llmContainment: QFn = (s, d) => {
     val tau = 0.5
+    // localCheckpoint: same derive-once rationale as llmNgramJaccard
+    // (postings + both verify sides re-derived the grams 5× without it)
     val g = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         graft.functions.HashedBigrams(col("text")).as("hg"))
+      .localCheckpoint()
     val postings = g.select(col("source"), col("doc_id"),
       size(col("hg")).as("sz"), explode(col("hg")).as("gram"))
     val dfreq = postings.groupBy("source", "gram").agg(count(lit(1)).as("df"))
