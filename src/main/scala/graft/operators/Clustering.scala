@@ -167,13 +167,15 @@ object Clustering {
     val cached = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     var rank = 1
     while (rank <= nMerges) {
-      val w = split(col("text"), " ")
+      // native BigramGen generator (r14): the composed
+      // explode(transform(sequence, element_at, struct)) chain was
+      // interpreted per element (HOFs are CodegenFallback and re-read
+      // the array per access); the generator emits the same adjacent
+      // (a, b) pairs in one tight eval loop — identical counts, so the
+      // merge table (and the unrolled oracle) is unchanged.
       val top = corpus
-        .select(explode(when(size(w) >= 2,
-          transform(sequence(lit(1), size(w) - 1),
-            i => struct(element_at(w, i).as("a"), element_at(w, i + 1).as("b"))))
-          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("pr"))
-        .groupBy("pr.a", "pr.b").agg(count(lit(1)).as("n"))
+        .select(graft.functions.NgramGen.bigramPairs(split(col("text"), " ")))
+        .groupBy(col("w1").as("a"), col("w2").as("b")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("a"), col("b")).limit(1)
         .collect()
       if (top.isEmpty) rank = nMerges + 1
