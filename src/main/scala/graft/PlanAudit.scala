@@ -175,6 +175,17 @@ object PlanAudit {
     * session confs (r14). */
   val allowCodegenAbsent: Set[String] = Set("join_skew_aqe")
 
+  /** For keys whose returned plan is a construction-result local
+    * relation, the plan the audit should actually grade (r15, ADVICE):
+    * without this substitution the smell scan and shuffle budget for
+    * `join_skew_aqe` would audit a LocalTableScan — vacuously clean.
+    * The captured plan is the skew-split join the key exists to run. */
+  def constructionPlan(name: String)
+      : Option[org.apache.spark.sql.execution.SparkPlan] = name match {
+    case "join_skew_aqe" => Option(operators.Extras2.lastSkewJoinExec)
+    case _ => None
+  }
+
   /** Count the shuffles (Exchange operators) the executed plan
     * actually ran, walking through AQE wrappers and query stages and
     * into subqueries. ReusedExchange is NOT counted — it reads a
@@ -257,8 +268,12 @@ object PlanAudit {
           }
         val constructionJobs = jobs.get()
         df.collect()
-        val p = df.queryExecution.executedPlan.toString
-        val nShuf = countShuffles(df.queryExecution.executedPlan)
+        // audit the captured construction plan where the returned plan
+        // is just the construction result's local relation (r15)
+        val auditPlan =
+          constructionPlan(name).getOrElse(df.queryExecution.executedPlan)
+        val p = auditPlan.toString
+        val nShuf = countShuffles(auditPlan)
         val budget = ShuffleBudgets.map.get(name)
         val smells = Seq(
           "CartesianProduct" -> p.contains("CartesianProduct"),
@@ -510,7 +525,12 @@ object ShuffleBudgets {
     "join_range_bucketed" -> 5,
     "join_semi_anti" -> 1,
     "join_shuffle_hash" -> 4,
-    "join_skew_aqe" -> 3,
+    // r15: the audited plan is now the CAPTURED construction-time
+    // skew join (see constructionPlan) — broadcast is disabled inside
+    // its conf scope, so the dim side shuffles too: fact repartition +
+    // both SMJ sides + final sort = 4 (the old 3 graded the lazy
+    // session-conf rebuild, where the dim folded to a broadcast)
+    "join_skew_aqe" -> 4,
     "join_theta_prefix" -> 3,
     "join_theta_range" -> 2,
     "limit_topk" -> 0,

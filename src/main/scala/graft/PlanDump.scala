@@ -14,8 +14,15 @@ object PlanDump {
     val outDir = args(0); val suffix = args(1)
     val keys = args(2).split(",").map(_.trim).filter(_.nonEmpty)
     val d = if (args.length > 3) args(3) else "/root/testdata/sf0.1"
-    val builder = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // same session shape as Bench: derive core count from the env so
+    // dumped plans match the benched plans on any host (r15, ADVICE);
+    // the toInt guard mirrors Bench ("*" is valid for local[*] but not
+    // for shuffle.partitions)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpusInt = scala.util.Try(cpus.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+    val builder = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpusInt.toString)
     scratchConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder
       .config("spark.sql.session.timeZone", "UTC")

@@ -544,6 +544,11 @@ object Extras2 {
     * spec diagnostic for the OptimizeSkewedJoin assertion. */
   @volatile var lastSkewJoinPlan: String = ""
 
+  /** The same executed plan as a live SparkPlan, so PlanAudit can run
+    * its structural checks (countShuffles, smell scan) against the
+    * construction-time join instead of the returned LocalTableScan. */
+  @volatile var lastSkewJoinExec: org.apache.spark.sql.execution.SparkPlan = _
+
   /** AQE skew-join under a deliberately skewed key distribution — the
     * runtime half of the skew story at BENCH scale (agg_salted_skew is
     * the author-side half; RelationalSpec's AQE test is the smoke-
@@ -553,9 +558,13 @@ object Extras2 {
     * must split the hot reducer partition at runtime instead of one
     * straggler task dragging the stage — at 100 TB the difference
     * between a 5-minute and a 5-hour join. The skewed execution runs
-    * INSIDE the conf scope (plan captured in [[lastSkewJoinPlan]]);
-    * the returned lazy twin recomputes the same (exact, oracle-able)
-    * aggregate under session confs, so nothing leaks to later keys. */
+    * INSIDE the conf scope (plan captured in [[lastSkewJoinPlan]] /
+    * [[lastSkewJoinExec]]); its own ~11 collected rows return as a
+    * local relation (r14) — no second execution under session confs,
+    * and the conf restore runs before anything downstream executes,
+    * so nothing leaks to later keys. PlanAudit audits the CAPTURED
+    * construction plan for this key (shuffle budget + smells), since
+    * the returned LocalTableScan has no structure to audit. */
   val joinSkewAqe: QFn = (s, d) => {
     def build(): DataFrame = {
       val skewK = (c: Column) => when(c % 100 < 90, 0L).otherwise(c % 100)
@@ -593,6 +602,7 @@ object Extras2 {
       val skewed = build()
       val out = skewed.collect() // ~11 aggregated rows; runs the skew-split join
       lastSkewJoinPlan = skewed.queryExecution.executedPlan.toString
+      lastSkewJoinExec = skewed.queryExecution.executedPlan
       (out, skewed.schema)
     } finally prev.foreach {
       case (k, Some(v)) => s.conf.set(k, v)

@@ -677,6 +677,18 @@ object LlmSimilarity {
     // localCheckpoint (r14): sigs feed the band keys AND both estimate
     // joins — four signature derivations (HashedBigrams + MinhashSigs
     // over every doc) in the uncheckpointed plan; derive once.
+    // Reclamation note (r15, ADVICE — applies to every derive-once
+    // checkpoint in this file): the persisted MEMORY_AND_DISK blocks
+    // are released by the ContextCleaner when the frame's RDD becomes
+    // unreachable (each invocation builds a fresh frame, so the
+    // previous pass's blocks are garbage by then). An explicit
+    // unpersist is deliberately NOT done: a localCheckpointed frame
+    // cannot recompute after unpersist (lineage is truncated), and
+    // the returned DataFrame's lifetime is the caller's — eager
+    // unpersist would poison any consumer that re-collects (specs
+    // do). Blocks are small (sig/gram frames, MBs at bench scale) and
+    // bounded to ~1 generation between GCs; off local mode the same
+    // executor-failure caveat as any localCheckpoint applies.
     val sigs = minhashSignatures(s, d).localCheckpoint().hint("shuffle_hash")
     val cands = lshCandidates(sigs, MinhashBands)
     val est = cands
